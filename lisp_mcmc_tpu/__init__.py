@@ -1,0 +1,91 @@
+"""lisp_mcmc_tpu — a TPU-native adaptive-MCMC curve-fitting framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+afranson/Lisp-MCMC (Metropolis-Hastings "walker" fitting with adaptive
+proposal covariance, annealing, auto-convergence, global multi-dataset
+fits, priors, plotting, and lab-data ingestion), redesigned for TPU:
+walker ensembles are ``(W, d)`` batches advanced by jitted ``lax.scan``
+chunks, likelihood reductions are fused masked sums (with a Pallas fast
+path), and chains shard across device meshes with a single pooled-
+covariance allreduce.
+
+Quick start (the test.lisp journey):
+
+    import lisp_mcmc_tpu as mfit
+    from lisp_mcmc_tpu.models import lorder_mixed_bg
+
+    table = mfit.read_file_data("example-data.xls")
+    x, y = mfit.create_walker_data(table, 1, 4)
+    w = mfit.walker_create(
+        function=lorder_mixed_bg,
+        data=(x, y),
+        params={"scale": 1e-5, "linewidth": 7, "x0": 2200,
+                "mix": 0.9, "bg0": 1e-7, "bg1": 1e-9},
+        data_error=1e-7,
+        n_walkers=1024,
+    )
+    w.adaptive_steps(100_000)
+    print(w.most_likely_params())
+"""
+
+from .control import clear_stop, estop, request_stop, stop_requested
+from .data import Dataset, clean_data, clean_data_error, create_walker_data
+from .expressions import walker_with_expression
+from .fit import Walker, default_dtype, mcmc_fit, walker_create
+from .io import get_filename, read_file_data
+from .kernel import FitConfig, WalkerState, temperature_schedule
+from .likelihoods import (
+    create_log_likelihood_function,
+    log_likelihood_normal,
+    log_likelihood_normal_cutoff,
+    log_likelihood_normal_weighted,
+    log_likelihood_poisson,
+    log_normal,
+    log_poisson,
+)
+from .priors import (
+    bound_penalty,
+    combine_priors,
+    constraint_penalty,
+    log_prior_flat,
+    make_bounds_prior,
+    prior_bounds,
+)
+from .walker_set import WalkerSet
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Dataset",
+    "FitConfig",
+    "Walker",
+    "WalkerSet",
+    "WalkerState",
+    "bound_penalty",
+    "clean_data",
+    "clean_data_error",
+    "clear_stop",
+    "combine_priors",
+    "constraint_penalty",
+    "create_log_likelihood_function",
+    "create_walker_data",
+    "default_dtype",
+    "estop",
+    "get_filename",
+    "log_likelihood_normal",
+    "log_likelihood_normal_cutoff",
+    "log_likelihood_normal_weighted",
+    "log_likelihood_poisson",
+    "log_normal",
+    "log_poisson",
+    "log_prior_flat",
+    "make_bounds_prior",
+    "mcmc_fit",
+    "prior_bounds",
+    "read_file_data",
+    "request_stop",
+    "stop_requested",
+    "temperature_schedule",
+    "walker_create",
+    "walker_with_expression",
+]

@@ -1,0 +1,638 @@
+"""High-level fitting API: Walker facade, adaptive driver, mcmc_fit.
+
+Rebuilds the reference's L4 layer (mcmc-fitting.lisp):
+  - ``walker-create`` (1132-1163): normalize fn/data/error/likelihood/prior
+    to parallel lists, resolve data-dependent closures, evaluate the first
+    step.  Global multi-dataset fitting is this same path with lists
+    (shared parameters by name; test.lisp:58-70).
+  - ``walker-adaptive-steps[-full]`` (862-947): the adaptive driver — here
+    split at the host->TPU boundary: the 200-step chunks run as one jitted
+    scan (kernel.py); the host loop below only does auto-stop, estop,
+    history capture, and the shutdown schedule between chunks.
+  - ``walker-many-steps`` (849-853): fixed-L stepping.
+  - ``walker-sample-region`` (949-969): greedy proposal-scale tuner.
+  - ``walker-get`` (487-543) / ``walker-modify`` (547-580): the query and
+    mutation verbs, as methods on :class:`Walker`.
+  - ``mcmc-fit`` (1165-1176): create + adaptive steps.
+
+The Walker here is a *host facade* over an on-device ensemble
+(:class:`~lisp_mcmc_tpu.kernel.WalkerState`): one reference walker = one
+row of the ``(W, d)`` batch.  ``n_walkers=1`` reproduces the reference's
+single-chain behavior; large W is the TPU scaling story (SURVEY §3.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import control
+from .data import Dataset, clean_data, clean_data_error
+from .kernel import FitConfig, WalkerState, build_chunk_runner, init_state
+from .likelihoods import log_likelihood_normal, resolve_likelihood
+from .ops.linalg import cholesky_clamped, diagonal_covariance, haario_scale, sample_covariance
+from .params import ParamSpec, normalize_params
+from .priors import log_prior_flat, resolve_prior
+
+__all__ = ["Walker", "walker_create", "mcmc_fit", "default_dtype"]
+
+
+def default_dtype():
+    """float64 when x64 is enabled (parity runs), else float32 (TPU runs)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _force_list(item):
+    """``force-list`` (mcmc-fitting.lisp:755-759)."""
+    if isinstance(item, (list, tuple)):
+        return list(item)
+    return [item]
+
+
+@dataclasses.dataclass
+class _Term:
+    """One (function, dataset, likelihood, prior) posterior term."""
+
+    fn: Callable
+    dataset: Dataset
+    likelihood: Callable
+    prior: Callable
+
+
+class Walker:
+    """Host facade over a vmapped walker ensemble.
+
+    Query verbs (``walker-get``, mcmc-fitting.lisp:487-543) are methods:
+    ``most_likely_params``, ``median_params``, ``stddev_params``,
+    ``acceptance``, ``log_likelihoods``, ``covariance_matrix``,
+    ``l_matrix``, ``unique_steps``, ``forward_steps`` ...
+    Mutation verbs (``walker-modify``, 547-580) are ``reset``,
+    ``reset_to_most_likely``, ``burn_steps``, ``keep_steps``,
+    ``add_steps``, ``delete``.
+    """
+
+    def __init__(
+        self,
+        terms: list[_Term],
+        spec: ParamSpec,
+        initial_vector,
+        *,
+        n_walkers: int = 1,
+        seed: int = 0,
+        walker_jitter: float = 0.0,
+        config: FitConfig | None = None,
+        dtype=None,
+    ):
+        self.terms = terms
+        self.spec = spec
+        self.config = config or FitConfig()
+        self.dtype = dtype or default_dtype()
+        self.n_walkers = int(n_walkers)
+        self._runner_cache: dict[Any, Any] = {}
+
+        d = spec.ndim
+        key = jax.random.PRNGKey(seed)
+        key, k_init = jax.random.split(key)
+        vec = jnp.asarray(initial_vector, self.dtype)
+        position = jnp.broadcast_to(vec, (self.n_walkers, d)).astype(self.dtype)
+        if walker_jitter > 0:
+            noise = jax.random.normal(k_init, position.shape, self.dtype)
+            position = position * (1.0 + walker_jitter * noise)
+
+        self._log_post_one = self._build_log_posterior()
+        logprob = jax.vmap(self._log_post_one)(position)
+        l0 = self._initial_l_matrix(vec)
+        self.state = init_state(key, position, logprob, l0)
+
+        # Host-side thinned history ring (the walker's "walk", 471).
+        self._hist_positions: list[np.ndarray] = []  # each (K, W, d)
+        self._hist_logprobs: list[np.ndarray] = []   # each (K, W)
+        self._accept_log: list[float] = []           # per-chunk pooled acceptance
+        self._lpmax_trace: list[np.ndarray] = []     # per-step max-logprob traces
+
+    # ------------------------------------------------------------------ build
+
+    def _build_log_posterior(self):
+        terms = self.terms
+        spec = self.spec
+
+        def log_post(theta):
+            params = spec.unflatten(theta)
+            total = jnp.asarray(0.0, theta.dtype)
+            for t in terms:
+                total = total + t.likelihood(t.fn, params, t.dataset)
+                total = total + t.prior(params, t.dataset)
+            return total
+
+        return log_post
+
+    def _initial_l_matrix(self, vec):
+        """Cold-start proposal: diag of parameter values (mcmc-fitting.lisp:899).
+
+        Deviation from the reference: an exactly-zero parameter would give a
+        zero proposal stddev and a permanently stuck coordinate, so zeros are
+        replaced by a small scale derived from the other parameters.
+        """
+        v = np.asarray(vec, dtype=np.float64)
+        nonzero = np.abs(v[v != 0])
+        fallback = 1e-3 * nonzero.mean() if nonzero.size else 1e-3
+        v = np.where(v == 0, fallback, v)
+        return jnp.asarray(np.diag(v), self.dtype)
+
+    def _runner(self, greedy: bool = False, with_history: bool = True):
+        cfg = dataclasses.replace(self.config, greedy=greedy)
+        cache_key = (cfg, with_history)
+        if cache_key not in self._runner_cache:
+            run, run_hist = build_chunk_runner(self._log_post_one, self.spec.ndim, cfg)
+            fn = run_hist if with_history else run
+            jitted = jax.jit(fn)
+            self._runner_cache[cache_key] = jitted
+        return self._runner_cache[cache_key]
+
+    # ------------------------------------------------------------- driver loop
+
+    @property
+    def ndim(self) -> int:
+        return self.spec.ndim
+
+    @property
+    def age(self) -> int:
+        return int(self.state.age)
+
+    def __len__(self) -> int:
+        """Retained history length in steps (walker-length analogue)."""
+        return sum(h.shape[0] for h in self._hist_positions) * self.config.thin
+
+    def adaptive_steps(self, n: int | None = None, *, temperature: float | None = None,
+                       auto: str | None = "default", collect_history: bool = True,
+                       progress: bool = False):
+        """Adaptive MH driver (``walker-adaptive-steps[-full]``, 862-947).
+
+        Runs up to ``n`` steps in jitted 200-step chunks.  Auto-stop
+        (``:prob-settle`` / ``:slope-settle``), annealing shutdown, estop,
+        and history capture happen here, between chunks — the TPU split of
+        the reference's do-loop (SURVEY §3.2).
+        """
+        cfg = self.config
+        if n is not None or temperature is not None or auto != "default":
+            cfg = dataclasses.replace(
+                cfg,
+                n_steps=int(n) if n is not None else cfg.n_steps,
+                temperature=float(temperature) if temperature is not None else cfg.temperature,
+                auto=cfg.auto if auto == "default" else auto,
+            )
+        prev_config = self.config
+        self.config = cfg
+        try:
+            self._adaptive_loop(cfg, collect_history, progress)
+        finally:
+            self.config = prev_config
+
+    def _adaptive_loop(self, cfg: FitConfig, collect_history: bool, progress: bool):
+        control.clear_stop()
+        d = self.ndim
+        settle = cfg.steps_to_settle(d)
+        chunk = cfg.chunk_size
+        n_chunks = max(1, math.ceil(cfg.n_steps / chunk))
+        shutdown_chunks = max(1, math.ceil(max(2000, settle) / chunk))
+        runner = self._runner(greedy=False, with_history=collect_history)
+
+        shutting_down = False
+        remaining = n_chunks
+        i_chunk = 0
+        with control.interruptible():
+            while remaining > 0 and not control.stop_requested():
+                # During shutdown: temperature pinned to 1 via age >= temp_steps
+                # is not available, so the kernel uses the schedule; we emulate
+                # the reference's "T=1 cold finish" (915) by disabling refresh
+                # and relying on the schedule's tail (cos zero at temp-steps).
+                allow_refresh = not shutting_down
+                state, out = runner(self.state, True, allow_refresh)
+                self.state = state
+                self._record_chunk(out, collect_history)
+                i_chunk += 1
+                remaining -= 1
+                step = i_chunk * chunk
+
+                if progress and i_chunk % 25 == 0:
+                    print(
+                        f"step {step}: acc={float(out['accept_rate']):.3f} "
+                        f"best={float(jnp.max(self.state.best_logprob)):.3f}"
+                    )
+
+                if shutting_down:
+                    continue
+                # Enter shutdown when close to the end (906) ...
+                if remaining <= shutdown_chunks:
+                    shutting_down = True
+                    continue
+                # ... or when auto-stop triggers (907-917).
+                if cfg.auto and step % 1000 < chunk and step > 2 * settle:
+                    acc = float(np.mean(self._accept_log[-(1000 // chunk):]))
+                    if 0.2 < acc < 0.5 and self._auto_settled(cfg, settle):
+                        shutting_down = True
+                        remaining = shutdown_chunks
+
+    def _record_chunk(self, out, collect_history: bool):
+        self._accept_log.append(float(out["accept_rate"]))
+        self._lpmax_trace.append(np.asarray(out["logprob_max"]))
+        if collect_history and "positions" in out:
+            self._hist_positions.append(np.asarray(out["positions"]))
+            self._hist_logprobs.append(np.asarray(out["logprobs"]))
+            self._trim_history()
+
+    def _trim_history(self):
+        max_entries = max(1, self.config.max_history // self.config.thin)
+        total = sum(h.shape[0] for h in self._hist_positions)
+        while total > max_entries and len(self._hist_positions) > 1:
+            total -= self._hist_positions.pop(0).shape[0]
+            self._hist_logprobs.pop(0)
+
+    def _auto_settled(self, cfg: FitConfig, settle: int) -> bool:
+        trace = np.concatenate(self._lpmax_trace) if self._lpmax_trace else np.empty(0)
+        if trace.size < max(settle, 400):
+            return False
+        if cfg.auto == "prob-settle":
+            # stable-probs-p (880-885): stable max values + healthy spread.
+            window = trace[-settle:]
+            early_max = window[:200].max()
+            late_max = window[-200:].max()
+            return abs(early_max - late_max) < 0.5 and 4 < (early_max - window.min()) < 9
+        if cfg.auto == "slope-settle":
+            # stable-prob-slope-p (886-887) rebuilt as a closed-form OLS
+            # slope on the trace instead of the reference's nested MCMC
+            # line fit: stop when the drift over the window is < 1 in
+            # log-likelihood units.
+            window = trace[-max(2500, settle):]
+            x = np.arange(window.size, dtype=np.float64)
+            slope = np.polyfit(x, window, 1)[0]
+            return abs(slope) * window.size < 1.0
+        return False
+
+    def many_steps(self, n: int, l_matrix=None):
+        """Fixed-L stepping, no adaptation (``walker-many-steps``, 849-853)."""
+        if l_matrix is not None:
+            self.state = dataclasses.replace(
+                self.state, l_matrix=jnp.asarray(l_matrix, self.dtype)
+            )
+        else:
+            # Reference default: diag(1e-2 * median params) (851).
+            med = self.median_params_vector()
+            self.state = dataclasses.replace(
+                self.state,
+                l_matrix=jnp.asarray(np.diag(1e-2 * np.asarray(med)), self.dtype),
+            )
+        runner = self._runner(greedy=False, with_history=True)
+        chunks = max(1, math.ceil(n / self.config.chunk_size))
+        for _ in range(chunks):
+            state, out = runner(self.state, False, False)  # adaptation disabled
+            self.state = state
+            self._record_chunk(out, True)
+
+    def sample_region(self, initial_scale: float = 1e-3, n: int = 3000):
+        """Greedy proposal tuner (``walker-sample-region``, 949-969).
+
+        Pretend-steps (greedy accept, no temperature) with aggressive L
+        rescaling: x0.25 when acceptance collapses, x1.7 when it's high
+        (967-968).  Rescale cadence here is per 200-step chunk instead of
+        the reference's 20-step check over a 50-step window.
+        """
+        control.clear_stop()
+        best = np.asarray(self.best_params_vector(), dtype=np.float64)
+        nonzero = np.abs(best[best != 0])
+        fallback = 1e-3 * nonzero.mean() if nonzero.size else 1e-3
+        best = np.where(best == 0, fallback, best)
+        self.state = dataclasses.replace(
+            self.state, l_matrix=jnp.asarray(initial_scale * np.diag(best), self.dtype)
+        )
+        runner = self._runner(greedy=True, with_history=False)
+        chunks = max(1, math.ceil(n / self.config.chunk_size))
+        for _ in range(chunks):
+            if control.stop_requested():
+                break
+            state, out = runner(self.state, False, False)
+            acc = float(out["accept_rate"])
+            scale = 0.25 if acc <= 0.02 else (1.7 if acc > 0.08 else 1.0)
+            state = dataclasses.replace(state, l_matrix=state.l_matrix * scale)
+            self.state = state
+            self._accept_log.append(acc)
+            self._lpmax_trace.append(np.asarray(out["logprob_max"]))
+
+    def force_step(self):
+        """Re-evaluate the posterior at the current params
+        (``walker-force-take-step``, 1124-1129; used after dataset hot-swap)."""
+        logprob = jax.vmap(self._log_post_one)(self.state.position)
+        self.state = dataclasses.replace(self.state, logprob=logprob)
+
+    def swap_data(self, datasets: Sequence[Dataset]):
+        """Replace the datasets term-by-term, then re-evaluate in place."""
+        if len(datasets) != len(self.terms):
+            raise ValueError("swap_data: dataset count must match term count")
+        self.terms = [dataclasses.replace(t, dataset=d) for t, d in zip(self.terms, datasets)]
+        self._log_post_one = self._build_log_posterior()
+        self._runner_cache.clear()
+        self.force_step()
+
+    # ------------------------------------------------------------- query verbs
+
+    def _history(self, take: int | None = None):
+        """Stacked host history: (T, W, d) positions, (T, W) logprobs."""
+        if not self._hist_positions:
+            pos = np.asarray(self.state.position)[None]
+            lp = np.asarray(self.state.logprob)[None]
+        else:
+            pos = np.concatenate(self._hist_positions, axis=0)
+            lp = np.concatenate(self._hist_logprobs, axis=0)
+        if take is not None:
+            k = max(1, int(take) // max(1, self.config.thin))
+            pos, lp = pos[-k:], lp[-k:]
+        return pos, lp
+
+    def steps(self, take: int | None = None):
+        """Flattened samples: ((T*W), d) params + (T*W,) logprobs (``:steps``)."""
+        pos, lp = self._history(take)
+        return pos.reshape(-1, self.ndim), lp.reshape(-1)
+
+    def unique_steps(self, take: int | None = None, walker: int = 0):
+        """Per-walker dedup of consecutive equal-prob steps (``:unique-steps``, 492)."""
+        pos, lp = self._history(take)
+        p, l = pos[:, walker], lp[:, walker]
+        keep = np.ones(len(l), dtype=bool)
+        keep[1:] = l[1:] != l[:-1]
+        return p[keep]
+
+    def forward_steps(self, take: int | None = None, walker: int = 0):
+        """Steps that improved the posterior (``:forward-steps``, 497-502)."""
+        pos, lp = self._history(take)
+        p, l = pos[:, walker], lp[:, walker]
+        keep = np.zeros(len(l), dtype=bool)
+        keep[1:] = l[1:] > l[:-1]
+        keep[0] = True
+        return p[keep]
+
+    def best_params_vector(self):
+        best_walker = int(jnp.argmax(self.state.best_logprob))
+        return self.state.best_position[best_walker]
+
+    def most_likely_step(self):
+        """Global best step over all walkers (``:most-likely-step``, 503)."""
+        best_walker = int(jnp.argmax(self.state.best_logprob))
+        return (
+            float(self.state.best_logprob[best_walker]),
+            self.spec.make(np.asarray(self.state.best_position[best_walker]).tolist()),
+        )
+
+    def most_likely_params(self) -> dict[str, float]:
+        """``:most-likely-params`` (511-515)."""
+        return self.most_likely_step()[1]
+
+    def median_params_vector(self, take: int | None = None):
+        pos, _ = self._history(take)
+        return np.median(pos.reshape(-1, self.ndim), axis=0)
+
+    def median_params(self, take: int | None = None) -> dict[str, float]:
+        """Posterior median over retained history (``:median-params``, 516-523)."""
+        return self.spec.make(self.median_params_vector(take).tolist())
+
+    def mean_params(self, take: int | None = None) -> dict[str, float]:
+        pos, _ = self._history(take)
+        return self.spec.make(np.mean(pos.reshape(-1, self.ndim), axis=0).tolist())
+
+    def acceptance(self, take: int | None = None) -> float:
+        """Exact pooled acceptance rate over recent chunks (``:acceptance``, 506).
+
+        The reference estimates acceptance by deduplicating consecutive
+        probabilities of one chain; the kernel tracks accept decisions
+        directly, so this is exact.
+        """
+        if not self._accept_log:
+            return 0.0
+        k = max(1, (take or 1000) // self.config.chunk_size)
+        return float(np.mean(self._accept_log[-k:]))
+
+    def log_likelihoods(self, take: int | None = None, walker: int | None = None):
+        """Logprob trace (``:log-liklihoods``, 540): (T, W) or (T,) for one walker."""
+        _, lp = self._history(take)
+        return lp if walker is None else lp[:, walker]
+
+    def param_trace(self, name: str, take: int | None = None, walker: int = 0):
+        """One parameter's trace for one walker (``:param``, 509)."""
+        pos, _ = self._history(take)
+        return pos[:, walker, self.spec.index(name)]
+
+    def covariance_matrix(self, take: int | None = None):
+        """Covariance of retained unique samples (``:covariance-matrix``, 541)."""
+        samples = np.concatenate(
+            [self.unique_steps(take, w) for w in range(self.n_walkers)], axis=0
+        )
+        return np.asarray(sample_covariance(jnp.asarray(samples)))
+
+    def l_matrix_estimate(self, take: int | None = None):
+        """Cholesky of covariance of diffs of forward steps (``:l-matrix``, 543)."""
+        diffs = []
+        for w in range(self.n_walkers):
+            f = self.forward_steps(take, w)
+            if len(f) > 1:
+                diffs.append(np.diff(f, axis=0))
+        if not diffs:
+            return np.zeros((self.ndim, self.ndim))
+        diffs = np.concatenate(diffs, axis=0)
+        cov = sample_covariance(jnp.asarray(diffs))
+        chol, _ = cholesky_clamped(cov)
+        return np.asarray(chol)
+
+    def stddev_params(self, take: int | None = None) -> dict[str, float]:
+        """Per-param proposal stddevs = diag of history L (``:stddev-params``, 525-539).
+
+        Returns zeros when fewer than 10 retained steps, like the reference
+        (527-528).
+        """
+        if len(self) < 10:
+            return self.spec.make([0.0] * self.ndim)
+        l = self.l_matrix_estimate(take)
+        return self.spec.make(np.diag(l).tolist())
+
+    def check_for_nonfinite(self, take: int | None = None):
+        """NaN/Inf leak detector — ``walker-check-for-complex-walks`` (483-485)
+        reborn: complex numbers cannot arise in this design, but non-finite
+        posteriors/params are the equivalent failure."""
+        pos, lp = self._history(take)
+        bad_pos = ~np.isfinite(pos).all(axis=(0, 2))
+        bad_lp = ~np.isfinite(lp).all(axis=0)
+        bad = np.flatnonzero(bad_pos | bad_lp)
+        return bad.tolist() if bad.size else None
+
+    def diagnose_params(self, params: Mapping[str, float]):
+        """Probe the posterior at given params (``walker-diagnose-params``, 1200-1204)."""
+        vec = self.spec.flatten(params, dtype=self.dtype)
+        return float(self._log_post_one(vec))
+
+    # ---------------------------------------------------------- mutation verbs
+
+    def reset(self):
+        """Drop history, keep current position (``:reset``, 570-573)."""
+        self._hist_positions.clear()
+        self._hist_logprobs.clear()
+        self._accept_log.clear()
+        self._lpmax_trace.clear()
+
+    def reset_to_most_likely(self):
+        """Restart every walker at the global best (``:reset-to-most-likely``, 574-578)."""
+        best_walker = int(jnp.argmax(self.state.best_logprob))
+        best_pos = self.state.best_position[best_walker]
+        best_lp = self.state.best_logprob[best_walker]
+        W = self.n_walkers
+        self.state = dataclasses.replace(
+            self.state,
+            position=jnp.broadcast_to(best_pos, (W, self.ndim)).astype(self.dtype),
+            logprob=jnp.broadcast_to(best_lp, (W,)).astype(self.dtype),
+        )
+        self.reset()
+
+    def burn_steps(self, burn_number: int):
+        """Drop the oldest ``burn_number`` steps (``:burn-walks``, 566-567)."""
+        k = burn_number // max(1, self.config.thin)
+        pos, lp = self._history()
+        pos, lp = pos[k:], lp[k:]
+        self._hist_positions = [pos] if pos.size else []
+        self._hist_logprobs = [lp] if lp.size else []
+
+    def keep_steps(self, keep_number: int):
+        """Keep only the newest ``keep_number`` steps (``:keep-walks``, 568-569)."""
+        k = max(1, keep_number // max(1, self.config.thin))
+        pos, lp = self._history()
+        self._hist_positions = [pos[-k:]]
+        self._hist_logprobs = [lp[-k:]]
+
+    def add_steps(self, positions, logprobs):
+        """Append externally produced history (``:add-walks``, 556-565) —
+        which the reference version silently dropped (SURVEY §2.2); this one
+        actually appends, and refreshes the best step."""
+        positions = np.asarray(positions)
+        logprobs = np.asarray(logprobs)
+        if positions.ndim == 2:  # (T, d) single-walker -> broadcast to (T, W, d)
+            positions = np.repeat(positions[:, None], self.n_walkers, axis=1)
+            logprobs = np.repeat(logprobs[:, None], self.n_walkers, axis=1)
+        self._hist_positions.append(positions)
+        self._hist_logprobs.append(logprobs)
+        flat_best = logprobs.max()
+        if flat_best > float(jnp.max(self.state.best_logprob)):
+            t, w = np.unravel_index(np.argmax(logprobs), logprobs.shape)
+            best_pos = jnp.asarray(positions[t, w], self.dtype)
+            state = self.state
+            better = flat_best > np.asarray(state.best_logprob)
+            new_best_pos = jnp.where(
+                jnp.asarray(better)[:, None], best_pos, state.best_position
+            )
+            new_best_lp = jnp.maximum(
+                state.best_logprob, jnp.asarray(flat_best, self.dtype)
+            )
+            self.state = dataclasses.replace(
+                self.state, best_position=new_best_pos, best_logprob=new_best_lp
+            )
+
+    def delete(self):
+        """Free everything (``:delete``, 579-580)."""
+        self.reset()
+        self.terms = []
+        self._runner_cache.clear()
+
+
+# ------------------------------------------------------------------ factories
+
+
+def walker_create(
+    *,
+    function,
+    data,
+    params,
+    data_error=None,
+    log_likelihood=None,
+    log_prior=None,
+    n_walkers: int = 1,
+    seed: int = 0,
+    walker_jitter: float = 0.0,
+    config: FitConfig | None = None,
+    dtype=None,
+) -> Walker:
+    """Create a fit (``walker-create``, mcmc-fitting.lisp:1132-1163).
+
+    ``function``: model ``f(x, params_dict) -> y`` or a list of models for
+    global multi-dataset fits (shared params by name, test.lisp:58-70).
+    ``data``: ``(x, y)`` or a list of such pairs.  ``data_error``: scalar,
+    per-dataset scalars, or per-point arrays (broadcast like
+    ``clean-data-error``, 774-805).  ``log_likelihood`` / ``log_prior``:
+    single callables or per-dataset lists; data-dependent factories are
+    resolved once, like ``log-liklihood-fixer``/``log-prior-fixer``
+    (837-845).
+    """
+    dtype = dtype or default_dtype()
+    functions = _force_list(function)
+    cleaned = clean_data(data, len(functions))
+    errors = clean_data_error(data_error, cleaned)
+
+    likelihoods = log_likelihood if isinstance(log_likelihood, (list, tuple)) else [
+        log_likelihood or log_likelihood_normal
+    ] * len(functions)
+    priors = log_prior if isinstance(log_prior, (list, tuple)) else [
+        log_prior or log_prior_flat
+    ] * len(functions)
+    if not (len(functions) == len(cleaned) == len(likelihoods) == len(priors)):
+        raise ValueError("walker_create: function/data/likelihood/prior counts must match")
+
+    spec, vec = normalize_params(params, dtype=dtype)
+    params_dict = spec.unflatten(vec)
+
+    terms = []
+    for fn, (x, y), err, ll, lp in zip(functions, cleaned, errors, likelihoods, priors):
+        ds = Dataset.create(x, y, err, dtype=dtype)
+        ll = resolve_likelihood(ll, fn, params_dict, ds)
+        lp = resolve_prior(lp, params_dict, ds)
+        terms.append(_Term(fn=fn, dataset=ds, likelihood=ll, prior=lp))
+
+    return Walker(
+        terms,
+        spec,
+        vec,
+        n_walkers=n_walkers,
+        seed=seed,
+        walker_jitter=walker_jitter,
+        config=config,
+        dtype=dtype,
+    )
+
+
+def mcmc_fit(
+    *,
+    function,
+    data,
+    params,
+    data_error=None,
+    log_likelihood=None,
+    log_prior=None,
+    n_steps: int | None = None,
+    n_walkers: int = 1,
+    seed: int = 0,
+    config: FitConfig | None = None,
+    dtype=None,
+) -> Walker:
+    """Create a walker and run adaptive steps (``mcmc-fit``, 1165-1176)."""
+    walker = walker_create(
+        function=function,
+        data=data,
+        params=params,
+        data_error=data_error,
+        log_likelihood=log_likelihood,
+        log_prior=log_prior,
+        n_walkers=n_walkers,
+        seed=seed,
+        config=config,
+        dtype=dtype,
+    )
+    walker.adaptive_steps(n_steps)
+    return walker

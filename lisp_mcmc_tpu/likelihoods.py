@@ -1,0 +1,134 @@
+"""Log-probability density library and dataset likelihood reductions.
+
+Rebuilds the reference's L1 statistical primitives (mcmc-fitting.lisp):
+  - ``log-normal`` (372-377), ``log-poisson`` + ``log-factorial`` (379-383)
+  - ``log-liklihood-normal`` (393-400): sum of Gaussian log-pdfs of the
+    residuals over all data points
+  - ``log-liklihood-normal-cutoff`` (419-427): per-point log-pdf clamped to
+    ``max(-5000, .)``
+  - ``create-log-liklihood-function`` (402-417): HOF building a dataset
+    likelihood from a per-point ``(y, model, error) -> logp`` function
+  - ``log-liklihood-normal-weighted`` (README.md:19-25, defined only in the
+    README): weighted normal with scalar-error broadcast — broadcast here is
+    handled once at data-cleaning time, so this is the standard reduction
+  - data-dependent likelihoods (``log-liklihood-fixer``, 842-845): a
+    likelihood factory may return a specialized function when first called
+
+TPU-first design: each likelihood is a pure function
+``likelihood(fn, params_dict, dataset) -> scalar`` evaluated for ONE walker;
+the fitting kernel ``vmap``s it over the ``(W, d)`` walker batch so all N
+data points x W walkers become one fused elementwise block + masked
+reduction under XLA.  Masked sums give static shapes (padding contributes
+exactly 0).  A fused Pallas path for the hottest reduction lives in
+``ops/loglik_pallas.py``; these reference implementations are the
+always-correct fallback and the ground truth for its tests.
+
+The misspelling "liklihood" is deliberate in the reference; this rebuild
+uses the correct spelling and keeps aliases for discoverability.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from .data import Dataset
+
+__all__ = [
+    "log_normal",
+    "log_poisson",
+    "log_factorial",
+    "log_likelihood_normal",
+    "log_likelihood_normal_cutoff",
+    "log_likelihood_normal_weighted",
+    "log_likelihood_poisson",
+    "create_log_likelihood_function",
+    "resolve_likelihood",
+]
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def log_normal(x, mu, sigma):
+    """Gaussian log-pdf (``log-normal``, mcmc-fitting.lisp:372-377)."""
+    z = (x - mu) / sigma
+    return -0.5 * _LOG_2PI - jnp.log(sigma) - 0.5 * z * z
+
+
+def log_factorial(n):
+    """``log-factorial`` (379-380) via lgamma: exact for integer n >= 0."""
+    return gammaln(n + 1.0)
+
+
+def log_poisson(lam, k):
+    """Poisson log-pmf (``log-poisson``, 382-383)."""
+    return k * jnp.log(lam) - lam - log_factorial(k)
+
+
+def _model_eval(fn, params, x):
+    """Evaluate the user model on the dataset's x column(s)."""
+    return fn(x, params)
+
+
+def log_likelihood_normal(fn, params, dataset: Dataset):
+    """Masked sum of Gaussian log-pdfs (``log-liklihood-normal``, 393-400)."""
+    mu = _model_eval(fn, params, dataset.x)
+    lp = log_normal(dataset.y, mu, dataset.sigma)
+    return jnp.sum(lp * dataset.mask)
+
+
+def log_likelihood_normal_cutoff(fn, params, dataset: Dataset, cutoff=-5000.0):
+    """Clamped per-point normal (``log-liklihood-normal-cutoff``, 419-427)."""
+    mu = _model_eval(fn, params, dataset.x)
+    lp = jnp.maximum(cutoff, log_normal(dataset.y, mu, dataset.sigma))
+    return jnp.sum(lp * dataset.mask)
+
+
+# The README's weighted variant (README.md:19-25) differs from the plain
+# normal reduction only by broadcasting a scalar error over the points —
+# which Dataset.create already performs — so it is the same reduction.
+log_likelihood_normal_weighted = log_likelihood_normal
+
+
+def log_likelihood_poisson(fn, params, dataset: Dataset):
+    """Poisson counting-data likelihood: model = rate, y = counts.
+
+    The reference ships ``log-poisson`` (382) as a primitive without a
+    dataset reduction; BASELINE.json config 3 makes the Poisson kernel path
+    a first-class target, so the reduction is provided here.
+    """
+    lam = _model_eval(fn, params, dataset.x)
+    lp = log_poisson(lam, dataset.y)
+    return jnp.sum(lp * dataset.mask)
+
+
+def create_log_likelihood_function(point_log_likelihood: Callable):
+    """HOF: per-point ``(y, model, sigma) -> logp`` to a dataset likelihood.
+
+    Mirrors ``create-log-liklihood-function`` (mcmc-fitting.lisp:402-417).
+    """
+
+    def likelihood(fn, params, dataset: Dataset):
+        mu = _model_eval(fn, params, dataset.x)
+        lp = point_log_likelihood(dataset.y, mu, dataset.sigma)
+        return jnp.sum(lp * dataset.mask)
+
+    likelihood.__name__ = getattr(point_log_likelihood, "__name__", "custom") + "_likelihood"
+    return likelihood
+
+
+def resolve_likelihood(likelihood, fn, params, dataset: Dataset):
+    """Resolve a data-dependent likelihood factory to a plain likelihood.
+
+    The reference lets a likelihood *return a function* specialized to the
+    data on first call (``log-liklihood-fixer``, mcmc-fitting.lisp:842-845).
+    If calling ``likelihood`` yields a callable, that callable replaces it;
+    a numeric result means it already is the likelihood.
+    """
+    result = likelihood(fn, params, dataset)
+    if callable(result):
+        return result
+    return likelihood

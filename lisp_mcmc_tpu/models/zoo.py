@@ -1,0 +1,160 @@
+"""Model zoo: the fitting functions the reference uses but never ships.
+
+``test.lisp`` and ``nv-specific.lisp`` call model functions that exist
+nowhere in the reference repo (they lived in the author's unpublished
+library — SURVEY §2.1): ``lorder-mixed-bg`` (test.lisp:14-21),
+``double-lorentzian-bg`` (nv-specific.lisp:51), plus the generic examples
+in docstrings (``example-function``, mcmc-fitting.lisp:1178).  This module
+ships runnable equivalents as first-class components, so every reference
+script has a working counterpart.
+
+Model protocol (the one deliberate API break from ``&key``-lambda
+ergonomics, SURVEY §7 hard part e): a model is a pure JAX function
+``f(x, params) -> y`` where ``x`` is a ``(P,)`` (or ``(P, C)``) array and
+``params`` is a ``{name: scalar}`` dict.  Models are vmapped over walkers
+by the kernel, so each evaluation sees scalar params and the full x grid —
+exactly the shape XLA wants for fused elementwise blocks.
+
+Every model is registered by name in :data:`MODEL_REGISTRY` so checkpoints
+can serialize model *names* rather than closures (the design of the
+reference's disabled ``walker-save``, mcmc-fitting.lisp:972-977).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+MODEL_REGISTRY: dict[str, object] = {}
+
+__all__ = [
+    "MODEL_REGISTRY",
+    "register_model",
+    "get_model",
+    "line",
+    "example_line",
+    "polynomial",
+    "gaussian_peak",
+    "lorentzian_bg",
+    "lorder_mixed_bg",
+    "double_lorentzian_bg",
+    "exponential_decay",
+    "sinusoid",
+]
+
+
+def register_model(fn=None, *, name: str | None = None):
+    """Register a model for by-name lookup (checkpoint/restore support)."""
+
+    def wrap(f):
+        MODEL_REGISTRY[name or f.__name__] = f
+        return f
+
+    return wrap(fn) if fn is not None else wrap
+
+
+def get_model(name: str):
+    try:
+        return MODEL_REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown model {name!r}; registered: {sorted(MODEL_REGISTRY)}"
+        ) from None
+
+
+@register_model
+def line(x, p):
+    """Straight line ``b + m*x``."""
+    return p["b"] + p["m"] * x
+
+
+@register_model
+def example_line(x, p):
+    """The reference's example function (mcmc-fitting.lisp:1178):
+    ``b + (-3 m) + (m - b/60) * x`` — kept verbatim for golden-fixture tests."""
+    return p["b"] + (-3.0 * p["m"]) + (p["m"] - p["b"] / 60.0) * x
+
+
+@register_model
+def polynomial(x, p):
+    """Polynomial with coefficients ``c0, c1, c2, ...`` (Horner)."""
+    names = sorted((k for k in p if k.startswith("c")), key=lambda k: int(k[1:]))
+    acc = jnp.zeros_like(x) + p[names[-1]]
+    for k in reversed(names[:-1]):
+        acc = acc * x + p[k]
+    return acc
+
+
+@register_model
+def gaussian_peak(x, p):
+    """Gaussian peak + linear background:
+    ``scale * exp(-(x-x0)^2 / (2 sigma^2)) + bg0 + bg1*x``."""
+    z = (x - p["x0"]) / p["sigma"]
+    return p["scale"] * jnp.exp(-0.5 * z * z) + p.get("bg0", 0.0) + p.get("bg1", 0.0) * x
+
+
+@register_model
+def lorentzian_bg(x, p):
+    """Lorentzian absorption peak + linear background:
+    ``scale * lw^2 / ((x-x0)^2 + lw^2) + bg0 + bg1*x``."""
+    u = x - p["x0"]
+    lw = p["linewidth"]
+    return p["scale"] * lw * lw / (u * u + lw * lw) + p.get("bg0", 0.0) + p.get("bg1", 0.0) * x
+
+
+@register_model
+def lorder_mixed_bg(x, p):
+    """Mixed Lorentzian derivative (FMR) lineshape + linear background.
+
+    The model behind test.lisp:14-21 (never defined in the reference;
+    params ``scale, linewidth, x0, mix, bg0, bg1``).  An FMR
+    field-derivative spectrum mixes the derivative of the symmetric
+    (absorption) and antisymmetric (dispersion) Lorentzian components with
+    a phase angle ``mix`` (the fitted value ~pi in test.lisp:29 is
+    consistent with a radian phase):
+
+        A(u)  = lw^2 / (u^2 + lw^2)         u = x - x0
+        D(u)  = lw * u / (u^2 + lw^2)
+        dA/dx = -2 lw^2 u / (u^2 + lw^2)^2
+        dD/dx = lw (lw^2 - u^2) / (u^2 + lw^2)^2
+        y = scale * (cos(mix) dA/dx + sin(mix) dD/dx) + bg0 + bg1 x
+    """
+    u = x - p["x0"]
+    lw = p["linewidth"]
+    den = (u * u + lw * lw) ** 2
+    d_abs = -2.0 * lw * lw * u / den
+    d_disp = lw * (lw * lw - u * u) / den
+    mixed = jnp.cos(p["mix"]) * d_abs + jnp.sin(p["mix"]) * d_disp
+    return p["scale"] * mixed + p.get("bg0", 0.0) + p.get("bg1", 0.0) * x
+
+
+@register_model
+def double_lorentzian_bg(x, p):
+    """Two Lorentzian dips + constant background (NV ODMR spectra).
+
+    The model behind nv-specific.lisp:51 (params ``scale1, scale2, mu1,
+    mu2, sigma, bg0``): two resonance dips below a flat background,
+
+        y = bg0 - scale1 * L(x; mu1, sigma) - scale2 * L(x; mu2, sigma)
+        L(x; mu, s) = s^2 / ((x - mu)^2 + s^2)
+    """
+    s = p["sigma"]
+    s2 = s * s
+    u1 = x - p["mu1"]
+    u2 = x - p["mu2"]
+    return (
+        p["bg0"]
+        - p["scale1"] * s2 / (u1 * u1 + s2)
+        - p["scale2"] * s2 / (u2 * u2 + s2)
+    )
+
+
+@register_model
+def exponential_decay(x, p):
+    """``scale * exp(-x / tau) + bg0``."""
+    return p["scale"] * jnp.exp(-x / p["tau"]) + p.get("bg0", 0.0)
+
+
+@register_model
+def sinusoid(x, p):
+    """``scale * sin(2 pi freq x + phase) + bg0``."""
+    return p["scale"] * jnp.sin(2.0 * jnp.pi * p["freq"] * x + p["phase"]) + p.get("bg0", 0.0)
