@@ -1,0 +1,96 @@
+"""Headline benchmark: aggregate adaptive-MH chain-steps/sec on the
+reference fit (BASELINE.md).
+
+Reference baseline: SBCL runs the test.lisp fit — 6-param lorder-mixed-bg
+on the 334-point example-data.xls — at 1e5 steps in 6.34 s, i.e. ~15.8k
+chain-steps/sec on one CPU chain (test.lisp:23-24).  This benchmark runs
+the same fit as a vmapped walker ensemble on the TPU and reports aggregate
+chain-steps/sec (walkers x steps / wall time), with the full adaptation
+path (annealing, acceptance-band L updates, pooled covariance) enabled.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "chain-steps/sec", "vs_baseline": N/15800}
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+BASELINE_STEPS_PER_SEC = 1.0e5 / 6.34  # test.lisp:23-24
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--walkers", type=int, default=int(os.environ.get("BENCH_WALKERS", 65536)))
+    parser.add_argument("--chunks", type=int, default=int(os.environ.get("BENCH_CHUNKS", 20)))
+    parser.add_argument("--warmup-chunks", type=int, default=3)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import lisp_mcmc_tpu as mfit
+    from lisp_mcmc_tpu.kernel import build_chunk_runner
+    from lisp_mcmc_tpu.models import lorder_mixed_bg
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "example-data.xls")
+    if not os.path.exists(path):
+        path = "/root/reference/example-data.xls"
+    table = mfit.read_file_data(path)
+    x, y = mfit.create_walker_data(table, 1, 4)
+
+    walker = mfit.walker_create(
+        function=lorder_mixed_bg,
+        data=(x, y),
+        params={"scale": 1e-5, "linewidth": 7.0, "x0": 2200.0, "mix": 0.9,
+                "bg0": 1e-7, "bg1": 1e-9},
+        data_error=1e-7,
+        n_walkers=args.walkers,
+        seed=0,
+        walker_jitter=0.05,
+    )
+    if len(jax.devices()) > 1 and args.walkers % len(jax.devices()) == 0:
+        walker.shard()
+
+    run, _ = build_chunk_runner(walker._log_post_one, walker.ndim, walker.config)
+    # NOTE: no donate_argnums — buffer donation trips the axon TPU backend.
+    step = jax.jit(run)
+
+    state = walker.state
+    for _ in range(args.warmup_chunks):
+        state, out = step(state, True, True)
+    jax.block_until_ready(state.position)
+
+    t0 = time.perf_counter()
+    for _ in range(args.chunks):
+        state, out = step(state, True, True)
+    jax.block_until_ready(state.position)
+    elapsed = time.perf_counter() - t0
+
+    chunk = walker.config.chunk_size
+    total_steps = args.chunks * chunk * args.walkers
+    steps_per_sec = total_steps / elapsed
+
+    if args.verbose:
+        print(
+            f"# devices={len(jax.devices())} walkers={args.walkers} "
+            f"chunks={args.chunks}x{chunk} elapsed={elapsed:.3f}s "
+            f"acc={float(out['accept_rate']):.3f} "
+            f"best={float(jnp.max(state.best_logprob)):.2f} dtype={walker.dtype}",
+            file=sys.stderr,
+        )
+
+    print(json.dumps({
+        "metric": "adaptive-MH chain-steps/sec, 6-param lorder-mixed-bg fit, 334-pt dataset",
+        "value": round(steps_per_sec, 1),
+        "unit": "chain-steps/sec",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

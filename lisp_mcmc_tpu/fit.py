@@ -156,6 +156,19 @@ class Walker:
 
     # ------------------------------------------------------------- driver loop
 
+    def shard(self, mesh=None):
+        """Spread the walker ensemble across a device mesh (chain-axis DP).
+
+        The kernel's pooled reductions become ICI collectives automatically
+        under jit (see :mod:`lisp_mcmc_tpu.parallel.mesh`).  Returns self.
+        """
+        from .parallel import make_mesh, shard_state
+
+        mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = mesh
+        self.state = shard_state(self.state, mesh)
+        return self
+
     @property
     def ndim(self) -> int:
         return self.spec.ndim

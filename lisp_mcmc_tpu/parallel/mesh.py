@@ -1,0 +1,85 @@
+"""Chain-axis data parallelism over a TPU device mesh (reference C23/C24).
+
+The reference has no parallelism of any kind — its only "many chains"
+notion is a Lisp list of walkers advanced sequentially
+(nv-specific.lisp:58-66).  This module is the new surface designed per
+BASELINE.json: walker ensembles shard along a ``chains`` mesh axis; the
+pooled-covariance moments, acceptance means, and best-step reductions in
+the kernel are plain ``jnp`` reductions over the walker axis, so under
+``jit`` with sharded inputs XLA inserts the ICI collectives
+(all-reduce of (d,)+(d,d) moments — the single cross-chain allreduce for
+pooled covariance adaptation that BASELINE.json specifies; the
+``lplist-covariance``+``cholesky-decomp`` step at mcmc-fitting.lisp:614/583
+becomes allreduce(moments) -> replicated Cholesky).
+
+This is the GSPMD recipe (pick a mesh, annotate shardings, let XLA insert
+collectives): no hand-written collectives are needed for the dp/chains
+axis, and the same kernel runs single-chip unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kernel import WalkerState
+
+CHAIN_AXIS = "chains"
+
+__all__ = ["CHAIN_AXIS", "make_mesh", "replicated", "state_shardings", "shard_state"]
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = CHAIN_AXIS) -> Mesh:
+    """A 1-D mesh over ``n_devices`` (default: all available) for chain DP.
+
+    MCMC ensembles are embarrassingly parallel along the walker axis, so a
+    single ``chains`` axis riding ICI is the right topology; parameter and
+    dataset axes stay replicated (they are tiny and read-only
+    respectively).
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} available"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def state_shardings(mesh: Mesh, axis_name: str = CHAIN_AXIS) -> WalkerState:
+    """Sharding pytree for :class:`WalkerState`: walker-axis arrays shard
+    along ``chains``; proposal factor, pooled moments, and counters are
+    replicated (they are identical on every device after the allreduce)."""
+    chains = NamedSharding(mesh, P(axis_name))
+    rep = NamedSharding(mesh, P())
+    return WalkerState(
+        key=rep,
+        position=chains,
+        logprob=chains,
+        best_position=chains,
+        best_logprob=chains,
+        l_matrix=rep,
+        m_sum=rep,
+        m_outer=rep,
+        m_count=rep,
+        age=rep,
+    )
+
+
+def shard_state(state: WalkerState, mesh: Mesh, axis_name: str = CHAIN_AXIS) -> WalkerState:
+    """Place an ensemble state onto the mesh (walkers split across devices).
+
+    Requires ``W % n_devices == 0``; the caller picks W as a multiple of
+    the device count (and ideally of 8*devices for VPU sublanes).
+    """
+    W = state.position.shape[0]
+    n = mesh.devices.size
+    if W % n != 0:
+        raise ValueError(f"n_walkers={W} must be divisible by mesh size {n}")
+    return jax.device_put(state, state_shardings(mesh, axis_name))

@@ -1,0 +1,113 @@
+"""Multi-chip sharding on an 8-virtual-device CPU mesh (SURVEY §4 strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lisp_mcmc_tpu as mfit
+from lisp_mcmc_tpu.kernel import build_chunk_runner
+from lisp_mcmc_tpu.models import line
+from lisp_mcmc_tpu.parallel import CHAIN_AXIS, make_mesh, shard_state, state_shardings
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def _make_walker(n_walkers):
+    x = np.linspace(0.0, 10.0, 50)
+    y = 2.0 * x + 1.0
+    return mfit.walker_create(
+        function=line,
+        data=(x, y),
+        params={"m": 1.5, "b": 0.5},
+        data_error=0.1,
+        n_walkers=n_walkers,
+        seed=0,
+        walker_jitter=0.05,
+    )
+
+
+def test_mesh_creation(mesh):
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == (CHAIN_AXIS,)
+
+
+def test_shard_state_placement(mesh):
+    w = _make_walker(64)
+    state = shard_state(w.state, mesh)
+    # Walker-axis arrays are split across 8 devices; L is replicated.
+    assert len(state.position.sharding.device_set) == 8
+    shard_shape = state.position.sharding.shard_shape(state.position.shape)
+    assert shard_shape == (8, 2)
+    assert state.l_matrix.sharding.is_fully_replicated
+
+
+def test_shard_requires_divisible_walkers(mesh):
+    w = _make_walker(62)
+    with pytest.raises(ValueError, match="divisible"):
+        shard_state(w.state, mesh)
+
+
+def test_sharded_chunk_matches_single_device(mesh):
+    """The pooled-covariance chunk must be numerically identical sharded
+    vs unsharded (threefry partitionable randoms + allreduced moments)."""
+    w = _make_walker(64)
+    run, _ = build_chunk_runner(w._log_post_one, w.ndim, w.config)
+    step = jax.jit(run)
+
+    state_single, out_single = step(w.state, True, True)
+    state_sharded, out_sharded = step(shard_state(w.state, mesh), True, True)
+
+    np.testing.assert_allclose(
+        np.asarray(state_single.position), np.asarray(state_sharded.position), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_single.l_matrix), np.asarray(state_sharded.l_matrix), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        float(out_single["accept_rate"]), float(out_sharded["accept_rate"]), rtol=1e-10
+    )
+
+
+def test_sharded_adaptive_fit(mesh):
+    """A full sharded fit converges like the single-device one."""
+    w = _make_walker(64).shard(mesh)
+    w.adaptive_steps(3000, auto=None)
+    best = w.most_likely_params()
+    assert best["m"] == pytest.approx(2.0, abs=0.05)
+    assert best["b"] == pytest.approx(1.0, abs=0.2)
+    # State stays sharded across chunks.
+    assert len(w.state.position.sharding.device_set) == 8
+
+
+def test_collectives_in_compiled_module(mesh):
+    """The pooled moments must actually lower to cross-device collectives."""
+    w = _make_walker(64)
+    run, _ = build_chunk_runner(w._log_post_one, w.ndim, w.config)
+    sharded = shard_state(w.state, mesh)
+    shardings = state_shardings(mesh)
+    lowered = jax.jit(run, in_shardings=(shardings, None, None)).lower(
+        sharded, True, True
+    )
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo or "all-gather" in hlo or "reduce-scatter" in hlo
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+        fn, args = ge.entry()
+        pos, lpmax = jax.jit(fn)(*args)
+        assert np.isfinite(np.asarray(lpmax)).all()
+    finally:
+        sys.path.remove("/root/repo")
