@@ -1,0 +1,231 @@
+"""Checkpoint / resume: save and load full fit state (reference C18).
+
+The reference designed but disabled this: ``walker-save``/``walker-load``
+exist only as comments (mcmc-fitting.lisp:980-1027), with a format of
+printed plists holding function *names* (via ``sb-kernel:%fun-name``,
+972-977), data, errors, and the walk; loading without functions prints
+recommendations, with functions reconstructs the walker
+(``test.lisp:38-49`` documents the intended usage).  Here the capability
+is first-class and resumable mid-run.
+
+Format: a single ``.npz`` containing every chain array (position,
+logprob, best step, proposal factor, moment accumulators, RNG key, age),
+the datasets, optional thinned history, and a JSON header with parameter
+keys, config, and the *names* of model/likelihood/prior functions —
+closures are never serialized, matching the reference's design.  Loading
+resolves names against the model registry
+(:data:`lisp_mcmc_tpu.models.MODEL_REGISTRY`) or takes explicit callables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Callable, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .data import Dataset
+from .kernel import FitConfig, WalkerState
+from .likelihoods import (
+    log_likelihood_normal,
+    log_likelihood_normal_cutoff,
+    log_likelihood_poisson,
+)
+from .priors import log_prior_flat
+
+__all__ = ["walker_save", "walker_load", "walker_set_save", "walker_set_load"]
+
+FORMAT_VERSION = 1
+
+LIKELIHOOD_REGISTRY: dict[str, Callable] = {
+    "log_likelihood_normal": log_likelihood_normal,
+    "log_likelihood_normal_weighted": log_likelihood_normal,
+    "log_likelihood_normal_cutoff": log_likelihood_normal_cutoff,
+    "log_likelihood_poisson": log_likelihood_poisson,
+}
+
+PRIOR_REGISTRY: dict[str, Callable] = {
+    "log_prior_flat": log_prior_flat,
+}
+
+
+def _register_domain_priors():
+    """Late registration avoids a circular import with the nv module."""
+    try:
+        from . import nv
+
+        PRIOR_REGISTRY.setdefault("log_prior_nv", nv.log_prior_nv)
+    except ImportError:  # pragma: no cover
+        pass
+
+
+def _fn_name(fn) -> str:
+    return getattr(fn, "__name__", fn.__class__.__name__)
+
+
+def walker_save(walker, path: str, take: int | None = None) -> None:
+    """Save a fit to ``path`` (``walker-save``, mcmc-fitting.lisp:980-985).
+
+    ``take`` limits how much thinned history is stored (the reference's
+    optional take, test.lisp:40).
+    """
+    state = walker.state
+    arrays = {
+        "key": np.asarray(state.key),
+        "position": np.asarray(state.position),
+        "logprob": np.asarray(state.logprob),
+        "best_position": np.asarray(state.best_position),
+        "best_logprob": np.asarray(state.best_logprob),
+        "l_matrix": np.asarray(state.l_matrix),
+        "m_sum": np.asarray(state.m_sum),
+        "m_outer": np.asarray(state.m_outer),
+        "m_count": np.asarray(state.m_count),
+        "age": np.asarray(state.age),
+    }
+    hist_pos, hist_lp = walker._history(take)
+    arrays["history_positions"] = hist_pos
+    arrays["history_logprobs"] = hist_lp
+    arrays["accept_log"] = np.asarray(walker._accept_log, dtype=np.float64)
+    for i, t in enumerate(walker.terms):
+        arrays[f"term{i}_x"] = np.asarray(t.dataset.x)
+        arrays[f"term{i}_y"] = np.asarray(t.dataset.y)
+        arrays[f"term{i}_sigma"] = np.asarray(t.dataset.sigma)
+        arrays[f"term{i}_mask"] = np.asarray(t.dataset.mask)
+
+    header = {
+        "format_version": FORMAT_VERSION,
+        "param_keys": list(walker.spec.keys),
+        "n_walkers": walker.n_walkers,
+        "dtype": np.dtype(walker.dtype).name,
+        "config": dataclasses.asdict(walker.config),
+        "terms": [
+            {
+                "function": _fn_name(t.fn),
+                "likelihood": _fn_name(t.likelihood),
+                "prior": _fn_name(t.prior),
+                "n": t.dataset.n,
+            }
+            for t in walker.terms
+        ],
+    }
+    arrays["header"] = np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def _resolve(names, supplied, registry, kind, quiet):
+    """Resolve saved names to callables: explicit > registry > None."""
+    if supplied is not None:
+        supplied = supplied if isinstance(supplied, (list, tuple)) else [supplied] * len(names)
+        return list(supplied)
+    resolved = []
+    for name in names:
+        fn = registry.get(name)
+        if fn is None:
+            if not quiet:
+                print(f"walker_load: cannot resolve {kind} {name!r}; "
+                      f"pass it explicitly via the {kind} argument")
+            return None
+        resolved.append(fn)
+    return resolved
+
+
+def walker_load(path: str, *, function=None, log_likelihood=None, log_prior=None,
+                quiet: bool = False):
+    """Load a fit (``walker-load``, mcmc-fitting.lisp:987-1001).
+
+    Without callables, function/likelihood/prior names are resolved from
+    the registries; unresolvable names print *recommendations* and return
+    None, exactly the reference's contract (997).  With callables (or
+    fully-resolvable names), returns a reconstructed, resumable
+    :class:`~lisp_mcmc_tpu.fit.Walker`.
+    """
+    from .fit import Walker, _Term
+    from .models import MODEL_REGISTRY
+    from .params import ParamSpec
+
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    header = json.loads(bytes(arrays.pop("header")).decode())
+    if header["format_version"] > FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {header['format_version']} is newer than supported")
+
+    term_meta = header["terms"]
+    fn_names = [t["function"] for t in term_meta]
+    ll_names = [t["likelihood"] for t in term_meta]
+    lp_names = [t["prior"] for t in term_meta]
+
+    _register_domain_priors()
+    functions = _resolve(fn_names, function, MODEL_REGISTRY, "function", quiet)
+    likelihoods = _resolve(ll_names, log_likelihood, LIKELIHOOD_REGISTRY, "log_likelihood", quiet)
+    priors = _resolve(lp_names, log_prior, PRIOR_REGISTRY, "log_prior", quiet)
+    if functions is None or likelihoods is None or priors is None:
+        if not quiet:
+            print("*Recommendations*")
+            print(f"function: {fn_names}")
+            print(f"log_likelihood: {ll_names}")
+            print(f"log_prior: {lp_names}")
+        return None
+
+    dtype = jnp.dtype(header["dtype"])
+    spec = ParamSpec(tuple(header["param_keys"]))
+    cfg = FitConfig(**header["config"])
+
+    terms = []
+    for i, (meta, fn, ll, lp) in enumerate(zip(term_meta, functions, likelihoods, priors)):
+        ds = Dataset(
+            x=jnp.asarray(arrays[f"term{i}_x"], dtype),
+            y=jnp.asarray(arrays[f"term{i}_y"], dtype),
+            sigma=jnp.asarray(arrays[f"term{i}_sigma"], dtype),
+            mask=jnp.asarray(arrays[f"term{i}_mask"], dtype),
+            n=meta["n"],
+        )
+        terms.append(_Term(fn=fn, dataset=ds, likelihood=ll, prior=lp))
+
+    walker = Walker.__new__(Walker)
+    walker.terms = terms
+    walker.spec = spec
+    walker.config = cfg
+    walker.dtype = dtype
+    walker.n_walkers = header["n_walkers"]
+    walker._runner_cache = {}
+    walker._custom_log_post = None
+    walker.aux = None
+    walker.group_ids = None
+    walker.n_groups = int(np.asarray(arrays["l_matrix"]).shape[0])
+    walker._log_post_one = walker._build_log_posterior()
+    walker.state = WalkerState(
+        key=jnp.asarray(arrays["key"]),
+        position=jnp.asarray(arrays["position"], dtype),
+        logprob=jnp.asarray(arrays["logprob"], dtype),
+        best_position=jnp.asarray(arrays["best_position"], dtype),
+        best_logprob=jnp.asarray(arrays["best_logprob"], dtype),
+        l_matrix=jnp.asarray(arrays["l_matrix"], dtype),
+        m_sum=jnp.asarray(arrays["m_sum"], dtype),
+        m_outer=jnp.asarray(arrays["m_outer"], dtype),
+        m_count=jnp.asarray(arrays["m_count"], dtype),
+        age=jnp.asarray(arrays["age"], jnp.int32),
+    )
+    walker._hist_positions = (
+        [arrays["history_positions"]] if arrays["history_positions"].size else []
+    )
+    walker._hist_logprobs = (
+        [arrays["history_logprobs"]] if arrays["history_logprobs"].size else []
+    )
+    walker._accept_log = list(arrays["accept_log"])
+    walker._lpmax_trace = []
+    return walker
+
+
+def walker_set_save(walker_set: Sequence, path_prefix: str, take: int | None = None) -> None:
+    """Save a set of fits (``walker-set-save``, mcmc-fitting.lisp:1005-1011)."""
+    for i, w in enumerate(walker_set):
+        walker_save(w, f"{path_prefix}{i:04d}.npz", take)
+
+
+def walker_set_load(paths: Sequence[str], **kwargs):
+    """Load a set of fits (``walker-set-load``, mcmc-fitting.lisp:1013-1027)."""
+    from .walker_set import WalkerSet
+
+    return WalkerSet(walker_load(p, **kwargs) for p in paths)

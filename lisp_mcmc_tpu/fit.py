@@ -87,27 +87,41 @@ class Walker:
         walker_jitter: float = 0.0,
         config: FitConfig | None = None,
         dtype=None,
+        aux=None,
+        group_ids=None,
+        n_groups: int = 1,
+        log_posterior: Callable | None = None,
     ):
+        self._custom_log_post = log_posterior
         self.terms = terms
         self.spec = spec
         self.config = config or FitConfig()
         self.dtype = dtype or default_dtype()
         self.n_walkers = int(n_walkers)
         self._runner_cache: dict[Any, Any] = {}
+        # Batched walker-set support: per-walker aux data + adaptation
+        # groups (one per spectrum/dataset in vectorized set fits).
+        self.aux = aux
+        self.group_ids = None if group_ids is None else jnp.asarray(group_ids, jnp.int32)
+        self.n_groups = int(n_groups)
 
         d = spec.ndim
         key = jax.random.PRNGKey(seed)
         key, k_init = jax.random.split(key)
-        vec = jnp.asarray(initial_vector, self.dtype)
-        position = jnp.broadcast_to(vec, (self.n_walkers, d)).astype(self.dtype)
+        if jnp.ndim(initial_vector) == 2:
+            position = jnp.asarray(initial_vector, self.dtype)
+            vec = position[0]
+        else:
+            vec = jnp.asarray(initial_vector, self.dtype)
+            position = jnp.broadcast_to(vec, (self.n_walkers, d)).astype(self.dtype)
         if walker_jitter > 0:
             noise = jax.random.normal(k_init, position.shape, self.dtype)
             position = position * (1.0 + walker_jitter * noise)
 
         self._log_post_one = self._build_log_posterior()
-        logprob = jax.vmap(self._log_post_one)(position)
+        logprob = self._eval_batch(position)
         l0 = self._initial_l_matrix(vec)
-        self.state = init_state(key, position, logprob, l0)
+        self.state = init_state(key, position, logprob, l0, n_groups=self.n_groups)
 
         # Host-side thinned history ring (the walker's "walk", 471).
         self._hist_positions: list[np.ndarray] = []  # each (K, W, d)
@@ -118,6 +132,8 @@ class Walker:
     # ------------------------------------------------------------------ build
 
     def _build_log_posterior(self):
+        if getattr(self, "_custom_log_post", None) is not None:
+            return self._custom_log_post
         terms = self.terms
         spec = self.spec
 
@@ -144,11 +160,19 @@ class Walker:
         v = np.where(v == 0, fallback, v)
         return jnp.asarray(np.diag(v), self.dtype)
 
+    def _eval_batch(self, positions):
+        if self.aux is None:
+            return jax.vmap(self._log_post_one)(positions)
+        return jax.vmap(self._log_post_one, in_axes=(0, 0))(positions, self.aux)
+
     def _runner(self, greedy: bool = False, with_history: bool = True):
         cfg = dataclasses.replace(self.config, greedy=greedy)
         cache_key = (cfg, with_history)
         if cache_key not in self._runner_cache:
-            run, run_hist = build_chunk_runner(self._log_post_one, self.spec.ndim, cfg)
+            run, run_hist = build_chunk_runner(
+                self._log_post_one, self.spec.ndim, cfg,
+                group_ids=self.group_ids, n_groups=self.n_groups, aux=self.aux,
+            )
             fn = run_hist if with_history else run
             jitted = jax.jit(fn)
             self._runner_cache[cache_key] = jitted
@@ -287,19 +311,20 @@ class Walker:
             return abs(slope) * window.size < 1.0
         return False
 
+    def _set_l_matrix(self, l_matrix):
+        l = jnp.asarray(l_matrix, self.dtype)
+        if l.ndim == 2:
+            l = jnp.broadcast_to(l, (self.n_groups,) + l.shape)
+        self.state = dataclasses.replace(self.state, l_matrix=l)
+
     def many_steps(self, n: int, l_matrix=None):
         """Fixed-L stepping, no adaptation (``walker-many-steps``, 849-853)."""
         if l_matrix is not None:
-            self.state = dataclasses.replace(
-                self.state, l_matrix=jnp.asarray(l_matrix, self.dtype)
-            )
+            self._set_l_matrix(l_matrix)
         else:
             # Reference default: diag(1e-2 * median params) (851).
             med = self.median_params_vector()
-            self.state = dataclasses.replace(
-                self.state,
-                l_matrix=jnp.asarray(np.diag(1e-2 * np.asarray(med)), self.dtype),
-            )
+            self._set_l_matrix(np.diag(1e-2 * np.asarray(med)))
         runner = self._runner(greedy=False, with_history=True)
         chunks = max(1, math.ceil(n / self.config.chunk_size))
         for _ in range(chunks):
@@ -320,9 +345,7 @@ class Walker:
         nonzero = np.abs(best[best != 0])
         fallback = 1e-3 * nonzero.mean() if nonzero.size else 1e-3
         best = np.where(best == 0, fallback, best)
-        self.state = dataclasses.replace(
-            self.state, l_matrix=jnp.asarray(initial_scale * np.diag(best), self.dtype)
-        )
+        self._set_l_matrix(initial_scale * np.diag(best))
         runner = self._runner(greedy=True, with_history=False)
         chunks = max(1, math.ceil(n / self.config.chunk_size))
         for _ in range(chunks):
@@ -339,7 +362,7 @@ class Walker:
     def force_step(self):
         """Re-evaluate the posterior at the current params
         (``walker-force-take-step``, 1124-1129; used after dataset hot-swap)."""
-        logprob = jax.vmap(self._log_post_one)(self.state.position)
+        logprob = self._eval_batch(self.state.position)
         self.state = dataclasses.replace(self.state, logprob=logprob)
 
     def swap_data(self, datasets: Sequence[Dataset]):

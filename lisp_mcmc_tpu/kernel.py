@@ -14,25 +14,30 @@ This is the TPU-native rebuild of the reference's hot loop
 TPU-first redesign (SURVEY §3.2/§7): one chain's mutable do-loop becomes a
 ``(W, d)`` walker *ensemble* advanced by a jitted ``lax.scan`` over a
 200-step chunk.  Everything data-dependent inside the chunk is branchless
-(`jnp.where`); adaptation happens at chunk boundaries inside the same jit
-via masked updates, and the host driver (fit.py) only handles auto-stop,
-logging, estop, and checkpointing between chunks — so the device never
-waits on Python during the hot loop.
+(``jnp.where``); adaptation happens at chunk boundaries inside the same
+jit via masked updates, and the host driver (fit.py) only handles
+auto-stop, logging, estop, and checkpointing between chunks — the device
+never waits on Python during the hot loop.
 
 Covariance adaptation on device: instead of the reference's covariance of
 diffs-of-forward-steps from a filtered history list (543, 614), the kernel
 accumulates first/second moments of *accepted proposal displacements*
-pooled over all walkers (the fixed-size on-device representation of
-"recent accepted moves" — SURVEY §7 hard part b).  Under ``shard_map``
-these moments are ``psum``-ed across devices, giving the single
-cross-chain allreduce for pooled covariance adaptation in BASELINE.json.
+pooled over walkers (the fixed-size on-device representation of "recent
+accepted moves" — SURVEY §7 hard part b).  Under jit with chain-axis
+sharding these reductions lower to the single ICI allreduce BASELINE.json
+specifies.
+
+Adaptation *groups*: walkers may be partitioned into G groups (one per
+spectrum in batched walker-set fits, nv-specific.lisp:58-66), each with
+its own proposal factor and acceptance window; moments aggregate by
+``segment_sum`` over the group ids.  G=1 (the default) is the plain
+single-fit ensemble and avoids the per-walker L gather entirely.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -67,7 +72,7 @@ class FitConfig:
     max_history: int = 30000             # max-walker-length analogue (923-927)
     thin: int = 10                       # history thinning (device->host traffic)
     greedy: bool = False                 # pretend-take-step accept rule (1117)
-    pooled_covariance: bool = True       # psum moments across shards (BASELINE.json)
+    pooled_covariance: bool = True       # pool moments across the full ensemble
     covariance_source: str = "moves"     # "moves" (reference policy) | "ensemble"
     jitter: float = 0.0                  # optional diagonal jitter on refresh
 
@@ -87,7 +92,7 @@ class WalkerState:
     The reference's mutable ``walker`` struct (mcmc-fitting.lisp:467-479)
     becomes this immutable batch-of-chains pytree; ``walker-modify``'s
     ``:add-step`` bookkeeping (549-555) becomes pure updates inside the
-    scan.  ``W`` = walkers, ``d`` = parameters.
+    scan.  ``W`` = walkers, ``d`` = parameters, ``G`` = adaptation groups.
     """
 
     key: Any               # PRNG key
@@ -95,28 +100,33 @@ class WalkerState:
     logprob: Any           # (W,) current log-posterior
     best_position: Any     # (W, d) per-walker most-likely params (503-505)
     best_logprob: Any      # (W,)
-    l_matrix: Any          # (d, d) shared proposal factor (pooled adaptation)
-    m_sum: Any             # (d,)  accepted-move moment accumulators
-    m_outer: Any           # (d, d)
-    m_count: Any           # ()    number of accepted moves pooled over walkers
-    age: Any               # ()    lifetime steps (walker-age, 473)
+    l_matrix: Any          # (G, d, d) per-group proposal factor
+    m_sum: Any             # (G, d)  accepted-move moment accumulators
+    m_outer: Any           # (G, d, d)
+    m_count: Any           # (G,)   accepted moves per group
+    age: Any               # ()     lifetime steps (walker-age, 473)
 
 
-def init_state(key, position, logprob, l_matrix) -> WalkerState:
-    """Build the initial ensemble state (``walker-create``'s first step)."""
+def init_state(key, position, logprob, l_matrix, n_groups: int = 1) -> WalkerState:
+    """Build the initial ensemble state (``walker-create``'s first step).
+
+    ``l_matrix`` may be (d, d) (broadcast to all groups) or (G, d, d).
+    """
     W, d = position.shape
     dtype = position.dtype
-    best_logprob = logprob
+    l_matrix = jnp.asarray(l_matrix, dtype)
+    if l_matrix.ndim == 2:
+        l_matrix = jnp.broadcast_to(l_matrix, (n_groups, d, d))
     return WalkerState(
         key=key,
         position=position,
         logprob=logprob,
         best_position=position,
-        best_logprob=best_logprob,
-        l_matrix=jnp.asarray(l_matrix, dtype),
-        m_sum=jnp.zeros((d,), dtype),
-        m_outer=jnp.zeros((d, d), dtype),
-        m_count=jnp.zeros((), dtype),
+        best_logprob=logprob,
+        l_matrix=l_matrix,
+        m_sum=jnp.zeros((n_groups, d), dtype),
+        m_outer=jnp.zeros((n_groups, d, d), dtype),
+        m_count=jnp.zeros((n_groups,), dtype),
         age=jnp.zeros((), jnp.int32),
     )
 
@@ -143,51 +153,59 @@ def _neg_floor(dtype):
 
 
 def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
-                       axis_name: str | None = None):
+                       group_ids=None, n_groups: int = 1, aux=None):
     """Compile the chunked MH scan for a given posterior.
 
-    ``log_posterior(theta_vec) -> scalar`` evaluates ONE walker; it is
-    vmapped here over the ``(W, d)`` batch so the likelihood reduction
-    becomes one fused (W, N) elementwise block + masked sum per step.
+    ``log_posterior(theta_vec) -> scalar`` (or ``(theta_vec, aux_w) ->
+    scalar`` when ``aux`` is given) evaluates ONE walker; it is vmapped
+    here over the ``(W, d)`` batch so the likelihood reduction becomes one
+    fused (W, N) elementwise block + masked sum per step.
 
-    Returns ``run(state, start_step, temperature_override) -> (state, out)``
-    where ``out`` is a dict of per-chunk metrics and thinned history.
-    ``temperature_override``: <0 means "use the annealing schedule";
-    otherwise a fixed temperature (the driver passes 1.0 once shutting
-    down, mcmc-fitting.lisp:915).
+    ``group_ids``: (W,) int32 mapping walkers to adaptation groups (None
+    means one global group).  ``aux``: per-walker auxiliary pytree with
+    leading axis W (e.g. spectrum indices for batched walker-set fits),
+    closed over as a constant.
 
-    ``axis_name``: when running under ``shard_map``, the mesh axis to
-    ``psum`` pooled moments/acceptance over (C24 rebuild).
+    Returns ``(run, run_with_history)``; each maps
+    ``(state, adapt_enabled, allow_refresh) -> (state, out)``.
     """
-    batched_logpost = jax.vmap(log_posterior)
+    if aux is None:
+        batched_logpost = jax.vmap(log_posterior)
+        eval_lp = lambda pos: batched_logpost(pos)
+    else:
+        batched_logpost = jax.vmap(log_posterior, in_axes=(0, 0))
+        eval_lp = lambda pos: batched_logpost(pos, aux)
+
     settle = config.steps_to_settle(ndim)
-    refresh_period = 2 * settle  # covariance refresh cadence (932)
     chunk = config.chunk_size
     thin = max(1, min(config.thin, chunk))
-    keep = chunk // thin
+    grouped = group_ids is not None and n_groups > 1
+    if group_ids is not None:
+        group_ids = jnp.asarray(group_ids, jnp.int32)
 
-    def pooled_mean(x):
-        m = jnp.mean(x)
-        if axis_name is not None and config.pooled_covariance:
-            m = lax.pmean(m, axis_name)
-        return m
-
-    def pooled_sum(x):
-        if axis_name is not None and config.pooled_covariance:
-            return lax.psum(x, axis_name)
-        return x
+    def seg_sum(x, dims: int):
+        """Sum per adaptation group; plain sum when ungrouped (G=1)."""
+        if grouped:
+            return jax.ops.segment_sum(x, group_ids, num_segments=n_groups)
+        total = jnp.sum(x, axis=0)
+        return total[None]
 
     def one_step(carry, i):
-        state: WalkerState = carry
+        state, accept_counts = carry
         dtype = state.position.dtype
         key, k_prop, k_accept = jax.random.split(state.key, 3)
         temp = temperature_schedule(state.age, ndim, config)
 
         z = jax.random.normal(k_prop, state.position.shape, dtype)
-        proposal = state.position + jnp.einsum("ij,wj->wi", state.l_matrix, z)
-        lp_prop = batched_logpost(proposal)
-        # NaN/complex guard: the walker-check-for-complex-walks analogue
-        # (483) — a non-finite posterior is treated as "reject hard".
+        if grouped:
+            l_w = state.l_matrix[group_ids]                       # (W, d, d)
+            step_vec = jnp.einsum("wij,wj->wi", l_w, z)
+        else:
+            step_vec = jnp.einsum("ij,wj->wi", state.l_matrix[0], z)
+        proposal = state.position + step_vec
+        lp_prop = eval_lp(proposal)
+        # NaN/Inf guard: the walker-check-for-complex-walks analogue (483)
+        # — a non-finite posterior is treated as "reject hard".
         lp_prop = jnp.where(jnp.isfinite(lp_prop), lp_prop, _neg_floor(dtype))
 
         log_u = jnp.log(jax.random.uniform(k_accept, state.logprob.shape, dtype))
@@ -199,14 +217,15 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             accept = (lp_prop > state.logprob) | ((lp_prop - state.logprob) / temp > log_u)
 
         acc = accept[:, None]
+        accf = accept.astype(dtype)
         new_position = jnp.where(acc, proposal, state.position)
         new_logprob = jnp.where(accept, lp_prop, state.logprob)
 
-        # Accepted-move moments for covariance adaptation (pooled over W).
-        delta = (proposal - state.position) * acc.astype(dtype)
-        m_sum = state.m_sum + jnp.sum(delta, axis=0)
-        m_outer = state.m_outer + jnp.einsum("wi,wj->ij", delta, delta)
-        m_count = state.m_count + jnp.sum(accept.astype(dtype))
+        # Accepted-move moments for covariance adaptation, per group.
+        delta = step_vec * acc.astype(dtype)
+        m_sum = state.m_sum + seg_sum(delta, 1)
+        m_outer = state.m_outer + seg_sum(delta[:, :, None] * delta[:, None, :], 2)
+        m_count = state.m_count + seg_sum(accf, 0)
 
         # Most-likely-step tracking (553-555), per walker.
         better = new_logprob > state.best_logprob
@@ -229,62 +248,74 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             "logprob_max": jnp.max(new_logprob),
             "logprob_mean": jnp.mean(new_logprob),
             "logprob_min": jnp.min(new_logprob),
-            "accept_rate": jnp.mean(accept.astype(dtype)),
         }
-        return new_state, out
+        return (new_state, accept_counts + accf), out
 
-    def adapt(state: WalkerState, chunk_accept, allow_refresh):
-        """Chunk-boundary L update (mcmc-fitting.lisp:929-942), branchless."""
+    def adapt(state: WalkerState, group_accept, allow_refresh):
+        """Chunk-boundary L update (mcmc-fitting.lisp:929-942), branchless
+        and batched over adaptation groups."""
         dtype = state.position.dtype
-        acc = pooled_mean(chunk_accept)
         d = ndim
 
-        # Candidate refresh from pooled accepted-move covariance.
+        # Candidate refresh covariance per group.
         if config.covariance_source == "ensemble":
-            mean = pooled_mean_vec(state.position)
-            centered = state.position - mean
-            outer = pooled_sum(jnp.einsum("wi,wj->ij", centered, centered))
-            count = pooled_sum(jnp.asarray(state.position.shape[0], dtype))
-            cov = outer / count
-            enough = count > d
+            ones = jnp.ones((state.position.shape[0],), dtype)
+            counts = jnp.maximum(seg_sum(ones, 0), 1.0)            # (G,)
+            mean = seg_sum(state.position, 1) / counts[:, None]
+            if grouped:
+                centered = state.position - mean[group_ids]
+            else:
+                centered = state.position - mean[0]
+            cov = seg_sum(centered[:, :, None] * centered[:, None, :], 2) / counts[:, None, None]
+            enough = counts > d
         else:
-            m_sum = pooled_sum(state.m_sum)
-            m_outer = pooled_sum(state.m_outer)
-            m_count = pooled_sum(state.m_count)
-            cov = moments_covariance(m_sum, m_outer, m_count)
-            enough = m_count > d
+            cov = jax.vmap(moments_covariance)(state.m_sum, state.m_outer, state.m_count)
+            enough = state.m_count > d
         if config.jitter > 0:
             cov = cov + config.jitter * jnp.eye(d, dtype=dtype)
-        chol, ok = cholesky_clamped(cov)
+        chol, ok = cholesky_clamped(cov)                           # (G,d,d), (G,)
         # Reference scales the L-matrix by 2.38^2/d (890) — replicated.
         candidate = jnp.asarray(haario_scale(d), dtype) * chol
-        refresh_ok = ok & enough & allow_refresh
+        refresh_ok = ok & enough & allow_refresh                   # (G,)
 
-        in_band = (config.accept_low < acc) & (acc < config.accept_high)
-        too_low = acc <= config.accept_low
+        in_band = (config.accept_low < group_accept) & (group_accept < config.accept_high)
+        too_low = group_accept <= config.accept_low
 
-        l_refreshed = jnp.where(refresh_ok, candidate, state.l_matrix)
+        l_refreshed = jnp.where(refresh_ok[:, None, None], candidate, state.l_matrix)
         l_rescaled = jnp.where(
-            too_low, config.scale_down * state.l_matrix, config.scale_up * state.l_matrix
+            too_low[:, None, None],
+            config.scale_down * state.l_matrix,
+            config.scale_up * state.l_matrix,
         )
-        new_l = jnp.where(in_band, l_refreshed, l_rescaled)
+        new_l = jnp.where(in_band[:, None, None], l_refreshed, l_rescaled)
 
         # Reset move moments after a refresh so the window stays recent.
-        reset = refresh_ok & in_band
-        zero = jnp.zeros_like
+        reset = refresh_ok & in_band                               # (G,)
         return dataclasses.replace(
             state,
             l_matrix=new_l.astype(dtype),
-            m_sum=jnp.where(reset, zero(state.m_sum), state.m_sum),
-            m_outer=jnp.where(reset, zero(state.m_outer), state.m_outer),
-            m_count=jnp.where(reset, zero(state.m_count), state.m_count),
+            m_sum=jnp.where(reset[:, None], 0.0, state.m_sum).astype(dtype),
+            m_outer=jnp.where(reset[:, None, None], 0.0, state.m_outer).astype(dtype),
+            m_count=jnp.where(reset, 0.0, state.m_count).astype(dtype),
         )
 
-    def pooled_mean_vec(x):
-        m = jnp.mean(x, axis=0)
-        if axis_name is not None and config.pooled_covariance:
-            m = lax.pmean(m, axis_name)
-        return m
+    def _finish(state, accept_counts, trace, adapt_enabled, allow_refresh):
+        dtype = state.position.dtype
+        ones = jnp.ones_like(accept_counts)
+        group_total = jnp.maximum(seg_sum(ones, 0) * chunk, 1.0)   # (G,)
+        group_accept = seg_sum(accept_counts, 0) / group_total     # (G,)
+        adapted = adapt(state, group_accept, allow_refresh)
+        state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(adapt_enabled, a, b), adapted, state
+        )
+        out = {
+            "logprob_max": trace["logprob_max"],      # (chunk,)
+            "logprob_mean": trace["logprob_mean"],    # (chunk,)
+            "logprob_min": trace["logprob_min"],      # (chunk,)
+            "accept_rate": jnp.mean(accept_counts) / chunk,  # () pooled
+            "group_accept": group_accept,             # (G,)
+        }
+        return state, out
 
     def run(state: WalkerState, adapt_enabled, allow_refresh):
         """One chunk: ``chunk_size`` MH steps + one adaptation update.
@@ -293,50 +324,31 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         driver can disable adaptation (walker-many-steps, 849-853) or
         refresh (during shutdown, 932) without recompiling.
         """
-        state, trace = lax.scan(one_step, state, jnp.arange(chunk))
-        chunk_accept = jnp.mean(trace["accept_rate"])
-        adapted = adapt(state, chunk_accept, allow_refresh)
-        state = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(adapt_enabled, a, b), adapted, state
+        zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
+        (state, accept_counts), trace = lax.scan(
+            one_step, (state, zero_counts), jnp.arange(chunk)
         )
-        out = {
-            "logprob_max": trace["logprob_max"],      # (chunk,)
-            "logprob_mean": trace["logprob_mean"],    # (chunk,)
-            "logprob_min": trace["logprob_min"],      # (chunk,)
-            "accept_rate": chunk_accept,              # ()
-        }
-        return state, out
+        return _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
 
     def run_with_history(state: WalkerState, adapt_enabled, allow_refresh):
         """Chunk runner that also returns thinned position history.
 
-        History is collected on device as ``(keep, W, d)`` (every
+        History is collected on device as ``(chunk//thin, W, d)`` (every
         ``thin``-th step) — the ring-buffer replacement for the
-        reference's cons-list walk (SURVEY §3.3).
+        reference's cons-list walk (SURVEY §3.3) — and thinned *before*
+        any host transfer.
         """
         def one_step_hist(carry, i):
-            st, out = one_step(carry, i)
-            return st, (out, st.position, st.logprob)
+            carry, out = one_step(carry, i)
+            return carry, (out, carry[0].position, carry[0].logprob)
 
-        state, (trace, positions, logprobs) = lax.scan(
-            one_step_hist, state, jnp.arange(chunk)
+        zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
+        (state, accept_counts), (trace, positions, logprobs) = lax.scan(
+            one_step_hist, (state, zero_counts), jnp.arange(chunk)
         )
-        chunk_accept = jnp.mean(trace["accept_rate"])
-        adapted = adapt(state, chunk_accept, allow_refresh)
-        state = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(adapt_enabled, a, b), adapted, state
-        )
-        # Thin on device before any host transfer.
-        positions = positions[thin - 1 :: thin]      # (keep, W, d)
-        logprobs = logprobs[thin - 1 :: thin]        # (keep, W)
-        out = {
-            "logprob_max": trace["logprob_max"],
-            "logprob_mean": trace["logprob_mean"],
-            "logprob_min": trace["logprob_min"],
-            "accept_rate": chunk_accept,
-            "positions": positions,
-            "logprobs": logprobs,
-        }
+        state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
+        out["positions"] = positions[thin - 1 :: thin]      # (chunk//thin, W, d)
+        out["logprobs"] = logprobs[thin - 1 :: thin]        # (chunk//thin, W)
         return state, out
 
     return run, run_with_history

@@ -1,0 +1,75 @@
+"""On-device convergence diagnostics: ESS, split R-hat, autocorrelation.
+
+The reference has no cross-chain statistics (single chain by
+construction); its convergence story is the likelihood-trace heuristics
+(``stable-probs-p``, mcmc-fitting.lisp:880-887).  The rebuild's metric
+pair is chain-steps/sec AND ESS/sec (BASELINE.md), and multi-walker
+ensembles make R-hat natural, so these are first-class device reductions:
+they run on the ``(T, W)`` history *before* host transfer (BASELINE.json:
+"diagnostics reduce on device before host transfer").
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["autocorrelation", "effective_sample_size", "split_rhat"]
+
+
+def autocorrelation(chains, max_lag: int | None = None):
+    """Normalized autocorrelation per chain via FFT.
+
+    ``chains``: (T, W) samples.  Returns (L, W) autocorrelations for lags
+    0..L-1 where L = ``max_lag`` or T.
+    """
+    chains = jnp.asarray(chains)
+    T = chains.shape[0]
+    L = max_lag or T
+    x = chains - jnp.mean(chains, axis=0, keepdims=True)
+    # Zero-pad to >= 2T for linear (non-circular) autocorrelation.
+    n = 1 << (2 * T - 1).bit_length()
+    f = jnp.fft.rfft(x, n=n, axis=0)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=n, axis=0)[:T]
+    acov = acov / jnp.arange(T, 0, -1)[:, None]  # unbiased normalization
+    var0 = jnp.where(acov[0] > 0, acov[0], 1.0)
+    return (acov / var0)[:L]
+
+
+def effective_sample_size(chains):
+    """ESS with Geyer's initial positive sequence truncation.
+
+    ``chains``: (T, W).  Returns the total ESS over all W chains (scalar).
+    Pairs consecutive-lag autocorrelations and truncates at the first
+    non-positive pair sum, the standard initial-positive-sequence rule.
+    """
+    chains = jnp.asarray(chains)
+    T, W = chains.shape
+    rho = autocorrelation(chains)  # (T, W)
+    # Pair sums rho[2k+1] + rho[2k+2]; stop where they go non-positive.
+    n_pairs = (T - 1) // 2
+    pair = rho[1 : 1 + 2 * n_pairs].reshape(n_pairs, 2, W).sum(axis=1)  # (P, W)
+    positive = pair > 0
+    # Monotone mask: True until the first False (cumulative AND).
+    keep = jnp.cumprod(positive.astype(jnp.int32), axis=0).astype(bool)
+    tau = 1.0 + 2.0 * jnp.sum(jnp.where(keep, pair, 0.0), axis=0)  # (W,)
+    tau = jnp.maximum(tau, 1.0)
+    return jnp.sum(T / tau)
+
+
+def split_rhat(chains):
+    """Split-chain Gelman-Rubin R-hat over the walker ensemble.
+
+    ``chains``: (T, W) samples of one quantity across W walkers.  Each
+    chain is split in half (2W half-chains of length T//2); values near
+    1.0 indicate convergence.
+    """
+    chains = jnp.asarray(chains)
+    T = chains.shape[0] // 2 * 2
+    halves = jnp.concatenate([chains[: T // 2], chains[T // 2 : T]], axis=1)  # (T/2, 2W)
+    n, m = halves.shape
+    chain_means = jnp.mean(halves, axis=0)
+    chain_vars = jnp.var(halves, axis=0, ddof=1)
+    w = jnp.mean(chain_vars)
+    b = n * jnp.var(chain_means, ddof=1)
+    var_plus = (n - 1) / n * w + b / n
+    return jnp.sqrt(var_plus / jnp.where(w > 0, w, 1.0))

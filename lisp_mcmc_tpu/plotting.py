@@ -1,0 +1,252 @@
+"""Visualization & diagnostics plots (reference C15, mcmc-fitting.lisp:1207-1373).
+
+Matplotlib rebuilds of the reference's gnuplot layer:
+  - data + fit + posterior envelope (``walker-plot-data-and-fit``, 1257):
+    best-fit curve on a 1000-point grid plus a min/max band from the top
+    66% of retained steps by probability (1250-1253) — the envelope's
+    O(grid x take) model evaluations run as one vmap on device before
+    host transfer.
+  - residuals (``walker-plot-residuals``, 1271)
+  - caterpillar per-parameter trace multiplot (1294, saved to file like
+    the reference's temp.png)
+  - likelihood trace (``walker-liklihood-plot``, 1313)
+  - pairwise corner scatter, single and full grid (1322/1333)
+  - parameter histogram with auto-binning (1361 + make-histo 1542)
+  - heatmap for walker-set derived quantities (nv-specific.lisp:98-105)
+  - ``show`` (1371): open the last saved figure with an image viewer.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from typing import Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from .stats import make_histogram  # noqa: E402
+
+__all__ = [
+    "plot_data_and_fit",
+    "plot_residuals",
+    "caterpillar_plots",
+    "likelihood_plot",
+    "corner_plot",
+    "all_corner_plots",
+    "param_histogram",
+    "heatmap",
+    "show",
+]
+
+_LAST_FIGURE_PATH: list[str] = []
+
+
+def _save(fig, filename):
+    if filename:
+        fig.savefig(filename, dpi=120, bbox_inches="tight")
+        _LAST_FIGURE_PATH.append(filename)
+    return fig
+
+
+def _fit_envelope(walker, term_index: int, take: int | None, grid_points: int,
+                  envelope_fraction: float):
+    """Device-side envelope: evaluate the model over the fit grid for the
+    top ``envelope_fraction`` of steps by probability; reduce to per-x
+    min/max before transfer (mcmc-fitting.lisp:1250-1253, vmapped)."""
+    term = walker.terms[term_index]
+    x = np.asarray(term.dataset.x)[: term.dataset.n]
+    grid = jnp.linspace(float(x.min()), float(x.max()), grid_points)
+
+    pos, lp = walker._history(take)
+    flat_pos = pos.reshape(-1, walker.ndim)
+    flat_lp = lp.reshape(-1)
+    keep = max(1, int(len(flat_lp) * envelope_fraction))
+    top = np.argsort(flat_lp)[-keep:]
+    top_params = jnp.asarray(flat_pos[top], walker.dtype)
+
+    def eval_one(theta):
+        return term.fn(grid, walker.spec.unflatten(theta))
+
+    ys = jax.vmap(eval_one)(top_params)          # (keep, grid)
+    y_lo = np.asarray(jnp.min(ys, axis=0))
+    y_hi = np.asarray(jnp.max(ys, axis=0))
+
+    best_vec = jnp.asarray(walker.spec.flatten(walker.most_likely_params()), walker.dtype)
+    y_best = np.asarray(eval_one(best_vec))
+    return np.asarray(grid), y_best, y_lo, y_hi
+
+
+def plot_data_and_fit(walker, term_index: int = 0, take: int | None = 1000,
+                      grid_points: int = 1000, envelope_fraction: float = 0.66,
+                      filename: str | None = None):
+    """Data + best fit + posterior envelope (``walker-plot-data-and-fit``).
+
+    ``term_index`` selects the dataset/function pair for global fits (the
+    reference's ``:fn-number`` kwarg, README.md:59).
+    """
+    term = walker.terms[term_index]
+    n = term.dataset.n
+    x = np.asarray(term.dataset.x)[:n]
+    y = np.asarray(term.dataset.y)[:n]
+    grid, y_best, y_lo, y_hi = _fit_envelope(
+        walker, term_index, take, grid_points, envelope_fraction
+    )
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.fill_between(grid, y_lo, y_hi, color="green", alpha=0.3,
+                    label=f"top {envelope_fraction:.0%} envelope")
+    ax.plot(grid, y_best, "r-", lw=1.5, label="most likely fit")
+    ax.plot(x, y, "k.", ms=3, label="data")
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.legend()
+    ax.set_title(f"data and fit (term {term_index})")
+    return _save(fig, filename)
+
+
+def plot_residuals(walker, term_index: int = 0, filename: str | None = None):
+    """Residuals with error bars (``walker-plot-residuals``, 1271-1292)."""
+    term = walker.terms[term_index]
+    n = term.dataset.n
+    x = np.asarray(term.dataset.x)[:n]
+    y = np.asarray(term.dataset.y)[:n]
+    sigma = np.asarray(term.dataset.sigma)[:n]
+    best_vec = jnp.asarray(walker.spec.flatten(walker.most_likely_params()), walker.dtype)
+    model = np.asarray(term.fn(jnp.asarray(x, walker.dtype), walker.spec.unflatten(best_vec)))
+
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.errorbar(x, y - model, yerr=sigma, fmt="k.", ms=3, elinewidth=0.5)
+    ax.axhline(0.0, color="r", lw=1)
+    ax.set_xlabel("x")
+    ax.set_ylabel("residual")
+    ax.set_title(f"residuals (term {term_index})")
+    return _save(fig, filename)
+
+
+def caterpillar_plots(walker, take: int | None = None, walker_index: int | None = None,
+                      filename: str | None = "temp.png"):
+    """Per-parameter trace multiplot (``walker-catepillar-plots``, 1294-1310).
+
+    By default overlays all walkers' traces; ``walker_index`` selects one.
+    Saves to ``temp.png`` like the reference.
+    """
+    pos, _ = walker._history(take)  # (T, W, d)
+    d = walker.ndim
+    ncols = 2
+    nrows = (d + 1) // 2
+    fig, axes = plt.subplots(nrows, ncols, figsize=(10, 2.2 * nrows), squeeze=False)
+    for i, key in enumerate(walker.spec.keys):
+        ax = axes[i // ncols][i % ncols]
+        data = pos[:, :, i] if walker_index is None else pos[:, [walker_index], i]
+        ax.plot(data, lw=0.4, alpha=min(1.0, 4.0 / data.shape[1]))
+        ax.set_ylabel(key)
+    for j in range(d, nrows * ncols):
+        axes[j // ncols][j % ncols].axis("off")
+    fig.suptitle("parameter traces")
+    return _save(fig, filename)
+
+
+def likelihood_plot(walker, take: int | None = None, filename: str | None = None):
+    """Log-likelihood trace (``walker-liklihood-plot``, 1313-1320)."""
+    _, lp = walker._history(take)
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.plot(lp, lw=0.4, alpha=min(1.0, 4.0 / lp.shape[1]))
+    ax.plot(lp.max(axis=1), "k-", lw=1.2, label="max over walkers")
+    ax.set_xlabel("retained step")
+    ax.set_ylabel("log posterior")
+    ax.legend()
+    return _save(fig, filename)
+
+
+def corner_plot(walker, key_x: str, key_y: str, take: int | None = 1000,
+                filename: str | None = None):
+    """Pairwise posterior scatter (``walker-2d-plot``, 1322-1331)."""
+    pos, _ = walker._history(take)
+    ix, iy = walker.spec.index(key_x), walker.spec.index(key_y)
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.plot(pos[:, :, ix].ravel(), pos[:, :, iy].ravel(), "k.", ms=1, alpha=0.3)
+    ax.set_xlabel(key_x)
+    ax.set_ylabel(key_y)
+    return _save(fig, filename)
+
+
+def all_corner_plots(walker, take: int | None = 1000, filename: str | None = "temp.png"):
+    """Full corner grid (``walker-all-2d-plots``, 1333-1359; test.lisp:77)."""
+    pos, _ = walker._history(take)
+    flat = pos.reshape(-1, walker.ndim)
+    d = walker.ndim
+    fig, axes = plt.subplots(d, d, figsize=(2.2 * d, 2.2 * d), squeeze=False)
+    for i in range(d):
+        for j in range(d):
+            ax = axes[i][j]
+            if i == j:
+                counts, centers = make_histogram(flat[:, i])
+                ax.step(centers, counts, "k-", lw=0.8)
+            elif i > j:
+                ax.plot(flat[:, j], flat[:, i], "k.", ms=1, alpha=0.2)
+            else:
+                ax.axis("off")
+            if i == d - 1:
+                ax.set_xlabel(walker.spec.keys[j], fontsize=8)
+            if j == 0:
+                ax.set_ylabel(walker.spec.keys[i], fontsize=8)
+    fig.suptitle("corner plots")
+    return _save(fig, filename)
+
+
+def param_histogram(walker, key: str, take: int | None = None, bins: int | None = None,
+                    filename: str | None = None):
+    """Posterior histogram of one parameter (``walker-param-histo``, 1361-1369)."""
+    pos, _ = walker._history(take)
+    samples = pos[:, :, walker.spec.index(key)].ravel()
+    counts, centers = make_histogram(samples, bins)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.bar(centers, counts, width=(centers[1] - centers[0]) if len(centers) > 1 else 1.0,
+           color="steelblue", edgecolor="none")
+    ax.set_xlabel(key)
+    ax.set_ylabel("count")
+    return _save(fig, filename)
+
+
+def heatmap(values, row_length: int, filename: str | None = None,
+            cbar_range=(0, None), z_label: str = "Field Offset (Oe)"):
+    """2-D heatmap of a derived quantity over a scan grid
+    (``nv-pretty-heatmap``, nv-specific.lisp:98-105)."""
+    values = np.asarray(values, dtype=np.float64)
+    nrows = int(np.ceil(len(values) / row_length))
+    grid = np.full(nrows * row_length, np.nan)
+    grid[: len(values)] = values
+    grid = grid.reshape(nrows, row_length)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    im = ax.imshow(grid, origin="lower", aspect="auto",
+                   vmin=cbar_range[0], vmax=cbar_range[1], cmap="viridis")
+    ax.set_xlabel("X Pos")
+    ax.set_ylabel("Y Pos")
+    fig.colorbar(im, ax=ax, label=z_label)
+    return _save(fig, filename)
+
+
+def show(filename: str | None = None):
+    """Open the last saved figure (``show`` = ``feh temp.png``, 1371-1373).
+
+    Uses ``feh`` when present like the reference, otherwise whatever
+    ``xdg-open`` resolves; headless environments just get the path back.
+    """
+    path = filename or (_LAST_FIGURE_PATH[-1] if _LAST_FIGURE_PATH else None)
+    if path is None:
+        return None
+    for viewer in ("feh", "xdg-open"):
+        exe = shutil.which(viewer)
+        if exe and os.environ.get("DISPLAY"):
+            subprocess.Popen([exe, path])
+            return path
+    return path

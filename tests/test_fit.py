@@ -214,7 +214,7 @@ def test_many_steps_fixed_l():
     w, _, _ = _gaussian_posterior_walker(n_walkers=8)
     l0 = np.asarray(w.state.l_matrix).copy()
     w.many_steps(400, l_matrix=0.1 * np.eye(2))
-    np.testing.assert_allclose(np.asarray(w.state.l_matrix), 0.1 * np.eye(2))
+    np.testing.assert_allclose(np.asarray(w.state.l_matrix), 0.1 * np.eye(2)[None])
     assert int(w.state.age) == 400
 
 

@@ -1,0 +1,119 @@
+"""NV magnetometry pipeline (nv-specific.lisp) incl. the batched set fit."""
+
+import numpy as np
+import pytest
+
+from lisp_mcmc_tpu import nv
+from lisp_mcmc_tpu.models import double_lorentzian_bg
+
+
+def _make_spectrum(rng, mu1=2862.0, mu2=2874.0, contrast=4e-5, n=256):
+    # Units chosen to respect the reference prior's boxes
+    # (nv-specific.lisp:25-30): bg0 in (0, 1e-5), scales in (1e-5, 10).
+    x = np.linspace(2840.0, 2900.0, n)
+    sigma = 10.0
+    y = (
+        8e-6
+        - contrast * sigma**2 / ((x - mu1) ** 2 + sigma**2)
+        - contrast * sigma**2 / ((x - mu2) ** 2 + sigma**2)
+        + rng.normal(0, contrast / 100.0, n)
+    )
+    return x, y
+
+
+def test_nv_data_separated():
+    table = [np.arange(4.0), np.ones(4), 2 * np.ones(4)]
+    spectra = nv.nv_data_separated(table)
+    assert len(spectra) == 2
+    np.testing.assert_allclose(spectra[1][1], 2 * np.ones(4))
+
+
+def test_nv_dir_data(tmp_path):
+    (tmp_path / "scan1.csv").write_text("2850.0;1.0;2.0\n2851.0;1.5;2.5\n")
+    spectra = nv.nv_dir_data(str(tmp_path))
+    assert len(spectra) == 2  # two y columns -> two spectra
+
+
+def test_noise_estimate_uses_quiet_decile():
+    rng = np.random.default_rng(0)
+    y = np.concatenate([rng.normal(0, 0.01, 50), rng.normal(0, 1.0, 450)])
+    est = nv.nv_data_std_dev(y)
+    assert est == pytest.approx(0.01, rel=0.5)
+
+
+def test_guess_nv_params():
+    rng = np.random.default_rng(1)
+    _, y = _make_spectrum(rng)
+    g = nv.guess_nv_params(y)
+    assert set(g) == {"scale1", "scale2", "mu1", "mu2", "sigma", "bg0"}
+    assert g["mu1"] == 2863.0 and g["sigma"] == 10.0
+
+
+def test_nv_prior_constraints():
+    good = {"scale1": 1.0, "scale2": 1.0, "mu1": 2862.0, "mu2": 2874.0,
+            "sigma": 12.0, "bg0": 5e-6}
+    assert float(nv.log_prior_nv(good)) == 0.0
+    # mu gap below 6 MHz -> -1e9 (nv-specific.lisp:33)
+    close = dict(good, mu1=2869.0, mu2=2871.0)
+    assert float(nv.log_prior_nv(close)) <= -1e9
+    # scale ratio outside (0.9, 1.1) -> -1e9 (nv-specific.lisp:34)
+    skew = dict(good, scale1=2.0, scale2=1.0)
+    assert float(nv.log_prior_nv(skew)) == pytest.approx(-1e9)
+
+
+def test_single_spectrum_fit():
+    rng = np.random.default_rng(2)
+    data = _make_spectrum(rng)
+    w = nv.nv_walker(data, n_walkers=64, seed=0)
+    w.adaptive_steps(4000, auto=None)
+    best = w.most_likely_params()
+    assert best["mu1"] == pytest.approx(2862.0, abs=1.0)
+    assert best["mu2"] == pytest.approx(2874.0, abs=1.0)
+    offset = nv.walker_field_offset(w)
+    assert offset == pytest.approx((best["mu2"] - best["mu1"]) / 2 / 2.8)
+
+
+def test_batched_fit_recovers_distinct_spectra():
+    """Three spectra with different splittings, one vectorized fit."""
+    rng = np.random.default_rng(3)
+    mus = [(2860.0, 2876.0), (2862.0, 2874.0), (2864.0, 2880.0)]
+    spectra = [_make_spectrum(rng, mu1=a, mu2=b) for a, b in mus]
+    fit = nv.fit_nv_spectra_batched(
+        spectra, n_steps=6000, walkers_per_spectrum=64, seed=0
+    )
+    fit_params = fit.best_params_per_spectrum()
+    for (mu1, mu2), p in zip(mus, fit_params):
+        assert p["mu1"] == pytest.approx(mu1, abs=1.0)
+        assert p["mu2"] == pytest.approx(mu2, abs=1.0)
+    offsets = fit.field_offsets()
+    for (mu1, mu2), off in zip(mus, offsets):
+        assert off == pytest.approx((mu2 - mu1) / 2 / 2.8, abs=0.4)
+
+
+def test_batched_fit_rejects_ragged_grids():
+    rng = np.random.default_rng(4)
+    s1 = _make_spectrum(rng, n=256)
+    s2 = _make_spectrum(rng, n=128)
+    with pytest.raises(ValueError, match="shared frequency grid"):
+        nv.BatchedNVFit([s1, s2])
+
+
+def test_grouped_adaptation_is_per_spectrum():
+    """Groups with different posterior scales get different L matrices."""
+    rng = np.random.default_rng(5)
+    s_narrow = _make_spectrum(rng, contrast=2e-4)  # 10x the dip contrast
+    s_broad = _make_spectrum(rng, contrast=2e-5)
+    fit = nv.fit_nv_spectra_batched(
+        [s_narrow, s_broad], n_steps=4000, walkers_per_spectrum=64, seed=1
+    )
+    l = np.asarray(fit.state.l_matrix)
+    assert l.shape[0] == 2
+    assert not np.allclose(l[0], l[1])
+
+
+def test_export_scan_grid(tmp_path):
+    path = str(tmp_path / "grid.txt")
+    nv.export_scan_grid([1.0, 2.0, 3.0, 4.0], row_length=2, filename=path)
+    content = open(path).read()
+    # blank line after each completed row (nv-specific.lisp:93-94)
+    assert "0.0 0.0 1.0\n1.0 0.0 2.0\n\n" in content
