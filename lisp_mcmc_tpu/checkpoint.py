@@ -71,9 +71,12 @@ def walker_save(walker, path: str, take: int | None = None) -> None:
     ``take`` limits how much thinned history is stored (the reference's
     optional take, test.lisp:40).
     """
+    import jax
+
     state = walker.state
     arrays = {
-        "key": np.asarray(state.key),
+        # Typed PRNG keys serialize as raw uint32 words + impl name.
+        "key": np.asarray(jax.random.key_data(state.key)),
         "position": np.asarray(state.position),
         "logprob": np.asarray(state.logprob),
         "best_position": np.asarray(state.best_position),
@@ -98,6 +101,7 @@ def walker_save(walker, path: str, take: int | None = None) -> None:
         "format_version": FORMAT_VERSION,
         "param_keys": list(walker.spec.keys),
         "n_walkers": walker.n_walkers,
+        "prng_impl": str(jax.random.key_impl(state.key)),
         "dtype": np.dtype(walker.dtype).name,
         "config": dataclasses.asdict(walker.config),
         "terms": [
@@ -194,9 +198,13 @@ def walker_load(path: str, *, function=None, log_likelihood=None, log_prior=None
     walker.aux = None
     walker.group_ids = None
     walker.n_groups = int(np.asarray(arrays["l_matrix"]).shape[0])
+    import jax
+
     walker._log_post_one = walker._build_log_posterior()
+    # Old checkpoints (format 1 without prng_impl) hold raw threefry words.
+    prng_impl = header.get("prng_impl", "threefry2x32")
     walker.state = WalkerState(
-        key=jnp.asarray(arrays["key"]),
+        key=jax.random.wrap_key_data(jnp.asarray(arrays["key"]), impl=prng_impl),
         position=jnp.asarray(arrays["position"], dtype),
         logprob=jnp.asarray(arrays["logprob"], dtype),
         best_position=jnp.asarray(arrays["best_position"], dtype),

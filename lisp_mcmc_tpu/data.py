@@ -80,6 +80,28 @@ class Dataset:
             n=n,
         )
 
+    @property
+    def inv_sigma(self):
+        """Masked ``1/sigma`` — padding contributes exactly 0.
+
+        Precomputed (it is walker-independent) so the per-walker residual
+        normalization is a multiply, not a divide, in the hot likelihood
+        block."""
+        return self.mask / self.sigma
+
+    @property
+    def log_norm_const(self):
+        """Scalar ``sum(mask * (-log(sigma) - log(2*pi)/2))`` — the
+        walker-independent part of the Gaussian log-likelihood reduction."""
+        log_2pi = float(np.log(2.0 * np.pi))
+        return jnp.sum(self.mask * (-0.5 * log_2pi - jnp.log(self.sigma)))
+
+    @property
+    def log_norm_const_point(self):
+        """Per-point ``mask * (-log(sigma) - log(2*pi)/2)`` (cutoff variant)."""
+        log_2pi = float(np.log(2.0 * np.pi))
+        return self.mask * (-0.5 * log_2pi - jnp.log(self.sigma))
+
     def astype(self, dtype) -> "Dataset":
         return Dataset(
             x=self.x.astype(dtype),

@@ -106,7 +106,9 @@ class Walker:
         self.n_groups = int(n_groups)
 
         d = spec.ndim
-        key = jax.random.PRNGKey(seed)
+        # rbg rides the TPU hardware RNG (threefry costs real VPU time per
+        # step); both are deterministic per seed on a given backend.
+        key = jax.random.key(seed, impl=self.config.prng_impl)
         key, k_init = jax.random.split(key)
         if jnp.ndim(initial_vector) == 2:
             position = jnp.asarray(initial_vector, self.dtype)
@@ -165,6 +167,30 @@ class Walker:
             return jax.vmap(self._log_post_one)(positions)
         return jax.vmap(self._log_post_one, in_axes=(0, 0))(positions, self.aux)
 
+    def _batched_posterior(self):
+        """Fused Pallas posterior when forced (SURVEY §7 phase 5).
+
+        Both implementations were benchmarked on TPU v5e (see
+        ops/loglik_pallas.py): the XLA-fused vmap path measured ~1.4x
+        faster, so "auto" resolves to XLA and "pallas" forces the kernel
+        (compiled on TPU, interpreted elsewhere — for tests).
+        """
+        impl = self.config.posterior_impl
+        if impl != "pallas" or self._custom_log_post is not None or self.aux is not None:
+            return None
+        if getattr(self, "mesh", None) is not None:
+            # Sharded ensembles keep the XLA path: pallas_call is not
+            # GSPMD-partitionable along the chain axis without a shard_map
+            # wrapper (the per-chip batch is the un-sharded case anyway).
+            return None
+        on_tpu = jax.default_backend() == "tpu"
+        from .ops.loglik_pallas import build_fused_posterior
+
+        return build_fused_posterior(
+            self.terms, self.spec, self.dtype, self.n_walkers,
+            interpret=(not on_tpu),
+        )
+
     def _runner(self, greedy: bool = False, with_history: bool = True):
         cfg = dataclasses.replace(self.config, greedy=greedy)
         cache_key = (cfg, with_history)
@@ -172,6 +198,7 @@ class Walker:
             run, run_hist = build_chunk_runner(
                 self._log_post_one, self.spec.ndim, cfg,
                 group_ids=self.group_ids, n_groups=self.n_groups, aux=self.aux,
+                batched_posterior=self._batched_posterior(),
             )
             fn = run_hist if with_history else run
             jitted = jax.jit(fn)
@@ -191,6 +218,7 @@ class Walker:
         mesh = mesh if mesh is not None else make_mesh()
         self.mesh = mesh
         self.state = shard_state(self.state, mesh)
+        self._runner_cache.clear()  # runners must rebuild without the pallas path
         return self
 
     @property
@@ -612,12 +640,14 @@ def walker_create(
     cleaned = clean_data(data, len(functions))
     errors = clean_data_error(data_error, cleaned)
 
-    likelihoods = log_likelihood if isinstance(log_likelihood, (list, tuple)) else [
-        log_likelihood or log_likelihood_normal
-    ] * len(functions)
-    priors = log_prior if isinstance(log_prior, (list, tuple)) else [
-        log_prior or log_prior_flat
-    ] * len(functions)
+    if isinstance(log_likelihood, (list, tuple)):
+        likelihoods = [ll or log_likelihood_normal for ll in log_likelihood]
+    else:
+        likelihoods = [log_likelihood or log_likelihood_normal] * len(functions)
+    if isinstance(log_prior, (list, tuple)):
+        priors = [lp or log_prior_flat for lp in log_prior]
+    else:
+        priors = [log_prior or log_prior_flat] * len(functions)
     if not (len(functions) == len(cleaned) == len(likelihoods) == len(priors)):
         raise ValueError("walker_create: function/data/likelihood/prior counts must match")
 

@@ -75,6 +75,8 @@ class FitConfig:
     pooled_covariance: bool = True       # pool moments across the full ensemble
     covariance_source: str = "moves"     # "moves" (reference policy) | "ensemble"
     jitter: float = 0.0                  # optional diagonal jitter on refresh
+    posterior_impl: str = "auto"         # "auto" | "xla" | "pallas" (fused kernel)
+    prng_impl: str = "rbg"               # "rbg" (TPU-fast) | "threefry2x32"
 
     def steps_to_settle(self, ndim: int) -> int:
         return self.settle_multiplier * max(self.settle_floor, ndim)
@@ -153,7 +155,8 @@ def _neg_floor(dtype):
 
 
 def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
-                       group_ids=None, n_groups: int = 1, aux=None):
+                       group_ids=None, n_groups: int = 1, aux=None,
+                       batched_posterior: Callable | None = None):
     """Compile the chunked MH scan for a given posterior.
 
     ``log_posterior(theta_vec) -> scalar`` (or ``(theta_vec, aux_w) ->
@@ -169,7 +172,10 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     Returns ``(run, run_with_history)``; each maps
     ``(state, adapt_enabled, allow_refresh) -> (state, out)``.
     """
-    if aux is None:
+    if batched_posterior is not None and aux is None:
+        # Fused Pallas path (ops/loglik_pallas.py): whole-batch evaluation.
+        eval_lp = batched_posterior
+    elif aux is None:
         batched_logpost = jax.vmap(log_posterior)
         eval_lp = lambda pos: batched_logpost(pos)
     else:

@@ -74,16 +74,23 @@ def _model_eval(fn, params, x):
 
 
 def log_likelihood_normal(fn, params, dataset: Dataset):
-    """Masked sum of Gaussian log-pdfs (``log-liklihood-normal``, 393-400)."""
+    """Masked sum of Gaussian log-pdfs (``log-liklihood-normal``, 393-400).
+
+    Algebraically identical to ``sum(mask * log_normal(y, mu, sigma))`` but
+    with the walker-independent terms (``-log sigma - log(2 pi)/2`` and the
+    ``1/sigma`` normalization) precomputed on the dataset, so the per-walker
+    hot block is multiplies and one reduction — no divides or logs.
+    """
     mu = _model_eval(fn, params, dataset.x)
-    lp = log_normal(dataset.y, mu, dataset.sigma)
-    return jnp.sum(lp * dataset.mask)
+    z = (dataset.y - mu) * dataset.inv_sigma
+    return dataset.log_norm_const - 0.5 * jnp.sum(z * z)
 
 
 def log_likelihood_normal_cutoff(fn, params, dataset: Dataset, cutoff=-5000.0):
     """Clamped per-point normal (``log-liklihood-normal-cutoff``, 419-427)."""
     mu = _model_eval(fn, params, dataset.x)
-    lp = jnp.maximum(cutoff, log_normal(dataset.y, mu, dataset.sigma))
+    z = (dataset.y - mu) * dataset.inv_sigma
+    lp = jnp.maximum(cutoff, dataset.log_norm_const_point - 0.5 * z * z)
     return jnp.sum(lp * dataset.mask)
 
 
@@ -101,7 +108,9 @@ def log_likelihood_poisson(fn, params, dataset: Dataset):
     a first-class target, so the reduction is provided here.
     """
     lam = _model_eval(fn, params, dataset.x)
-    lp = log_poisson(lam, dataset.y)
+    # log_factorial(y) is walker-independent; computed here from concrete
+    # dataset arrays it constant-folds out of the vmapped hot block.
+    lp = dataset.y * jnp.log(lam) - lam - log_factorial(dataset.y)
     return jnp.sum(lp * dataset.mask)
 
 
