@@ -51,6 +51,7 @@ from .priors import (
     make_bounds_prior,
     prior_bounds,
 )
+from .utils import linspace, make_plist, map_tree, partition
 from .walker_set import WalkerSet
 
 __version__ = "0.1.0"
@@ -72,6 +73,7 @@ __all__ = [
     "default_dtype",
     "estop",
     "get_filename",
+    "linspace",
     "log_likelihood_normal",
     "log_likelihood_normal_cutoff",
     "log_likelihood_normal_weighted",
@@ -80,7 +82,10 @@ __all__ = [
     "log_poisson",
     "log_prior_flat",
     "make_bounds_prior",
+    "make_plist",
+    "map_tree",
     "mcmc_fit",
+    "partition",
     "prior_bounds",
     "read_file_data",
     "request_stop",

@@ -17,7 +17,22 @@ import numpy as np
 
 from .ops.reductions import effective_sample_size, split_rhat
 
-__all__ = ["metrics", "ess_per_param", "rhat_per_param", "summary"]
+__all__ = ["metrics", "ess_per_param", "rhat_per_param", "summary", "trace_profile"]
+
+
+def trace_profile(log_dir: str = "/tmp/lisp_mcmc_tpu_trace"):
+    """Context manager: capture a ``jax.profiler`` trace of a fit.
+
+    The rebuild's tracing subsystem (SURVEY §5: the reference had only ad
+    hoc ``time`` forms in comment blocks, mcmc-fitting.lisp:59-63).  View
+    the result with TensorBoard or Perfetto::
+
+        with trace_profile("/tmp/fit_trace"):
+            walker.adaptive_steps(30000)
+    """
+    import jax
+
+    return jax.profiler.trace(log_dir)
 
 
 def ess_per_param(walker, take: int | None = None) -> dict[str, float]:
