@@ -1,0 +1,93 @@
+"""The reference's demo script (test.lisp), end to end.
+
+Every step of /root/reference/test.lisp has a working equivalent here:
+file discovery (test.lisp:10), ingestion (12), single-dataset fit + plots
++ derived quantity (14-31), save/load round trip (38-49, which the
+reference only documents in comments), and the two-dataset global fit
+with shared parameters (52-78).
+
+Run: ``python examples/reference_journey.py [data-file]``
+(defaults to the reference's example-data.xls when present).
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import lisp_mcmc_tpu as mfit
+from lisp_mcmc_tpu import diagnostics, plotting
+from lisp_mcmc_tpu.checkpoint import walker_load, walker_save
+from lisp_mcmc_tpu.models import lorder_mixed_bg
+
+
+def find_data() -> str:
+    if len(sys.argv) > 1:
+        return sys.argv[1]
+    for root in ("/root/reference", os.path.join(os.path.dirname(__file__), "..", "data")):
+        hits = mfit.get_filename(root, include=["example", ".xls"]) if os.path.isdir(root) else []
+        if hits:
+            return hits[0]
+    raise SystemExit("no example data found; pass a path")
+
+
+def main():
+    # -- ingestion (test.lisp:10-12) -------------------------------------
+    path = find_data()
+    table = mfit.read_file_data(path)
+    x, y = mfit.create_walker_data(table, 1, 4)
+    print(f"loaded {path}: {len(table)} columns x {len(x)} rows")
+
+    # -- single-dataset fit (test.lisp:14-25) ----------------------------
+    walker = mfit.walker_create(
+        function=lorder_mixed_bg,
+        data=(x, y),
+        params={"scale": 1e-5, "linewidth": 7, "x0": 2200, "mix": 0.9,
+                "bg0": 1e-7, "bg1": 1e-9},
+        data_error=1e-7,
+        n_walkers=1024,
+        walker_jitter=0.05,
+    )
+    walker.adaptive_steps(30000, temperature=10.0)
+    print(diagnostics.summary(walker))
+    # expected most-likely log-posterior ~4646.756+ (test.lisp:26-30)
+
+    # -- plots + derived quantity (test.lisp:25-31) ----------------------
+    out = tempfile.mkdtemp(prefix="mfit_")
+    plotting.plot_data_and_fit(walker, filename=os.path.join(out, "fit.png"))
+    plotting.plot_residuals(walker, filename=os.path.join(out, "residuals.png"))
+    plotting.caterpillar_plots(walker, filename=os.path.join(out, "traces.png"))
+    plotting.likelihood_plot(walker, filename=os.path.join(out, "trace_lp.png"))
+    plotting.all_corner_plots(walker, filename=os.path.join(out, "corner.png"))
+    q_factor = mfit.walker_with_expression(walker, "(/ :linewidth :x0)")
+    print(f"linewidth/x0 = {q_factor:.6g}  (walker-with-exp, test.lisp:31)")
+
+    # -- save / load round trip (test.lisp:38-49) ------------------------
+    ckpt = os.path.join(out, "walker.npz")
+    walker_save(walker, ckpt)
+    reloaded = walker_load(ckpt)
+    reloaded.adaptive_steps(2000, auto=None)  # resumable mid-run
+    print(f"reloaded fit best lp: {reloaded.most_likely_step()[0]:.3f}")
+
+    # -- global two-dataset fit with shared params (test.lisp:52-78) -----
+    y2 = np.asarray(mfit.create_walker_data(table, 1, 8)[1])
+    global_fit = mfit.mcmc_fit(
+        function=[lorder_mixed_bg, lorder_mixed_bg],
+        data=[(x, y), (x, y2)],
+        params={"scale": 1e-5, "linewidth": 7, "x0": 2200, "mix": 0.9,
+                "bg0": 1e-7, "bg1": 1e-9},  # all shared across datasets
+        data_error=[1e-7, float(np.std(y2[:30]))],
+        n_steps=20000,
+        n_walkers=1024,
+    )
+    print("global fit shared params:", {
+        k: round(float(v), 4) for k, v in global_fit.most_likely_params().items()
+    })
+    print(f"figures in {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,8 @@ __all__ = [
     "corner_plot",
     "all_corner_plots",
     "param_histogram",
+    "plot_set_param",
+    "plot_file",
     "heatmap",
     "show",
 ]
@@ -214,6 +216,33 @@ def param_histogram(walker, key: str, take: int | None = None, bins: int | None 
            color="steelblue", edgecolor="none")
     ax.set_xlabel(key)
     ax.set_ylabel("count")
+    return _save(fig, filename)
+
+
+def plot_set_param(walker_set, key: str, filename: str | None = None):
+    """One fitted parameter across a set of fits
+    (``walker-set-plot-param``, mcmc-fitting.lisp:1035-1036)."""
+    values = [w.most_likely_params()[key] for w in walker_set]
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.plot(values, "ko-", ms=4, lw=0.8)
+    ax.set_xlabel("fit index")
+    ax.set_ylabel(key)
+    ax.set_title(f"{key} across {len(values)} fits")
+    return _save(fig, filename)
+
+
+def plot_file(path: str, x_column: int = 0, y_column: int = 1, delim=None,
+              filename: str | None = None):
+    """Quick-plot two columns of a data file (the ``plot-file`` helpers,
+    mcmc-fitting.lisp:1480-1488)."""
+    from .io import read_file_data
+
+    table = read_file_data(path, delim=delim)
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(table[x_column], table[y_column], "k.-", ms=3, lw=0.5)
+    ax.set_xlabel(f"column {x_column}")
+    ax.set_ylabel(f"column {y_column}")
+    ax.set_title(os.path.basename(path))
     return _save(fig, filename)
 
 

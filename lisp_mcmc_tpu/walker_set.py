@@ -42,6 +42,13 @@ class WalkerSet(list):
         """``walker-set-get-median-params`` (mcmc-fitting_230522.lisp:797)."""
         return [w.median_params(take) for w in self]
 
+    def plot_param(self, key: str, filename: str | None = None):
+        """Scatter one fitted parameter across the set
+        (``walker-set-plot-param``, mcmc-fitting.lisp:1035-1036)."""
+        from .plotting import plot_set_param
+
+        return plot_set_param(self, key, filename=filename)
+
     def delete(self):
         """``walker-set-delete`` (1032-1033)."""
         for w in self:
