@@ -83,6 +83,30 @@ def main():
             f"best={float(jnp.max(state.best_logprob)):.2f} dtype={walker.dtype}",
             file=sys.stderr,
         )
+        # ESS/sec (the second metric of BASELINE.md's pair): collect a
+        # short thinned history at the converged state, reduce ON DEVICE,
+        # and extrapolate — only d scalars cross the host boundary.
+        from lisp_mcmc_tpu.diagnostics import ess_from_history
+
+        walker.state = state
+        hist_runner = walker._runner(with_history=True)
+        walker.state, _ = hist_runner(walker.state, True, True)  # compile warmup
+        jax.block_until_ready(walker.state.position)
+        t1 = time.perf_counter()
+        hist_chunks = 10
+        device_hist = []
+        for _ in range(hist_chunks):
+            walker.state, h = hist_runner(walker.state, True, True)
+            device_hist.append(h["positions"])          # stays on device
+        positions = jnp.concatenate(device_hist, axis=0)
+        jax.block_until_ready(positions)
+        hist_elapsed = time.perf_counter() - t1
+        ess = ess_from_history(positions, walker.spec.keys)
+        print(
+            f"# min-ESS={min(ess.values()):.0f} over {hist_chunks * chunk} steps "
+            f"-> {min(ess.values()) / hist_elapsed:.0f} ESS/sec",
+            file=sys.stderr,
+        )
 
     print(json.dumps({
         "metric": "adaptive-MH chain-steps/sec, 6-param lorder-mixed-bg fit, 334-pt dataset",

@@ -17,7 +17,8 @@ import numpy as np
 
 from .ops.reductions import effective_sample_size, split_rhat
 
-__all__ = ["metrics", "ess_per_param", "rhat_per_param", "summary", "trace_profile"]
+__all__ = ["metrics", "ess_per_param", "ess_from_history", "rhat_per_param",
+           "summary", "trace_profile"]
 
 
 def trace_profile(log_dir: str = "/tmp/lisp_mcmc_tpu_trace"):
@@ -38,10 +39,21 @@ def trace_profile(log_dir: str = "/tmp/lisp_mcmc_tpu_trace"):
 def ess_per_param(walker, take: int | None = None) -> dict[str, float]:
     """Total effective sample size per parameter over all walkers."""
     pos, _ = walker._history(take)  # (T, W, d)
-    out = {}
-    for i, k in enumerate(walker.spec.keys):
-        out[k] = float(effective_sample_size(jnp.asarray(pos[:, :, i])))
-    return out
+    return ess_from_history(jnp.asarray(pos), walker.spec.keys)
+
+
+def ess_from_history(positions, keys) -> dict[str, float]:
+    """ESS per parameter from a device-resident ``(T, W, d)`` history.
+
+    The whole reduction runs on device; only ``d`` scalars transfer to the
+    host (BASELINE.json: "diagnostics reduce on device before host
+    transfer" — host round-trips of the raw history dominate otherwise).
+    """
+    positions = jnp.asarray(positions)
+    return {
+        k: float(effective_sample_size(positions[:, :, i]))
+        for i, k in enumerate(keys)
+    }
 
 
 def rhat_per_param(walker, take: int | None = None) -> dict[str, float]:
