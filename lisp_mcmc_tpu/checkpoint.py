@@ -73,6 +73,16 @@ def walker_save(walker, path: str, take: int | None = None) -> None:
     """
     import jax
 
+    if (getattr(walker, "_custom_log_post", None) is not None
+            or walker.aux is not None or walker.group_ids is not None):
+        raise ValueError(
+            "walker_save: this walker has a custom log-posterior / per-walker "
+            "aux data / adaptation groups (e.g. BatchedNVFit), which this "
+            "checkpoint format does not capture — a reload would silently fit "
+            "the wrong posterior.  Recreate such fits from their pipeline "
+            "inputs instead."
+        )
+
     state = walker.state
     arrays = {
         # Typed PRNG keys serialize as raw uint32 words + impl name.
@@ -223,6 +233,7 @@ def walker_load(path: str, *, function=None, log_likelihood=None, log_prior=None
     )
     walker._accept_log = list(arrays["accept_log"])
     walker._lpmax_trace = []
+    walker._lpmean_trace = []
     return walker
 
 

@@ -147,11 +147,9 @@ def clean_data(data, num_functions: int) -> list[tuple[np.ndarray, np.ndarray]]:
         cols = [np.asarray(c, dtype=np.float64) for c in ds]
         if len(cols) < 2:
             raise ValueError("clean_data: each dataset needs at least (x, y) columns.")
+        # >2 columns: all but the last stack into a multi-column x.
         x = cols[0] if len(cols) == 2 else np.stack(cols[:-1], axis=-1)
-        y = cols[-1] if len(cols) == 2 else cols[-1]
-        if len(cols) == 2:
-            x, y = cols
-        out.append((x, y))
+        out.append((x, cols[-1]))
     return out
 
 

@@ -54,6 +54,15 @@ def _force_list(item):
     return [item]
 
 
+def _nonzero_scales(vec):
+    """Per-parameter magnitudes with zeros replaced by a small derived
+    scale (so no proposal coordinate is permanently stuck)."""
+    v = np.asarray(vec, dtype=np.float64)
+    nonzero = np.abs(v[v != 0])
+    fallback = 1e-3 * nonzero.mean() if nonzero.size else 1e-3
+    return np.where(v == 0, fallback, v)
+
+
 @dataclasses.dataclass
 class _Term:
     """One (function, dataset, likelihood, prior) posterior term."""
@@ -130,6 +139,7 @@ class Walker:
         self._hist_logprobs: list[np.ndarray] = []   # each (K, W)
         self._accept_log: list[float] = []           # per-chunk pooled acceptance
         self._lpmax_trace: list[np.ndarray] = []     # per-step max-logprob traces
+        self._lpmean_trace: list[np.ndarray] = []    # per-step ensemble means
 
     # ------------------------------------------------------------------ build
 
@@ -156,11 +166,7 @@ class Walker:
         zero proposal stddev and a permanently stuck coordinate, so zeros are
         replaced by a small scale derived from the other parameters.
         """
-        v = np.asarray(vec, dtype=np.float64)
-        nonzero = np.abs(v[v != 0])
-        fallback = 1e-3 * nonzero.mean() if nonzero.size else 1e-3
-        v = np.where(v == 0, fallback, v)
-        return jnp.asarray(np.diag(v), self.dtype)
+        return jnp.asarray(np.diag(_nonzero_scales(vec)), self.dtype)
 
     def _eval_batch(self, positions):
         if self.aux is None:
@@ -272,12 +278,10 @@ class Walker:
         i_chunk = 0
         with control.interruptible():
             while remaining > 0 and not control.stop_requested():
-                # During shutdown: temperature pinned to 1 via age >= temp_steps
-                # is not available, so the kernel uses the schedule; we emulate
-                # the reference's "T=1 cold finish" (915) by disabling refresh
-                # and relying on the schedule's tail (cos zero at temp-steps).
+                # Shutdown = the reference's cold finish (915-917): refresh
+                # disabled and temperature pinned to 1 (force_cold).
                 allow_refresh = not shutting_down
-                state, out = runner(self.state, True, allow_refresh)
+                state, out = runner(self.state, True, allow_refresh, shutting_down)
                 self.state = state
                 self._record_chunk(out, collect_history)
                 i_chunk += 1
@@ -298,7 +302,8 @@ class Walker:
                     continue
                 # ... or when auto-stop triggers (907-917).
                 if cfg.auto and step % 1000 < chunk and step > 2 * settle:
-                    acc = float(np.mean(self._accept_log[-(1000 // chunk):]))
+                    k = max(1, 1000 // chunk)  # last ~1000 steps of chunks
+                    acc = float(np.mean(self._accept_log[-k:]))
                     if 0.2 < acc < 0.5 and self._auto_settled(cfg, settle):
                         shutting_down = True
                         remaining = shutdown_chunks
@@ -306,6 +311,7 @@ class Walker:
     def _record_chunk(self, out, collect_history: bool):
         self._accept_log.append(float(out["accept_rate"]))
         self._lpmax_trace.append(np.asarray(out["logprob_max"]))
+        self._lpmean_trace.append(np.asarray(out["logprob_mean"]))
         if collect_history and "positions" in out:
             self._hist_positions.append(np.asarray(out["positions"]))
             self._hist_logprobs.append(np.asarray(out["logprobs"]))
@@ -327,7 +333,20 @@ class Walker:
             window = trace[-settle:]
             early_max = window[:200].max()
             late_max = window[-200:].max()
-            return abs(early_max - late_max) < 0.5 and 4 < (early_max - window.min()) < 9
+            if self.n_walkers == 1:
+                # Reference semantics: a single chain's trace wanders by a
+                # few log-units when healthy (the 4..9 band).
+                return (abs(early_max - late_max) < 0.5
+                        and 4 < (early_max - window.min()) < 9)
+            # Ensemble semantics: the max over W walkers is nearly flat
+            # once settled (the reference band would never trigger), so
+            # require both the max trace and the ensemble-mean trace to
+            # have stopped drifting.
+            if not self._lpmean_trace:
+                return abs(early_max - late_max) < 0.5
+            mean_trace = np.concatenate(self._lpmean_trace)[-settle:]
+            mean_drift = abs(mean_trace[:200].mean() - mean_trace[-200:].mean())
+            return abs(early_max - late_max) < 0.5 and mean_drift < 0.5
         if cfg.auto == "slope-settle":
             # stable-prob-slope-p (886-887) rebuilt as a closed-form OLS
             # slope on the trace instead of the reference's nested MCMC
@@ -346,7 +365,8 @@ class Walker:
         self.state = dataclasses.replace(self.state, l_matrix=l)
 
     def many_steps(self, n: int, l_matrix=None):
-        """Fixed-L stepping, no adaptation (``walker-many-steps``, 849-853)."""
+        """Fixed-L stepping, no adaptation, T=1 (``walker-many-steps``,
+        849-853: "No temperature or any other intelligent features")."""
         if l_matrix is not None:
             self._set_l_matrix(l_matrix)
         else:
@@ -356,7 +376,7 @@ class Walker:
         runner = self._runner(greedy=False, with_history=True)
         chunks = max(1, math.ceil(n / self.config.chunk_size))
         for _ in range(chunks):
-            state, out = runner(self.state, False, False)  # adaptation disabled
+            state, out = runner(self.state, False, False, True)  # cold, no adapt
             self.state = state
             self._record_chunk(out, True)
 
@@ -369,10 +389,7 @@ class Walker:
         the reference's 20-step check over a 50-step window.
         """
         control.clear_stop()
-        best = np.asarray(self.best_params_vector(), dtype=np.float64)
-        nonzero = np.abs(best[best != 0])
-        fallback = 1e-3 * nonzero.mean() if nonzero.size else 1e-3
-        best = np.where(best == 0, fallback, best)
+        best = _nonzero_scales(self.best_params_vector())
         self._set_l_matrix(initial_scale * np.diag(best))
         runner = self._runner(greedy=True, with_history=False)
         chunks = max(1, math.ceil(n / self.config.chunk_size))
@@ -395,6 +412,12 @@ class Walker:
 
     def swap_data(self, datasets: Sequence[Dataset]):
         """Replace the datasets term-by-term, then re-evaluate in place."""
+        if self._custom_log_post is not None:
+            raise ValueError(
+                "swap_data: this walker uses a custom log-posterior that "
+                "closes over its data (e.g. BatchedNVFit); recreate the fit "
+                "with the new data instead"
+            )
         if len(datasets) != len(self.terms):
             raise ValueError("swap_data: dataset count must match term count")
         self.terms = [dataclasses.replace(t, dataset=d) for t, d in zip(self.terms, datasets)]
@@ -531,9 +554,16 @@ class Walker:
         bad = np.flatnonzero(bad_pos | bad_lp)
         return bad.tolist() if bad.size else None
 
-    def diagnose_params(self, params: Mapping[str, float]):
-        """Probe the posterior at given params (``walker-diagnose-params``, 1200-1204)."""
+    def diagnose_params(self, params: Mapping[str, float], aux_index: int = 0):
+        """Probe the posterior at given params (``walker-diagnose-params``, 1200-1204).
+
+        For batched fits with per-walker aux data (e.g. BatchedNVFit),
+        ``aux_index`` selects which walker's aux (spectrum) to probe.
+        """
         vec = self.spec.flatten(params, dtype=self.dtype)
+        if self.aux is not None:
+            aux_w = jax.tree_util.tree_map(lambda a: a[aux_index], self.aux)
+            return float(self._log_post_one(vec, aux_w))
         return float(self._log_post_one(vec))
 
     # ---------------------------------------------------------- mutation verbs
@@ -544,6 +574,7 @@ class Walker:
         self._hist_logprobs.clear()
         self._accept_log.clear()
         self._lpmax_trace.clear()
+        self._lpmean_trace.clear()
 
     def reset_to_most_likely(self):
         """Restart every walker at the global best (``:reset-to-most-likely``, 574-578)."""

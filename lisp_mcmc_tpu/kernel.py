@@ -197,10 +197,15 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         return total[None]
 
     def one_step(carry, i):
-        state, accept_counts = carry
+        state, accept_counts, force_cold = carry
         dtype = state.position.dtype
         key, k_prop, k_accept = jax.random.split(state.key, 3)
-        temp = temperature_schedule(state.age, ndim, config)
+        # force_cold pins T=1: the reference's shutdown phase and
+        # walker-many-steps both sample the *untempered* posterior
+        # (mcmc-fitting.lisp:915-917, 849-853).
+        temp = jnp.where(
+            force_cold, 1.0, temperature_schedule(state.age, ndim, config)
+        )
 
         z = jax.random.normal(k_prop, state.position.shape, dtype)
         if grouped:
@@ -255,7 +260,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             "logprob_mean": jnp.mean(new_logprob),
             "logprob_min": jnp.min(new_logprob),
         }
-        return (new_state, accept_counts + accf), out
+        return (new_state, accept_counts + accf, force_cold), out
 
     def adapt(state: WalkerState, group_accept, allow_refresh):
         """Chunk-boundary L update (mcmc-fitting.lisp:929-942), branchless
@@ -311,8 +316,19 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         group_total = jnp.maximum(seg_sum(ones, 0) * chunk, 1.0)   # (G,)
         group_accept = seg_sum(accept_counts, 0) / group_total     # (G,)
         adapted = adapt(state, group_accept, allow_refresh)
+        # When adaptation is off (many_steps, sample_region) the move
+        # moments are zeroed rather than kept: otherwise greedy-tuner or
+        # fixed-L displacements accumulate and poison the first covariance
+        # refresh of a later adaptive run (the reference's covariance
+        # window naturally ages such moves out).
+        not_adapted = dataclasses.replace(
+            state,
+            m_sum=jnp.zeros_like(state.m_sum),
+            m_outer=jnp.zeros_like(state.m_outer),
+            m_count=jnp.zeros_like(state.m_count),
+        )
         state = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(adapt_enabled, a, b), adapted, state
+            lambda a, b: jnp.where(adapt_enabled, a, b), adapted, not_adapted
         )
         out = {
             "logprob_max": trace["logprob_max"],      # (chunk,)
@@ -323,20 +339,22 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         }
         return state, out
 
-    def run(state: WalkerState, adapt_enabled, allow_refresh):
+    def run(state: WalkerState, adapt_enabled, allow_refresh, force_cold=False):
         """One chunk: ``chunk_size`` MH steps + one adaptation update.
 
-        ``adapt_enabled``/``allow_refresh`` are traced booleans so the
-        driver can disable adaptation (walker-many-steps, 849-853) or
-        refresh (during shutdown, 932) without recompiling.
+        ``adapt_enabled``/``allow_refresh``/``force_cold`` are traced
+        booleans so the driver can disable adaptation (walker-many-steps,
+        849-853), disable refresh, or pin T=1 (the shutdown phase,
+        915-917) without recompiling.
         """
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
-        (state, accept_counts), trace = lax.scan(
-            one_step, (state, zero_counts), jnp.arange(chunk)
+        (state, accept_counts, _), trace = lax.scan(
+            one_step, (state, zero_counts, force_cold), jnp.arange(chunk)
         )
         return _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
 
-    def run_with_history(state: WalkerState, adapt_enabled, allow_refresh):
+    def run_with_history(state: WalkerState, adapt_enabled, allow_refresh,
+                         force_cold=False):
         """Chunk runner that also returns thinned position history.
 
         History is collected on device as ``(chunk//thin, W, d)`` (every
@@ -349,8 +367,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             return carry, (out, carry[0].position, carry[0].logprob)
 
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
-        (state, accept_counts), (trace, positions, logprobs) = lax.scan(
-            one_step_hist, (state, zero_counts), jnp.arange(chunk)
+        (state, accept_counts, _), (trace, positions, logprobs) = lax.scan(
+            one_step_hist, (state, zero_counts, force_cold), jnp.arange(chunk)
         )
         state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
         out["positions"] = positions[thin - 1 :: thin]      # (chunk//thin, W, d)

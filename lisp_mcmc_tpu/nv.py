@@ -44,6 +44,7 @@ __all__ = [
     "nv_data_separated",
     "nv_dir_data",
     "log_prior_nv",
+    "make_nv_prior",
     "nv_data_std_dev",
     "guess_nv_params",
     "nv_walker",
@@ -74,7 +75,21 @@ def nv_dir_data(directory: str):
     return spectra
 
 
-# Physics prior (nv-specific.lisp:21-34): exact bounds and constraints.
+def _nv_constraints(p, pens, ds):
+    """Hard physics constraints (nv-specific.lisp:31-34)."""
+    return (
+        constraint_penalty(p["mu1"] <= p["mu2"])
+        + constraint_penalty(p["mu2"] - p["mu1"] >= 6.0)
+        + constraint_penalty(
+            (0.9 < p["scale1"] / p["scale2"]) & (p["scale1"] / p["scale2"] < 1.1)
+        )
+    )
+
+
+# Physics prior (nv-specific.lisp:21-34): the reference's exact boxes and
+# constraints.  NOTE these amplitude boxes assume the reference lab's y
+# units (backgrounds below 1e-5); the pipeline factories below default to
+# make_nv_prior(y), which rescales them to the actual spectrum.
 log_prior_nv = make_bounds_prior(
     {
         "scale1": (1e-5, 1e1),
@@ -84,15 +99,37 @@ log_prior_nv = make_bounds_prior(
         "sigma": (9, 20),
         "bg0": (0, 1e-5),
     },
-    extra=lambda p, pens, ds: (
-        constraint_penalty(p["mu1"] <= p["mu2"])
-        + constraint_penalty(p["mu2"] - p["mu1"] >= 6.0)
-        + constraint_penalty(
-            (0.9 < p["scale1"] / p["scale2"]) & (p["scale1"] / p["scale2"] < 1.1)
-        )
-    ),
+    extra=_nv_constraints,
 )
 log_prior_nv.__name__ = "log_prior_nv"  # stable name for checkpoints
+
+
+def make_nv_prior(y=None):
+    """NV prior with amplitude boxes scaled to the spectrum's units.
+
+    The mu/sigma boxes are physical (MHz) and stay fixed; scale1/scale2/
+    bg0 are in y units, so the reference's literal boxes (tuned to its
+    lab files, backgrounds < 1e-5) would reject any normalized spectrum
+    — its own auto-guess included.  With ``y`` the boxes span generous
+    multiples of the observed contrast/background; without ``y`` this is
+    exactly :data:`log_prior_nv`.
+    """
+    if y is None:
+        return log_prior_nv
+    y = np.asarray(y, dtype=np.float64)
+    contrast = max(float(y.max() - y.min()), 1e-300)
+    spread = 5.0 * contrast
+    return make_bounds_prior(
+        {
+            "scale1": (1e-3 * contrast, 1e3 * contrast),
+            "scale2": (1e-3 * contrast, 1e3 * contrast),
+            "mu1": (2850, 2870),
+            "mu2": (2870, 2890),
+            "sigma": (9, 20),
+            "bg0": (float(y.min()) - spread, float(y.max()) + spread),
+        },
+        extra=_nv_constraints,
+    )
 
 
 def nv_data_std_dev(y) -> float:
@@ -124,7 +161,11 @@ def guess_nv_params(y) -> dict:
 
 
 def nv_walker(data, n_walkers: int = 256, seed: int = 0, **kwargs) -> Walker:
-    """Single-spectrum walker factory (``nv-walker``, nv-specific.lisp:50-56)."""
+    """Single-spectrum walker factory (``nv-walker``, nv-specific.lisp:50-56).
+
+    The prior defaults to :func:`make_nv_prior` scaled to this spectrum's
+    y units; pass ``log_prior=...`` to override.
+    """
     x, y = data
     return walker_create(
         function=double_lorentzian_bg,
@@ -132,7 +173,7 @@ def nv_walker(data, n_walkers: int = 256, seed: int = 0, **kwargs) -> Walker:
         params=guess_nv_params(y),
         data_error=nv_data_std_dev(y),
         log_likelihood=log_likelihood_normal,
-        log_prior=log_prior_nv,
+        log_prior=kwargs.pop("log_prior", None) or make_nv_prior(y),
         n_walkers=n_walkers,
         seed=seed,
         walker_jitter=kwargs.pop("walker_jitter", 0.02),
@@ -169,7 +210,7 @@ class BatchedNVFit(Walker):
     """
 
     def __init__(self, spectra, walkers_per_spectrum: int = 128, seed: int = 0,
-                 model=double_lorentzian_bg, prior=log_prior_nv, dtype=None,
+                 model=double_lorentzian_bg, prior=None, dtype=None,
                  config=None, walker_jitter: float = 0.02):
         from .fit import default_dtype
 
@@ -177,6 +218,11 @@ class BatchedNVFit(Walker):
         S = len(spectra)
         if S == 0:
             raise ValueError("no spectra provided")
+        if prior is None:
+            # Amplitude boxes scaled to the pooled y range of all spectra.
+            prior = make_nv_prior(np.concatenate(
+                [np.asarray(y, np.float64) for _, y in spectra]
+            ))
         x0 = np.asarray(spectra[0][0], dtype=np.float64)
         P = pad_to(len(x0))
         ys, sigmas, guesses = [], [], []
