@@ -34,6 +34,8 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import lisp_mcmc_tpu as mfit
+
+    mfit.enable_compilation_cache()  # reuse TPU compiles across runs
     from lisp_mcmc_tpu.kernel import build_chunk_runner
     from lisp_mcmc_tpu.models import lorder_mixed_bg
 
@@ -56,18 +58,20 @@ def main():
     if len(jax.devices()) > 1 and args.walkers % len(jax.devices()) == 0:
         walker.shard()
 
-    run, _ = build_chunk_runner(walker._log_post_one, walker.ndim, walker.config)
+    run, _ = build_chunk_runner(walker._log_post_one, walker.ndim, walker.config,
+                                takes_data=True)
+    data = walker._posterior_data()
     # NOTE: no donate_argnums — buffer donation trips the axon TPU backend.
     step = jax.jit(run)
 
     state = walker.state
     for _ in range(args.warmup_chunks):
-        state, out = step(state, True, True)
+        state, out = step(state, True, True, False, data)
     jax.block_until_ready(state.position)
 
     t0 = time.perf_counter()
     for _ in range(args.chunks):
-        state, out = step(state, True, True)
+        state, out = step(state, True, True, False, data)
     jax.block_until_ready(state.position)
     elapsed = time.perf_counter() - t0
 
@@ -90,13 +94,13 @@ def main():
 
         walker.state = state
         hist_runner = walker._runner(with_history=True)
-        walker.state, _ = hist_runner(walker.state, True, True)  # compile warmup
+        walker.state, _ = hist_runner(walker.state, True, True, False, data)  # compile warmup
         jax.block_until_ready(walker.state.position)
         t1 = time.perf_counter()
         hist_chunks = 10
         device_hist = []
         for _ in range(hist_chunks):
-            walker.state, h = hist_runner(walker.state, True, True)
+            walker.state, h = hist_runner(walker.state, True, True, False, data)
             device_hist.append(h["positions"])          # stays on device
         positions = jnp.concatenate(device_hist, axis=0)
         jax.block_until_ready(positions)

@@ -40,6 +40,7 @@ def main():
     from lisp_mcmc_tpu import nv
     from lisp_mcmc_tpu.models import gaussian_peak, line, lorder_mixed_bg
 
+    mfit.enable_compilation_cache()
     on_tpu = jax.default_backend() == "tpu"
     W = 16384 if on_tpu else 256
     rng = np.random.default_rng(0)
@@ -55,13 +56,15 @@ def main():
         y = lorder_mixed_bg(x, {"scale": 2.3e-6, "linewidth": 16.5, "x0": 2789.0,
                                 "mix": 3.1, "bg0": 2.3e-7, "bg1": -1e-10})
         y = np.asarray(y) + 1e-7 * rng.standard_normal(334)
-    w1 = mfit.mcmc_fit(
+    w1 = mfit.walker_create(
         function=lorder_mixed_bg, data=(x, y),
         params={"scale": 1e-5, "linewidth": 7, "x0": 2200, "mix": 0.9,
                 "bg0": 1e-7, "bg1": 1e-9},
-        data_error=1e-7, n_steps=30000, n_walkers=W, seed=0,
+        data_error=1e-7, n_walkers=W, seed=0, walker_jitter=0.05,
         log_likelihood=mfit.log_likelihood_normal_weighted,
     )
+    # summary-only run: skip history capture (slow on remote-tunnel hosts)
+    w1.adaptive_steps(30000, collect_history=False)
     report("1-test.lisp-single-fit", w1, t0)
 
     # 2. Gaussian peak fit with bounded priors + adaptive covariance.
@@ -69,11 +72,12 @@ def main():
     xg = np.linspace(-5, 5, 200)
     yg = 3.0 * np.exp(-0.5 * ((xg - 0.7) / 1.3) ** 2) + 0.05 * rng.standard_normal(200)
     prior = mfit.make_bounds_prior({"scale": (0.1, 10), "x0": (-3, 3), "sigma": (0.3, 5)})
-    w2 = mfit.mcmc_fit(
+    w2 = mfit.walker_create(
         function=gaussian_peak, data=(xg, yg),
         params={"scale": 1.0, "x0": 0.0, "sigma": 1.0},
-        data_error=0.05, log_prior=prior, n_steps=10000, n_walkers=W, seed=1,
+        data_error=0.05, log_prior=prior, n_walkers=W, seed=1, walker_jitter=0.1,
     )
+    w2.adaptive_steps(10000, collect_history=False)
     report("2-bounded-gaussian-peak", w2, t0,
            expect={"x0": (0.7, 0.1), "sigma": (1.3, 0.15)})
 
@@ -81,11 +85,12 @@ def main():
     t0 = time.perf_counter()
     xp = np.linspace(0, 10, 150)
     counts = rng.poisson(4.0 + 2.5 * xp).astype(float)
-    w3 = mfit.mcmc_fit(
+    w3 = mfit.walker_create(
         function=line, data=(xp, counts), params={"m": 1.0, "b": 1.0},
         log_likelihood=mfit.log_likelihood_poisson,
-        n_steps=10000, n_walkers=W, seed=2,
+        n_walkers=W, seed=2, walker_jitter=0.1,
     )
+    w3.adaptive_steps(10000, collect_history=False)
     report("3-poisson-counts", w3, t0, expect={"m": (2.5, 0.4), "b": (4.0, 1.2)})
 
     # 4. Global multi-dataset fit with shared parameters.
@@ -101,11 +106,12 @@ def main():
     def line_b(x, p):
         return p["m"] * x + p["bb"]
 
-    w4 = mfit.mcmc_fit(
+    w4 = mfit.walker_create(
         function=[line_a, line_b], data=[(xa, ya), (xa, yb)],
         params={"m": 1.0, "ba": 0.0, "bb": 0.0},
-        data_error=[0.1, 0.2], n_steps=10000, n_walkers=W, seed=3,
+        data_error=[0.1, 0.2], n_walkers=W, seed=3, walker_jitter=0.1,
     )
+    w4.adaptive_steps(10000, collect_history=False)
     report("4-global-shared-params", w4, t0, expect={"m": (shared_m, 0.1)})
 
     # 5. NV spectra batch: many walkers, sharded when devices allow.
@@ -125,7 +131,7 @@ def main():
     n_dev = len(jax.devices())
     if n_dev > 1 and fit.n_walkers % n_dev == 0:
         fit.shard()
-    fit.adaptive_steps(8000)
+    fit.adaptive_steps(8000, collect_history=False)
     report("5-nv-batched-sharded", fit, t0)
     print(json.dumps({"config": "5-details",
                       "n_walkers": fit.n_walkers,

@@ -35,6 +35,7 @@ def find_data() -> str:
 
 
 def main():
+    mfit.enable_compilation_cache()
     # -- ingestion (test.lisp:10-12) -------------------------------------
     path = find_data()
     table = mfit.read_file_data(path)

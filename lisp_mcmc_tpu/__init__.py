@@ -56,6 +56,27 @@ from .walker_set import WalkerSet
 
 __version__ = "0.1.0"
 
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Turn on JAX's persistent compilation cache for this process.
+
+    First TPU compiles of the chunk kernel take tens of seconds (remote
+    compile); with the cache, later processes reuse them in ~1s.  Safe to
+    call repeatedly.  Returns the cache directory used.
+    """
+    import os
+
+    import jax
+
+    path = path or os.environ.get(
+        "LISP_MCMC_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "lisp_mcmc_tpu", "xla"),
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
+
 __all__ = [
     "Dataset",
     "FitConfig",
@@ -71,6 +92,7 @@ __all__ = [
     "create_log_likelihood_function",
     "create_walker_data",
     "default_dtype",
+    "enable_compilation_cache",
     "estop",
     "get_filename",
     "linspace",

@@ -205,6 +205,8 @@ def walker_load(path: str, *, function=None, log_likelihood=None, log_prior=None
     walker.n_walkers = header["n_walkers"]
     walker._runner_cache = {}
     walker._custom_log_post = None
+    walker._custom_data = None
+    walker._custom_batched = None
     walker.aux = None
     walker.group_ids = None
     walker.n_groups = int(np.asarray(arrays["l_matrix"]).shape[0])

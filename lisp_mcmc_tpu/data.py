@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,6 +34,10 @@ def pad_to(n: int, multiple: int = LANE) -> int:
     return ((max(n, 1) + multiple - 1) // multiple) * multiple
 
 
+# Registered as a pytree below (arrays = leaves, n = static) so datasets
+# pass through jit as runtime ARGUMENTS rather than baked trace constants:
+# one compiled kernel then serves every same-shaped dataset (and the
+# persistent compilation cache hits across data files).
 @dataclasses.dataclass(frozen=True)
 class Dataset:
     """One (x, y, sigma, mask) dataset, padded to static lane-aligned length.
@@ -110,6 +115,11 @@ class Dataset:
             mask=self.mask.astype(dtype),
             n=self.n,
         )
+
+
+jax.tree_util.register_dataclass(
+    Dataset, data_fields=["x", "y", "sigma", "mask"], meta_fields=["n"]
+)
 
 
 def _depth(tree) -> int:

@@ -100,8 +100,14 @@ class Walker:
         group_ids=None,
         n_groups: int = 1,
         log_posterior: Callable | None = None,
+        posterior_data=None,
+        batched_log_posterior: Callable | None = None,
     ):
         self._custom_log_post = log_posterior
+        self._custom_data = posterior_data
+        # Optional whole-batch posterior ``(positions (W,d), data) -> (W,)``
+        # for structured ensembles where per-walker vmap would gather.
+        self._custom_batched = batched_log_posterior
         self.terms = terms
         self.spec = spec
         self.config = config or FitConfig()
@@ -144,20 +150,33 @@ class Walker:
     # ------------------------------------------------------------------ build
 
     def _build_log_posterior(self):
+        """Posterior for ONE walker: ``log_post(theta[, aux_w], data)``.
+
+        ``data`` is the pytree from :meth:`_posterior_data`, passed as a
+        runtime argument (never a trace constant) so one compiled kernel
+        serves every same-shaped dataset — fitting a new file of the same
+        shape costs no recompile.
+        """
         if getattr(self, "_custom_log_post", None) is not None:
             return self._custom_log_post
         terms = self.terms
         spec = self.spec
 
-        def log_post(theta):
+        def log_post(theta, datasets):
             params = spec.unflatten(theta)
             total = jnp.asarray(0.0, theta.dtype)
-            for t in terms:
-                total = total + t.likelihood(t.fn, params, t.dataset)
-                total = total + t.prior(params, t.dataset)
+            for t, ds in zip(terms, datasets):
+                total = total + t.likelihood(t.fn, params, ds)
+                total = total + t.prior(params, ds)
             return total
 
         return log_post
+
+    def _posterior_data(self):
+        """The dataset pytree passed to the posterior at run time."""
+        if getattr(self, "_custom_data", None) is not None:
+            return self._custom_data
+        return tuple(t.dataset for t in self.terms)
 
     def _initial_l_matrix(self, vec):
         """Cold-start proposal: diag of parameter values (mcmc-fitting.lisp:899).
@@ -169,18 +188,34 @@ class Walker:
         return jnp.asarray(np.diag(_nonzero_scales(vec)), self.dtype)
 
     def _eval_batch(self, positions):
-        if self.aux is None:
-            return jax.vmap(self._log_post_one)(positions)
-        return jax.vmap(self._log_post_one, in_axes=(0, 0))(positions, self.aux)
+        # jit (cached) rather than eager vmap: on remote-compile backends an
+        # eager batch evaluation compiles every op separately (minutes for a
+        # large custom posterior); one jitted program compiles once.
+        fn = self._runner_cache.get("_eval_batch")
+        if fn is None:
+            if self._custom_batched is not None:
+                fn = jax.jit(self._custom_batched)
+            elif self.aux is None:
+                fn = jax.jit(jax.vmap(self._log_post_one, in_axes=(0, None)))
+            else:
+                fn = jax.jit(jax.vmap(self._log_post_one, in_axes=(0, 0, None)))
+            self._runner_cache["_eval_batch"] = fn
+        if self._custom_batched is not None or self.aux is None:
+            return fn(positions, self._posterior_data())
+        return fn(positions, self.aux, self._posterior_data())
 
     def _batched_posterior(self):
-        """Fused Pallas posterior when forced (SURVEY §7 phase 5).
+        """Whole-batch posterior override, if any.
 
-        Both implementations were benchmarked on TPU v5e (see
-        ops/loglik_pallas.py): the XLA-fused vmap path measured ~1.4x
-        faster, so "auto" resolves to XLA and "pallas" forces the kernel
-        (compiled on TPU, interpreted elsewhere — for tests).
+        Either the caller-supplied structured evaluator
+        (``batched_log_posterior``) or, when forced, the fused Pallas
+        kernel (SURVEY §7 phase 5).  Both implementations were benchmarked
+        on TPU v5e (see ops/loglik_pallas.py): the XLA-fused vmap path
+        measured ~1.4x faster, so "auto" resolves to XLA and "pallas"
+        forces the kernel (compiled on TPU, interpreted elsewhere).
         """
+        if self._custom_batched is not None:
+            return self._custom_batched
         impl = self.config.posterior_impl
         if impl != "pallas" or self._custom_log_post is not None or self.aux is not None:
             return None
@@ -192,10 +227,15 @@ class Walker:
         on_tpu = jax.default_backend() == "tpu"
         from .ops.loglik_pallas import build_fused_posterior
 
-        return build_fused_posterior(
+        fused = build_fused_posterior(
             self.terms, self.spec, self.dtype, self.n_walkers,
             interpret=(not on_tpu),
         )
+        if fused is None:
+            return None
+        # Kernel protocol is (positions, data); the pallas call bakes its
+        # data at build time, so the runtime argument is ignored.
+        return lambda positions, data: fused(positions)
 
     def _runner(self, greedy: bool = False, with_history: bool = True):
         cfg = dataclasses.replace(self.config, greedy=greedy)
@@ -205,6 +245,7 @@ class Walker:
                 self._log_post_one, self.spec.ndim, cfg,
                 group_ids=self.group_ids, n_groups=self.n_groups, aux=self.aux,
                 batched_posterior=self._batched_posterior(),
+                takes_data=True,
             )
             fn = run_hist if with_history else run
             jitted = jax.jit(fn)
@@ -266,6 +307,11 @@ class Walker:
 
     def _adaptive_loop(self, cfg: FitConfig, collect_history: bool, progress: bool):
         control.clear_stop()
+        if cfg.sampling_optimization:
+            # The reference's sampling-optimization path: tune the proposal
+            # scale with greedy pretend-steps before adaptive stepping
+            # (walker-adaptive-steps-full 862 -> walker-sample-region 949).
+            self.sample_region()
         d = self.ndim
         settle = cfg.steps_to_settle(d)
         chunk = cfg.chunk_size
@@ -279,9 +325,16 @@ class Walker:
         with control.interruptible():
             while remaining > 0 and not control.stop_requested():
                 # Shutdown = the reference's cold finish (915-917): refresh
-                # disabled and temperature pinned to 1 (force_cold).
-                allow_refresh = not shutting_down
-                state, out = runner(self.state, True, allow_refresh, shutting_down)
+                # disabled and temperature pinned to 1 (force_cold).  The
+                # flags are passed as traced device booleans so flipping
+                # them mid-run does NOT retrace/recompile the chunk.
+                state, out = runner(
+                    self.state,
+                    jnp.asarray(True),
+                    jnp.asarray(not shutting_down),
+                    jnp.asarray(shutting_down),
+                    self._posterior_data(),
+                )
                 self.state = state
                 self._record_chunk(out, collect_history)
                 i_chunk += 1
@@ -376,7 +429,9 @@ class Walker:
         runner = self._runner(greedy=False, with_history=True)
         chunks = max(1, math.ceil(n / self.config.chunk_size))
         for _ in range(chunks):
-            state, out = runner(self.state, False, False, True)  # cold, no adapt
+            state, out = runner(  # cold, no adaptation
+                self.state, False, False, True, self._posterior_data()
+            )
             self.state = state
             self._record_chunk(out, True)
 
@@ -396,7 +451,7 @@ class Walker:
         for _ in range(chunks):
             if control.stop_requested():
                 break
-            state, out = runner(self.state, False, False)
+            state, out = runner(self.state, False, False, True, self._posterior_data())
             acc = float(out["accept_rate"])
             scale = 0.25 if acc <= 0.02 else (1.7 if acc > 0.08 else 1.0)
             state = dataclasses.replace(state, l_matrix=state.l_matrix * scale)
@@ -563,8 +618,8 @@ class Walker:
         vec = self.spec.flatten(params, dtype=self.dtype)
         if self.aux is not None:
             aux_w = jax.tree_util.tree_map(lambda a: a[aux_index], self.aux)
-            return float(self._log_post_one(vec, aux_w))
-        return float(self._log_post_one(vec))
+            return float(self._log_post_one(vec, aux_w, self._posterior_data()))
+        return float(self._log_post_one(vec, self._posterior_data()))
 
     # ---------------------------------------------------------- mutation verbs
 

@@ -42,6 +42,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .ops.linalg import cholesky_clamped, haario_scale, moments_covariance
@@ -69,6 +70,7 @@ class FitConfig:
     settle_multiplier: int = 10          # steps-to-settle = 10*max(50, d) (873)
     settle_floor: int = 50
     auto: str | None = "prob-settle"     # :prob-settle | :slope-settle | None (862)
+    sampling_optimization: bool = False  # run the greedy region tuner first (862, 949)
     max_history: int = 30000             # max-walker-length analogue (923-927)
     thin: int = 10                       # history thinning (device->host traffic)
     greedy: bool = False                 # pretend-take-step accept rule (1117)
@@ -156,7 +158,8 @@ def _neg_floor(dtype):
 
 def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                        group_ids=None, n_groups: int = 1, aux=None,
-                       batched_posterior: Callable | None = None):
+                       batched_posterior: Callable | None = None,
+                       takes_data: bool = False):
     """Compile the chunked MH scan for a given posterior.
 
     ``log_posterior(theta_vec) -> scalar`` (or ``(theta_vec, aux_w) ->
@@ -172,31 +175,63 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     Returns ``(run, run_with_history)``; each maps
     ``(state, adapt_enabled, allow_refresh) -> (state, out)``.
     """
-    if batched_posterior is not None and aux is None:
-        # Fused Pallas path (ops/loglik_pallas.py): whole-batch evaluation.
+    # ``takes_data``: the posterior receives the dataset pytree as a
+    # runtime ARGUMENT (log_posterior(theta[, aux_w], data)) instead of a
+    # closure constant, so one compiled chunk serves every same-shaped
+    # dataset and the persistent compilation cache hits across data files.
+    if batched_posterior is not None:
+        # Whole-batch posterior: ``batched_posterior(positions, data) ->
+        # (W,)``.  Used by the fused Pallas path (data baked, arg ignored)
+        # and by structured ensembles (e.g. BatchedNVFit's reshape-based
+        # per-spectrum evaluation, which avoids per-walker data gathers).
         eval_lp = batched_posterior
     elif aux is None:
-        batched_logpost = jax.vmap(log_posterior)
-        eval_lp = lambda pos: batched_logpost(pos)
+        if takes_data:
+            batched_logpost = jax.vmap(log_posterior, in_axes=(0, None))
+            eval_lp = lambda pos, data: batched_logpost(pos, data)
+        else:
+            batched_logpost = jax.vmap(log_posterior)
+            eval_lp = lambda pos, data: batched_logpost(pos)
     else:
-        batched_logpost = jax.vmap(log_posterior, in_axes=(0, 0))
-        eval_lp = lambda pos: batched_logpost(pos, aux)
+        if takes_data:
+            batched_logpost = jax.vmap(log_posterior, in_axes=(0, 0, None))
+            eval_lp = lambda pos, data: batched_logpost(pos, aux, data)
+        else:
+            batched_logpost = jax.vmap(log_posterior, in_axes=(0, 0))
+            eval_lp = lambda pos, data: batched_logpost(pos, aux)
 
     settle = config.steps_to_settle(ndim)
     chunk = config.chunk_size
     thin = max(1, min(config.thin, chunk))
     grouped = group_ids is not None and n_groups > 1
+    # Contiguous equal-size groups (repeat(arange(G), B)) are the common
+    # layout (one block of walkers per spectrum).  For them both the
+    # per-group reductions and the per-walker L lookup become reshapes —
+    # scatter-add (segment_sum) and (W, d, d) gathers measured ~25x slower
+    # per step on TPU v5e.
+    group_block = None
+    if grouped:
+        gi = np.asarray(group_ids)
+        W_g = gi.shape[0]
+        if W_g % n_groups == 0:
+            B = W_g // n_groups
+            if (gi == np.repeat(np.arange(n_groups), B)).all():
+                group_block = B
     if group_ids is not None:
         group_ids = jnp.asarray(group_ids, jnp.int32)
 
     def seg_sum(x, dims: int):
         """Sum per adaptation group; plain sum when ungrouped (G=1)."""
+        if grouped and group_block is not None:
+            return jnp.sum(
+                x.reshape((n_groups, group_block) + x.shape[1:]), axis=1
+            )
         if grouped:
             return jax.ops.segment_sum(x, group_ids, num_segments=n_groups)
         total = jnp.sum(x, axis=0)
         return total[None]
 
-    def one_step(carry, i):
+    def one_step(carry, i, data=None):
         state, accept_counts, force_cold = carry
         dtype = state.position.dtype
         key, k_prop, k_accept = jax.random.split(state.key, 3)
@@ -208,13 +243,17 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         )
 
         z = jax.random.normal(k_prop, state.position.shape, dtype)
-        if grouped:
+        if grouped and group_block is not None:
+            z_g = z.reshape(n_groups, group_block, ndim)
+            step_vec = jnp.einsum("gij,gbj->gbi", state.l_matrix, z_g)
+            step_vec = step_vec.reshape(z.shape)
+        elif grouped:
             l_w = state.l_matrix[group_ids]                       # (W, d, d)
             step_vec = jnp.einsum("wij,wj->wi", l_w, z)
         else:
             step_vec = jnp.einsum("ij,wj->wi", state.l_matrix[0], z)
         proposal = state.position + step_vec
-        lp_prop = eval_lp(proposal)
+        lp_prop = eval_lp(proposal, data)
         # NaN/Inf guard: the walker-check-for-complex-walks analogue (483)
         # — a non-finite posterior is treated as "reject hard".
         lp_prop = jnp.where(jnp.isfinite(lp_prop), lp_prop, _neg_floor(dtype))
@@ -339,22 +378,25 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         }
         return state, out
 
-    def run(state: WalkerState, adapt_enabled, allow_refresh, force_cold=False):
+    def run(state: WalkerState, adapt_enabled, allow_refresh, force_cold=False,
+            data=None):
         """One chunk: ``chunk_size`` MH steps + one adaptation update.
 
         ``adapt_enabled``/``allow_refresh``/``force_cold`` are traced
         booleans so the driver can disable adaptation (walker-many-steps,
         849-853), disable refresh, or pin T=1 (the shutdown phase,
-        915-917) without recompiling.
+        915-917) without recompiling.  ``data`` is the posterior's dataset
+        pytree when built with ``takes_data`` (a scan constant, not carried).
         """
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
         (state, accept_counts, _), trace = lax.scan(
-            one_step, (state, zero_counts, force_cold), jnp.arange(chunk)
+            lambda carry, i: one_step(carry, i, data),
+            (state, zero_counts, force_cold), jnp.arange(chunk)
         )
         return _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
 
     def run_with_history(state: WalkerState, adapt_enabled, allow_refresh,
-                         force_cold=False):
+                         force_cold=False, data=None):
         """Chunk runner that also returns thinned position history.
 
         History is collected on device as ``(chunk//thin, W, d)`` (every
@@ -363,7 +405,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         any host transfer.
         """
         def one_step_hist(carry, i):
-            carry, out = one_step(carry, i)
+            carry, out = one_step(carry, i, data)
             return carry, (out, carry[0].position, carry[0].logprob)
 
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .data import Dataset, pad_to
@@ -255,14 +256,50 @@ class BatchedNVFit(Walker):
             (-0.5 * np.log(2 * np.pi) - jnp.log(sig_dev)) * mask_dev, axis=1
         )  # (S,) constant per spectrum
 
-        def log_post(theta, spectrum_idx):
+        # The spectra arrays ride as the posterior's runtime data argument
+        # (NOT closure constants), so a new scan file of the same shape
+        # reuses the compiled kernel (and the persistent XLA cache hits).
+        batch_data = {
+            "x": x_dev, "y": y_dev, "sigma": sig_dev, "mask": mask_dev,
+            "sigma_log_term": sigma_log_term,
+        }
+
+        def log_post(theta, spectrum_idx, data):
+            """Per-walker posterior (diagnostics path): gathers one spectrum."""
             params = spec.unflatten(theta)
-            mu = model(x_dev, params)
-            y = y_dev[spectrum_idx]
-            sig = sig_dev[spectrum_idx]
+            mu = model(data["x"], params)
+            y = data["y"][spectrum_idx]
+            sig = data["sigma"][spectrum_idx]
             z = (y - mu) / sig
-            ll = sigma_log_term[spectrum_idx] - 0.5 * jnp.sum(z * z * mask_dev)
+            ll = data["sigma_log_term"][spectrum_idx] - 0.5 * jnp.sum(
+                z * z * data["mask"]
+            )
             return ll + prior(params, None)
+
+        def batched_log_post(positions, data):
+            """Hot-path posterior for the whole (W, d) batch.
+
+            Walkers are ordered by spectrum (group_ids = repeat(arange(S))),
+            so reshaping to (S, wps, d) aligns each walker block with its
+            spectrum row — NO per-walker data gather (a per-step (W, P)
+            gather measured ~30x slower than this on TPU v5e).
+            """
+            pos_s = positions.reshape(S, walkers_per_spectrum, -1)
+
+            def per_spectrum(theta_block, y, sig, const):
+                def one(theta):
+                    params = spec.unflatten(theta)
+                    mu = model(data["x"], params)
+                    z = (y - mu) / sig
+                    ll = const - 0.5 * jnp.sum(z * z * data["mask"])
+                    return ll + prior(params, None)
+
+                return jax.vmap(one)(theta_block)
+
+            lps = jax.vmap(per_spectrum)(
+                pos_s, data["y"], data["sigma"], data["sigma_log_term"]
+            )
+            return lps.reshape(positions.shape[0])
 
         W = S * walkers_per_spectrum
         group_ids = np.repeat(np.arange(S, dtype=np.int32), walkers_per_spectrum)
@@ -287,6 +324,8 @@ class BatchedNVFit(Walker):
             group_ids=group_ids,
             n_groups=S,
             log_posterior=log_post,
+            posterior_data=batch_data,
+            batched_log_posterior=batched_log_post,
         )
 
     def best_params_per_spectrum(self):

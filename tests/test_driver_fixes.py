@@ -29,17 +29,20 @@ def test_force_cold_equals_temperature_one():
     """force_cold=True must reproduce a T=1 schedule exactly (same PRNG)."""
     w_hot = _walker(temperature=1000.0)
     w_cold = _walker(temperature=1.0)
-    run_hot, _ = build_chunk_runner(w_hot._log_post_one, w_hot.ndim, w_hot.config)
-    run_cold, _ = build_chunk_runner(w_cold._log_post_one, w_cold.ndim, w_cold.config)
+    run_hot, _ = build_chunk_runner(w_hot._log_post_one, w_hot.ndim, w_hot.config,
+                                    takes_data=True)
+    run_cold, _ = build_chunk_runner(w_cold._log_post_one, w_cold.ndim, w_cold.config,
+                                     takes_data=True)
+    data = w_hot._posterior_data()
 
-    state_forced, _ = jax.jit(run_hot)(w_hot.state, True, True, True)
-    state_t1, _ = jax.jit(run_cold)(w_cold.state, True, True, False)
+    state_forced, _ = jax.jit(run_hot)(w_hot.state, True, True, True, data)
+    state_t1, _ = jax.jit(run_cold)(w_cold.state, True, True, False, data)
     np.testing.assert_allclose(
         np.asarray(state_forced.position), np.asarray(state_t1.position), rtol=0
     )
 
     # And without force_cold the hot schedule must actually differ.
-    state_hot, _ = jax.jit(run_hot)(w_hot.state, True, True, False)
+    state_hot, _ = jax.jit(run_hot)(w_hot.state, True, True, False, data)
     assert not np.allclose(
         np.asarray(state_hot.position), np.asarray(state_t1.position)
     )
@@ -103,6 +106,23 @@ def test_nv_prior_scales_to_normalized_units():
     w = nv.nv_walker((x, y), n_walkers=32, seed=0)
     w.adaptive_steps(3000, auto=None)
     assert float(w.most_likely_step()[0]) > 0
+
+
+def test_sampling_optimization_pretunes_then_fits():
+    """FitConfig(sampling_optimization=True) runs the greedy region tuner
+    before adaptive stepping (walker-adaptive-steps-full's kwarg, 862)."""
+    x = np.linspace(0.0, 10.0, 50)
+    rng = np.random.default_rng(3)
+    y = 2.0 * x + 1.0 + 0.1 * rng.standard_normal(50)
+    w = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 1.5, "b": 0.5},
+        data_error=0.1, n_walkers=32, seed=0, walker_jitter=0.05,
+        config=FitConfig(sampling_optimization=True, n_steps=3000),
+    )
+    w.adaptive_steps(3000, auto=None)
+    assert w.age > 3000  # tuner steps ran on top of the adaptive ones
+    best = w.most_likely_params()
+    assert best["m"] == pytest.approx(2.0, abs=0.1)
 
 
 def test_checkpoint_refuses_batched_fits(tmp_path):

@@ -51,7 +51,7 @@ def test_fused_normal_matches_xla(rng):
     fused = _build(w)
     assert fused is not None
     pos = _spread_positions(w, rng)
-    lp_ref = jax.vmap(w._log_post_one)(pos)
+    lp_ref = jax.vmap(w._log_post_one, in_axes=(0, None))(pos, w._posterior_data())
     lp_pal = fused(pos)
     np.testing.assert_allclose(np.asarray(lp_pal), np.asarray(lp_ref), rtol=1e-9)
 
@@ -72,7 +72,7 @@ def test_fused_with_bounds_prior_and_multi_dataset(rng):
     fused = _build(w)
     assert fused is not None
     pos = _spread_positions(w, rng, scale=0.5)  # push some walkers out of bounds
-    lp_ref = jax.vmap(w._log_post_one)(pos)
+    lp_ref = jax.vmap(w._log_post_one, in_axes=(0, None))(pos, w._posterior_data())
     lp_pal = fused(pos)
     np.testing.assert_allclose(np.asarray(lp_pal), np.asarray(lp_ref), rtol=1e-9)
 
@@ -91,7 +91,9 @@ def test_fused_cutoff_and_poisson(rng):
     assert fused is not None
     pos = _spread_positions(w, rng, scale=0.5)
     np.testing.assert_allclose(
-        np.asarray(fused(pos)), np.asarray(jax.vmap(w._log_post_one)(pos)), rtol=1e-9
+        np.asarray(fused(pos)),
+        np.asarray(jax.vmap(w._log_post_one, in_axes=(0, None))(pos, w._posterior_data())),
+        rtol=1e-9
     )
 
     counts = rng.poisson(lam=5.0 + 2.0 * x).astype(float)
@@ -104,7 +106,9 @@ def test_fused_cutoff_and_poisson(rng):
     assert fused_p is not None
     pos = _spread_positions(wp, rng, scale=0.05)
     np.testing.assert_allclose(
-        np.asarray(fused_p(pos)), np.asarray(jax.vmap(wp._log_post_one)(pos)), rtol=1e-9
+        np.asarray(fused_p(pos)),
+        np.asarray(jax.vmap(wp._log_post_one, in_axes=(0, None))(pos, wp._posterior_data())),
+        rtol=1e-9
     )
 
 

@@ -57,11 +57,12 @@ def test_sharded_chunk_matches_single_device(mesh):
     """The pooled-covariance chunk must be numerically identical sharded
     vs unsharded (threefry partitionable randoms + allreduced moments)."""
     w = _make_walker(64)
-    run, _ = build_chunk_runner(w._log_post_one, w.ndim, w.config)
+    run, _ = build_chunk_runner(w._log_post_one, w.ndim, w.config, takes_data=True)
     step = jax.jit(run)
+    data = w._posterior_data()
 
-    state_single, out_single = step(w.state, True, True)
-    state_sharded, out_sharded = step(shard_state(w.state, mesh), True, True)
+    state_single, out_single = step(w.state, True, True, False, data)
+    state_sharded, out_sharded = step(shard_state(w.state, mesh), True, True, False, data)
 
     np.testing.assert_allclose(
         np.asarray(state_single.position), np.asarray(state_sharded.position), rtol=1e-10
@@ -88,11 +89,11 @@ def test_sharded_adaptive_fit(mesh):
 def test_collectives_in_compiled_module(mesh):
     """The pooled moments must actually lower to cross-device collectives."""
     w = _make_walker(64)
-    run, _ = build_chunk_runner(w._log_post_one, w.ndim, w.config)
+    run, _ = build_chunk_runner(w._log_post_one, w.ndim, w.config, takes_data=True)
     sharded = shard_state(w.state, mesh)
     shardings = state_shardings(mesh)
-    lowered = jax.jit(run, in_shardings=(shardings, None, None)).lower(
-        sharded, True, True
+    lowered = jax.jit(run, in_shardings=(shardings, None, None, None, None)).lower(
+        sharded, True, True, False, w._posterior_data()
     )
     hlo = lowered.compile().as_text()
     assert "all-reduce" in hlo or "all-gather" in hlo or "reduce-scatter" in hlo
