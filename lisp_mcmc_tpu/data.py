@@ -52,6 +52,27 @@ class Dataset:
     sigma: Any
     mask: Any
     n: int
+    # Cached walker-independent likelihood terms (computed once at
+    # construction; pytree leaves so they ride through jit as arguments
+    # and are never recomputed in the hot block).
+    inv_sigma: Any = None
+    log_norm_const: Any = None
+    log_norm_const_point: Any = None
+
+    def __post_init__(self):
+        log_2pi = float(np.log(2.0 * np.pi))
+        if self.inv_sigma is None:
+            object.__setattr__(self, "inv_sigma", self.mask / self.sigma)
+        if self.log_norm_const_point is None:
+            object.__setattr__(
+                self,
+                "log_norm_const_point",
+                self.mask * (-0.5 * log_2pi - jnp.log(self.sigma)),
+            )
+        if self.log_norm_const is None:
+            object.__setattr__(
+                self, "log_norm_const", jnp.sum(self.log_norm_const_point)
+            )
 
     @classmethod
     def create(cls, x, y, sigma=None, dtype=jnp.float64, pad_multiple: int = LANE):
@@ -85,28 +106,6 @@ class Dataset:
             n=n,
         )
 
-    @property
-    def inv_sigma(self):
-        """Masked ``1/sigma`` — padding contributes exactly 0.
-
-        Precomputed (it is walker-independent) so the per-walker residual
-        normalization is a multiply, not a divide, in the hot likelihood
-        block."""
-        return self.mask / self.sigma
-
-    @property
-    def log_norm_const(self):
-        """Scalar ``sum(mask * (-log(sigma) - log(2*pi)/2))`` — the
-        walker-independent part of the Gaussian log-likelihood reduction."""
-        log_2pi = float(np.log(2.0 * np.pi))
-        return jnp.sum(self.mask * (-0.5 * log_2pi - jnp.log(self.sigma)))
-
-    @property
-    def log_norm_const_point(self):
-        """Per-point ``mask * (-log(sigma) - log(2*pi)/2)`` (cutoff variant)."""
-        log_2pi = float(np.log(2.0 * np.pi))
-        return self.mask * (-0.5 * log_2pi - jnp.log(self.sigma))
-
     def astype(self, dtype) -> "Dataset":
         return Dataset(
             x=self.x.astype(dtype),
@@ -118,7 +117,12 @@ class Dataset:
 
 
 jax.tree_util.register_dataclass(
-    Dataset, data_fields=["x", "y", "sigma", "mask"], meta_fields=["n"]
+    Dataset,
+    data_fields=[
+        "x", "y", "sigma", "mask",
+        "inv_sigma", "log_norm_const", "log_norm_const_point",
+    ],
+    meta_fields=["n"],
 )
 
 
