@@ -96,6 +96,7 @@ def walker_save(walker, path: str, take: int | None = None) -> None:
         "m_outer": np.asarray(state.m_outer),
         "m_count": np.asarray(state.m_count),
         "age": np.asarray(state.age),
+        "anneal_step": np.asarray(state.anneal_step),
     }
     hist_pos, hist_lp = walker._history(take)
     arrays["history_positions"] = hist_pos
@@ -226,6 +227,7 @@ def walker_load(path: str, *, function=None, log_likelihood=None, log_prior=None
         m_outer=jnp.asarray(arrays["m_outer"], dtype),
         m_count=jnp.asarray(arrays["m_count"], dtype),
         age=jnp.asarray(arrays["age"], jnp.int32),
+        anneal_step=jnp.asarray(arrays.get("anneal_step", 0), jnp.int32),
     )
     walker._hist_positions = (
         [arrays["history_positions"]] if arrays["history_positions"].size else []

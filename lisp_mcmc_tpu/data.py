@@ -58,6 +58,7 @@ class Dataset:
     inv_sigma: Any = None
     log_norm_const: Any = None
     log_norm_const_point: Any = None
+    log_fact_y: Any = None
 
     def __post_init__(self):
         log_2pi = float(np.log(2.0 * np.pi))
@@ -73,6 +74,11 @@ class Dataset:
             object.__setattr__(
                 self, "log_norm_const", jnp.sum(self.log_norm_const_point)
             )
+        if self.log_fact_y is None:
+            # lgamma(y!) for the Poisson reduction, masked (C3).
+            from jax.scipy.special import gammaln
+
+            object.__setattr__(self, "log_fact_y", gammaln(self.y + 1.0) * self.mask)
 
     @classmethod
     def create(cls, x, y, sigma=None, dtype=jnp.float64, pad_multiple: int = LANE):
@@ -120,7 +126,7 @@ jax.tree_util.register_dataclass(
     Dataset,
     data_fields=[
         "x", "y", "sigma", "mask",
-        "inv_sigma", "log_norm_const", "log_norm_const_point",
+        "inv_sigma", "log_norm_const", "log_norm_const_point", "log_fact_y",
     ],
     meta_fields=["n"],
 )

@@ -307,11 +307,11 @@ class Walker:
 
     def _adaptive_loop(self, cfg: FitConfig, collect_history: bool, progress: bool):
         control.clear_stop()
-        if cfg.sampling_optimization:
-            # The reference's sampling-optimization path: tune the proposal
-            # scale with greedy pretend-steps before adaptive stepping
-            # (walker-adaptive-steps-full 862 -> walker-sample-region 949).
-            self.sample_region()
+        # Each adaptive run gets a fresh annealing clock (the reference
+        # indexes its temps list by the do-loop's own counter, 919-921).
+        self.state = dataclasses.replace(
+            self.state, anneal_step=jnp.zeros((), jnp.int32)
+        )
         d = self.ndim
         settle = cfg.steps_to_settle(d)
         chunk = cfg.chunk_size

@@ -70,7 +70,7 @@ class FitConfig:
     settle_multiplier: int = 10          # steps-to-settle = 10*max(50, d) (873)
     settle_floor: int = 50
     auto: str | None = "prob-settle"     # :prob-settle | :slope-settle | None (862)
-    sampling_optimization: bool = False  # run the greedy region tuner first (862, 949)
+    sampling_optimization: str = "covariance"  # L-refresh source: "covariance" | "best-value" (862, 888-895)
     max_history: int = 30000             # max-walker-length analogue (923-927)
     thin: int = 10                       # history thinning (device->host traffic)
     greedy: bool = False                 # pretend-take-step accept rule (1117)
@@ -109,6 +109,7 @@ class WalkerState:
     m_outer: Any           # (G, d, d)
     m_count: Any           # (G,)   accepted moves per group
     age: Any               # ()     lifetime steps (walker-age, 473)
+    anneal_step: Any = 0   # ()     per-run annealing index (reference's i, 919)
 
 
 def init_state(key, position, logprob, l_matrix, n_groups: int = 1) -> WalkerState:
@@ -132,6 +133,7 @@ def init_state(key, position, logprob, l_matrix, n_groups: int = 1) -> WalkerSta
         m_outer=jnp.zeros((n_groups, d, d), dtype),
         m_count=jnp.zeros((n_groups,), dtype),
         age=jnp.zeros((), jnp.int32),
+        anneal_step=jnp.zeros((), jnp.int32),
     )
 
 
@@ -162,18 +164,25 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                        takes_data: bool = False):
     """Compile the chunked MH scan for a given posterior.
 
-    ``log_posterior(theta_vec) -> scalar`` (or ``(theta_vec, aux_w) ->
-    scalar`` when ``aux`` is given) evaluates ONE walker; it is vmapped
-    here over the ``(W, d)`` batch so the likelihood reduction becomes one
-    fused (W, N) elementwise block + masked sum per step.
+    ``log_posterior`` evaluates ONE walker and is vmapped here over the
+    ``(W, d)`` batch (one fused (W, N) elementwise block + masked sum per
+    step).  Its signature depends on the build flags:
+    ``(theta) -> scalar`` plain; ``(theta, aux_w)`` with ``aux``;
+    ``(theta, data)`` with ``takes_data``; ``(theta, aux_w, data)`` with
+    both.  ``takes_data`` passes the dataset pytree as a runtime ARGUMENT
+    (never a trace constant), so one compiled chunk serves every
+    same-shaped dataset.
 
     ``group_ids``: (W,) int32 mapping walkers to adaptation groups (None
     means one global group).  ``aux``: per-walker auxiliary pytree with
     leading axis W (e.g. spectrum indices for batched walker-set fits),
-    closed over as a constant.
+    closed over as a constant.  ``batched_posterior``: whole-batch
+    override ``(positions (W, d), data) -> (W,)``.
 
     Returns ``(run, run_with_history)``; each maps
-    ``(state, adapt_enabled, allow_refresh) -> (state, out)``.
+    ``(state, adapt_enabled, allow_refresh, force_cold=False, data=None)
+    -> (state, out)``.  The three flags are traced booleans (no retrace on
+    flips); ``data`` is required when built with ``takes_data``.
     """
     # ``takes_data``: the posterior receives the dataset pytree as a
     # runtime ARGUMENT (log_posterior(theta[, aux_w], data)) instead of a
@@ -238,8 +247,11 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         # force_cold pins T=1: the reference's shutdown phase and
         # walker-many-steps both sample the *untempered* posterior
         # (mcmc-fitting.lisp:915-917, 849-853).
+        # Annealing is indexed by the per-run counter (reset by the driver
+        # at the start of each adaptive run), matching the reference's
+        # do-loop i (mcmc-fitting.lisp:902,919-921) — NOT lifetime age.
         temp = jnp.where(
-            force_cold, 1.0, temperature_schedule(state.age, ndim, config)
+            force_cold, 1.0, temperature_schedule(state.anneal_step, ndim, config)
         )
 
         z = jax.random.normal(k_prop, state.position.shape, dtype)
@@ -293,6 +305,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             m_outer=m_outer,
             m_count=m_count,
             age=state.age + 1,
+            anneal_step=state.anneal_step + 1,
         )
         out = {
             "logprob_max": jnp.max(new_logprob),
@@ -306,6 +319,37 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         and batched over adaptation groups."""
         dtype = state.position.dtype
         d = ndim
+
+        # Candidate refresh L per group.  sampling_optimization selects the
+        # source exactly like the reference's get-optimal-mcmc-l-matrix
+        # (mcmc-fitting.lisp:888-895): "covariance" = Haario 2.38^2/d x
+        # Cholesky of recent-move covariance; "best-value" = 1e-5 x diag of
+        # the per-group most-likely parameter magnitudes.
+        if config.sampling_optimization == "best-value":
+            if grouped and group_block is not None:
+                lp_g = state.best_logprob.reshape(n_groups, group_block)
+                idx = jnp.argmax(lp_g, axis=1)                     # (G,)
+                pos_g = state.best_position.reshape(n_groups, group_block, d)
+                best = jnp.take_along_axis(
+                    pos_g, idx[:, None, None], axis=1
+                )[:, 0, :]                                         # (G, d)
+            else:  # ungrouped (or irregular grouping: use the global best)
+                w = jnp.argmax(state.best_logprob)
+                best = jnp.broadcast_to(state.best_position[w], (n_groups, d))
+            mags = jnp.abs(best)
+            mags = jnp.where(mags > 0, mags, 1e-3)
+            candidate = 1e-5 * jax.vmap(jnp.diag)(mags).astype(dtype)
+            refresh_ok = jnp.broadcast_to(jnp.asarray(allow_refresh), (n_groups,))
+            in_band = (config.accept_low < group_accept) & (group_accept < config.accept_high)
+            too_low = group_accept <= config.accept_low
+            l_refreshed = jnp.where(refresh_ok[:, None, None], candidate, state.l_matrix)
+            l_rescaled = jnp.where(
+                too_low[:, None, None],
+                config.scale_down * state.l_matrix,
+                config.scale_up * state.l_matrix,
+            )
+            new_l = jnp.where(in_band[:, None, None], l_refreshed, l_rescaled)
+            return dataclasses.replace(state, l_matrix=new_l.astype(dtype))
 
         # Candidate refresh covariance per group.
         if config.covariance_source == "ensemble":

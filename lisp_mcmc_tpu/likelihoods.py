@@ -108,10 +108,10 @@ def log_likelihood_poisson(fn, params, dataset: Dataset):
     a first-class target, so the reduction is provided here.
     """
     lam = _model_eval(fn, params, dataset.x)
-    # log_factorial(y) is walker-independent; computed here from concrete
-    # dataset arrays it constant-folds out of the vmapped hot block.
-    lp = dataset.y * jnp.log(lam) - lam - log_factorial(dataset.y)
-    return jnp.sum(lp * dataset.mask)
+    # lgamma(y!) is walker-independent and cached on the Dataset (already
+    # masked), so it never enters the per-step hot block.
+    lp = (dataset.y * jnp.log(lam) - lam) * dataset.mask
+    return jnp.sum(lp) - jnp.sum(dataset.log_fact_y)
 
 
 def create_log_likelihood_function(point_log_likelihood: Callable):

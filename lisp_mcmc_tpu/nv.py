@@ -259,8 +259,11 @@ class BatchedNVFit(Walker):
         # The spectra arrays ride as the posterior's runtime data argument
         # (NOT closure constants), so a new scan file of the same shape
         # reuses the compiled kernel (and the persistent XLA cache hits).
+        # inv_sigma folds the mask and the 1/sigma normalization into one
+        # precomputed multiplier (no per-step divide in the hot block).
         batch_data = {
             "x": x_dev, "y": y_dev, "sigma": sig_dev, "mask": mask_dev,
+            "inv_sigma": mask_dev * (1.0 / sig_dev),
             "sigma_log_term": sigma_log_term,
         }
 
@@ -268,12 +271,8 @@ class BatchedNVFit(Walker):
             """Per-walker posterior (diagnostics path): gathers one spectrum."""
             params = spec.unflatten(theta)
             mu = model(data["x"], params)
-            y = data["y"][spectrum_idx]
-            sig = data["sigma"][spectrum_idx]
-            z = (y - mu) / sig
-            ll = data["sigma_log_term"][spectrum_idx] - 0.5 * jnp.sum(
-                z * z * data["mask"]
-            )
+            z = (data["y"][spectrum_idx] - mu) * data["inv_sigma"][spectrum_idx]
+            ll = data["sigma_log_term"][spectrum_idx] - 0.5 * jnp.sum(z * z)
             return ll + prior(params, None)
 
         def batched_log_post(positions, data):
@@ -286,18 +285,18 @@ class BatchedNVFit(Walker):
             """
             pos_s = positions.reshape(S, walkers_per_spectrum, -1)
 
-            def per_spectrum(theta_block, y, sig, const):
+            def per_spectrum(theta_block, y, inv_sig, const):
                 def one(theta):
                     params = spec.unflatten(theta)
                     mu = model(data["x"], params)
-                    z = (y - mu) / sig
-                    ll = const - 0.5 * jnp.sum(z * z * data["mask"])
+                    z = (y - mu) * inv_sig
+                    ll = const - 0.5 * jnp.sum(z * z)
                     return ll + prior(params, None)
 
                 return jax.vmap(one)(theta_block)
 
             lps = jax.vmap(per_spectrum)(
-                pos_s, data["y"], data["sigma"], data["sigma_log_term"]
+                pos_s, data["y"], data["inv_sigma"], data["sigma_log_term"]
             )
             return lps.reshape(positions.shape[0])
 

@@ -128,12 +128,8 @@ def build_fused_posterior(
             term_inputs.append((x, y, inv_sigma, c_pt, mask))
             term_meta.append((kind, t.fn, t.prior, 5))
         else:  # poisson
-            from ..likelihoods import log_factorial
-
             mask = jnp.asarray(ds.mask, dtype)[:, None]
-            scalar_const = scalar_const - jnp.sum(
-                jnp.asarray(log_factorial(ds.y) * ds.mask, dtype)
-            )
+            scalar_const = scalar_const - jnp.sum(jnp.asarray(ds.log_fact_y, dtype))
             term_inputs.append((x, y, mask))
             term_meta.append((kind, t.fn, t.prior, 3))
 

@@ -95,6 +95,7 @@ def state_shardings(mesh: Mesh, axis_name: str = CHAIN_AXIS) -> WalkerState:
         m_outer=rep,
         m_count=rep,
         age=rep,
+        anneal_step=rep,
     )
 
 

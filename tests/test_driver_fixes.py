@@ -108,21 +108,35 @@ def test_nv_prior_scales_to_normalized_units():
     assert float(w.most_likely_step()[0]) > 0
 
 
-def test_sampling_optimization_pretunes_then_fits():
-    """FitConfig(sampling_optimization=True) runs the greedy region tuner
-    before adaptive stepping (walker-adaptive-steps-full's kwarg, 862)."""
+def test_sampling_optimization_best_value_refresh():
+    """sampling_optimization='best-value' selects the diagonal refresh
+    source (get-optimal-mcmc-l-matrix :best-value, mcmc-fitting.lisp:
+    888-895): L stays diagonal for the whole run (initial diag, diag
+    refreshes, scalar rescales), unlike the covariance source which
+    generally produces off-diagonal structure."""
     x = np.linspace(0.0, 10.0, 50)
     rng = np.random.default_rng(3)
     y = 2.0 * x + 1.0 + 0.1 * rng.standard_normal(50)
     w = mfit.walker_create(
         function=line, data=(x, y), params={"m": 1.5, "b": 0.5},
-        data_error=0.1, n_walkers=32, seed=0, walker_jitter=0.05,
-        config=FitConfig(sampling_optimization=True, n_steps=3000),
+        data_error=0.1, n_walkers=64, seed=0, walker_jitter=0.05,
+        config=FitConfig(sampling_optimization="best-value", n_steps=4000),
     )
-    w.adaptive_steps(3000, auto=None)
-    assert w.age > 3000  # tuner steps ran on top of the adaptive ones
-    best = w.most_likely_params()
-    assert best["m"] == pytest.approx(2.0, abs=0.1)
+    w.adaptive_steps(4000, auto=None)
+    l = np.asarray(w.state.l_matrix[0])
+    assert l[0, 1] == 0.0 and l[1, 0] == 0.0
+    assert w.most_likely_params()["m"] == pytest.approx(2.0, abs=0.1)
+
+
+def test_annealing_clock_resets_per_run():
+    """The annealing schedule is indexed per adaptive run (the reference's
+    do-loop i, 919-921), not by lifetime age: a second run must restart
+    its clock even though age keeps counting."""
+    w = _walker()
+    w.adaptive_steps(400, auto=None)
+    w.adaptive_steps(400, auto=None)
+    assert int(w.state.age) == 800
+    assert int(w.state.anneal_step) == 400
 
 
 def test_checkpoint_refuses_batched_fits(tmp_path):
