@@ -692,6 +692,51 @@ class Walker:
         self.terms = []
         self._runner_cache.clear()
 
+    # ------------------------------------------------------------- plot verbs
+    # Thin delegates to the plotting layer so the reference's walker-*
+    # plot verbs read the same here: w.plot_data_and_fit(), w.corner_plot().
+
+    def plot_data_and_fit(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.plot_data_and_fit(self, *args, **kwargs)
+
+    def plot_residuals(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.plot_residuals(self, *args, **kwargs)
+
+    def caterpillar_plots(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.caterpillar_plots(self, *args, **kwargs)
+
+    def likelihood_plot(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.likelihood_plot(self, *args, **kwargs)
+
+    def corner_plot(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.corner_plot(self, *args, **kwargs)
+
+    def all_corner_plots(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.all_corner_plots(self, *args, **kwargs)
+
+    def param_histogram(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.param_histogram(self, *args, **kwargs)
+
+    def with_expression(self, expr: str, take: int | None = 1000):
+        """Derived quantity at the most-likely params (``walker-with-exp``)."""
+        from .expressions import walker_with_expression
+
+        return walker_with_expression(self, expr, take)
+
 
 # ------------------------------------------------------------------ factories
 
