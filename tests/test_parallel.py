@@ -99,6 +99,32 @@ def test_collectives_in_compiled_module(mesh):
     assert "all-reduce" in hlo or "all-gather" in hlo or "reduce-scatter" in hlo
 
 
+def test_grouped_batched_fit_shards(mesh):
+    """Per-spectrum adaptation groups compose with chain-axis sharding:
+    the (G, B) reshape fast path must stay GSPMD-partitionable."""
+    from lisp_mcmc_tpu import nv
+    from lisp_mcmc_tpu.models import double_lorentzian_bg
+
+    rng = np.random.default_rng(0)
+    freqs = np.linspace(2840.0, 2900.0, 128)
+
+    def spec(d1, d2):
+        c = double_lorentzian_bg(freqs, {"scale1": 1e-5, "scale2": 1e-5,
+                                         "mu1": d1, "mu2": d2,
+                                         "sigma": 10.0, "bg0": 1e-4})
+        return freqs, np.asarray(c) + 2e-7 * rng.standard_normal(128)
+
+    fit = nv.BatchedNVFit([spec(2858, 2876), spec(2862, 2874)],
+                          walkers_per_spectrum=32, seed=0)  # W=64
+    fit.shard(mesh)
+    fit.adaptive_steps(1200, auto=None)
+    assert len(fit.state.position.sharding.device_set) == 8
+    offs = fit.field_offsets()
+    assert np.isfinite(offs).all()
+    # spectra with 18 vs 12 MHz splittings stay distinguishable
+    assert offs[0] > offs[1]
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
 
