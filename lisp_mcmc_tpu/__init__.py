@@ -30,7 +30,11 @@ Quick start (the test.lisp journey):
 
 from .control import clear_stop, estop, request_stop, stop_requested
 from .data import Dataset, clean_data, clean_data_error, create_walker_data
-from .expressions import walker_with_expression
+from .expressions import (
+    expression_credible_interval,
+    expression_samples,
+    walker_with_expression,
+)
 from .fit import Walker, default_dtype, mcmc_fit, walker_create
 from .io import get_filename, read_file_data
 from .kernel import FitConfig, WalkerState, temperature_schedule
@@ -94,6 +98,8 @@ __all__ = [
     "default_dtype",
     "enable_compilation_cache",
     "estop",
+    "expression_credible_interval",
+    "expression_samples",
     "get_filename",
     "linspace",
     "log_likelihood_normal",

@@ -11,40 +11,54 @@ Two input syntaxes are accepted:
     and evaluated by a small safe interpreter (no ``eval``);
   - Python expressions with ``:name`` parameter references, e.g.
     ``":linewidth / :x0"`` — evaluated with an empty builtins namespace and
-    a math whitelist.
+    a numpy-math whitelist.
+
+Both evaluators are numpy-vectorized, so the same expression evaluates at
+a point (``walker_with_expression``) or over the whole retained posterior
+(``expression_samples`` — the distribution of the derived quantity, a
+capability the single-point reference verb could not offer).
 """
 
 from __future__ import annotations
 
-import math
+import functools
 import re
 from typing import Mapping
 
-__all__ = ["eval_expression", "walker_with_expression"]
+import numpy as np
+
+__all__ = [
+    "eval_expression",
+    "walker_with_expression",
+    "expression_samples",
+    "expression_credible_interval",
+]
 
 _SEXP_OPS = {
-    "+": lambda *a: sum(a),
-    "-": lambda *a: a[0] - sum(a[1:]) if len(a) > 1 else -a[0],
-    "*": lambda *a: math.prod(a),
-    "/": lambda *a: a[0] / math.prod(a[1:]) if len(a) > 1 else 1.0 / a[0],
-    "expt": lambda a, b: a**b,
-    "exp": math.exp,
-    "log": lambda a, *b: math.log(a, *b),
-    "sqrt": math.sqrt,
-    "sin": math.sin,
-    "cos": math.cos,
-    "tan": math.tan,
-    "abs": abs,
-    "min": min,
-    "max": max,
-    "floor": math.floor,
-    "mod": lambda a, b: a % b,
+    "+": lambda *a: functools.reduce(np.add, a),
+    "-": lambda *a: functools.reduce(np.subtract, a) if len(a) > 1 else np.negative(a[0]),
+    "*": lambda *a: functools.reduce(np.multiply, a),
+    "/": lambda *a: functools.reduce(np.divide, a) if len(a) > 1 else np.divide(1.0, a[0]),
+    "expt": np.power,
+    "exp": np.exp,
+    "log": lambda a, *b: np.log(a) / np.log(b[0]) if b else np.log(a),
+    "sqrt": np.sqrt,
+    "sin": np.sin,
+    "cos": np.cos,
+    "tan": np.tan,
+    "abs": np.abs,
+    "min": lambda *a: functools.reduce(np.minimum, a),
+    "max": lambda *a: functools.reduce(np.maximum, a),
+    "floor": np.floor,
+    "mod": np.mod,
 }
 
-_MATH_NS = {name: getattr(math, name) for name in (
-    "exp", "log", "sqrt", "sin", "cos", "tan", "pi", "e", "floor", "ceil"
-)}
-_MATH_NS.update({"abs": abs, "min": min, "max": max})
+_MATH_NS = {
+    "exp": np.exp, "log": np.log, "sqrt": np.sqrt, "sin": np.sin,
+    "cos": np.cos, "tan": np.tan, "floor": np.floor, "ceil": np.ceil,
+    "abs": np.abs, "min": np.minimum, "max": np.maximum,
+    "pi": np.pi, "e": np.e,
+}
 
 
 def _tokenize_sexp(text: str) -> list[str]:
@@ -68,7 +82,7 @@ def _parse_sexp(tokens: list[str]):
     return tok
 
 
-def _eval_sexp(node, params: Mapping[str, float]):
+def _eval_sexp(node, params: Mapping):
     if isinstance(node, list):
         if not node:
             raise ValueError("empty expression")
@@ -82,7 +96,7 @@ def _eval_sexp(node, params: Mapping[str, float]):
             key = node[1:]
             if key not in params:
                 raise KeyError(f"unknown parameter :{key}")
-            return float(params[key])
+            return np.asarray(params[key], dtype=np.float64)
         try:
             return float(node)
         except ValueError:
@@ -90,28 +104,36 @@ def _eval_sexp(node, params: Mapping[str, float]):
     return float(node)
 
 
-def eval_expression(expr: str, params: Mapping[str, float]) -> float:
-    """Evaluate an expression against a parameter dict.
-
-    S-expression form if it starts with ``(``; otherwise a Python
-    expression where ``:name`` references substitute parameter values.
-    """
+def _evaluate(expr: str, params: Mapping):
     expr = expr.strip()
     if expr.startswith("("):
         tokens = _tokenize_sexp(expr)
         tree = _parse_sexp(tokens)
         if tokens:
             raise ValueError(f"trailing tokens in expression: {tokens}")
-        return float(_eval_sexp(tree, params))
-    # Python style: substitute :name -> value, then eval in a bare namespace.
+        return _eval_sexp(tree, params)
+    # Python style: substitute :name -> namespace lookup, then eval with
+    # empty builtins + the numpy math whitelist.
+    names = {}
+
     def sub(match):
         key = match.group(1)
         if key not in params:
             raise KeyError(f"unknown parameter :{key}")
-        return repr(float(params[key]))
+        names[f"_p_{key}"] = np.asarray(params[key], dtype=np.float64)
+        return f"_p_{key}"
 
     substituted = re.sub(r":([A-Za-z_][A-Za-z0-9_]*)", sub, expr)
-    return float(eval(substituted, {"__builtins__": {}}, dict(_MATH_NS)))
+    return eval(substituted, {"__builtins__": {}}, {**_MATH_NS, **names})
+
+
+def eval_expression(expr: str, params: Mapping) -> float:
+    """Evaluate an expression against a parameter dict of scalars.
+
+    S-expression form if it starts with ``(``; otherwise a Python
+    expression where ``:name`` references substitute parameter values.
+    """
+    return float(_evaluate(expr, params))
 
 
 def walker_with_expression(walker, expr: str, take: int | None = 1000) -> float:
@@ -120,3 +142,28 @@ def walker_with_expression(walker, expr: str, take: int | None = 1000) -> float:
     params = walker.most_likely_params()
     del take  # most-likely tracking is exact over the whole run here
     return eval_expression(expr, params)
+
+
+def expression_samples(walker, expr: str, take: int | None = 1000) -> np.ndarray:
+    """The posterior *distribution* of a derived quantity.
+
+    Evaluates ``expr`` over every retained posterior sample (flattened
+    across walkers), e.g. the spread of an NV field offset.  The
+    reference's verb evaluated only the single most-likely point.
+    """
+    pos, _ = walker._history(take)
+    flat = pos.reshape(-1, walker.ndim)
+    params = {k: flat[:, i] for i, k in enumerate(walker.spec.keys)}
+    return np.asarray(_evaluate(expr, params), dtype=np.float64)
+
+
+def expression_credible_interval(walker, expr: str, take: int | None = 1000,
+                                 level: float = 0.95):
+    """(median, low, high) central credible interval of a derived quantity."""
+    samples = expression_samples(walker, expr, take)
+    tail = 100.0 * (1.0 - level) / 2.0
+    return (
+        float(np.median(samples)),
+        float(np.percentile(samples, tail)),
+        float(np.percentile(samples, 100.0 - tail)),
+    )

@@ -282,14 +282,17 @@ class Walker:
 
     def adaptive_steps(self, n: int | None = None, *, temperature: float | None = None,
                        auto: str | None = "default", collect_history: bool = True,
-                       progress: bool = False):
+                       progress: bool = False, l_matrix=None):
         """Adaptive MH driver (``walker-adaptive-steps[-full]``, 862-947).
 
         Runs up to ``n`` steps in jitted 200-step chunks.  Auto-stop
         (``:prob-settle`` / ``:slope-settle``), annealing shutdown, estop,
         and history capture happen here, between chunks — the TPU split of
-        the reference's do-loop (SURVEY §3.2).
+        the reference's do-loop (SURVEY §3.2).  ``l_matrix`` seeds the
+        proposal factor (the reference's ``l-matrix`` kwarg, 862).
         """
+        if l_matrix is not None:
+            self._set_l_matrix(l_matrix)
         cfg = self.config
         if n is not None or temperature is not None or auto != "default":
             cfg = dataclasses.replace(
@@ -440,12 +443,20 @@ class Walker:
 
         Pretend-steps (greedy accept, no temperature) with aggressive L
         rescaling: x0.25 when acceptance collapses, x1.7 when it's high
-        (967-968).  Rescale cadence here is per 200-step chunk instead of
-        the reference's 20-step check over a 50-step window.
+        (967-968), checked on a 50-step cadence like the reference's
+        50-step acceptance window.
         """
         control.clear_stop()
         best = _nonzero_scales(self.best_params_vector())
         self._set_l_matrix(initial_scale * np.diag(best))
+        prev_config = self.config
+        self.config = dataclasses.replace(self.config, chunk_size=50)
+        try:
+            self._sample_region_loop(n)
+        finally:
+            self.config = prev_config
+
+    def _sample_region_loop(self, n: int):
         runner = self._runner(greedy=True, with_history=False)
         chunks = max(1, math.ceil(n / self.config.chunk_size))
         for _ in range(chunks):
