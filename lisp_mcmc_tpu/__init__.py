@@ -28,6 +28,7 @@ Quick start (the test.lisp journey):
     print(w.most_likely_params())
 """
 
+from .batched import BatchedFit
 from .control import clear_stop, estop, request_stop, stop_requested
 from .data import Dataset, clean_data, clean_data_error, create_walker_data
 from .expressions import (
@@ -82,6 +83,7 @@ def enable_compilation_cache(path: str | None = None) -> str:
     return path
 
 __all__ = [
+    "BatchedFit",
     "Dataset",
     "FitConfig",
     "Walker",

@@ -1,0 +1,204 @@
+"""Vectorized walker sets: fit S same-shape datasets as ONE ensemble.
+
+The reference's only many-fits notion is a Lisp list of walkers advanced
+sequentially (``dir->nv-walkers``, nv-specific.lisp:58-66): k datasets
+cost k full fits of wall time.  This module is the TPU walker-set —
+the generalization of that pattern to a single ensemble:
+
+  - S datasets stack into ``(S, P)`` arrays (shared static shape);
+  - the ensemble has ``S * walkers_per_dataset`` walkers, ordered so each
+    dataset owns one contiguous block;
+  - each dataset is its own *adaptation group* (per-group proposal
+    covariance, acceptance window, and annealing state share the kernel's
+    reshape fast path — see kernel.py);
+  - the posterior evaluates the whole batch with zero per-walker data
+    gathers (positions reshape to ``(S, B, d)`` against ``(S, P)`` data).
+
+``BatchedFit`` is model-agnostic (Gaussian likelihood); the NV pipeline's
+:class:`lisp_mcmc_tpu.nv.BatchedNVFit` is this class plus domain defaults.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import Dataset, pad_to
+from .fit import Walker, _Term
+from .likelihoods import log_likelihood_normal
+from .params import ParamSpec
+from .priors import log_prior_flat
+
+__all__ = ["BatchedFit"]
+
+
+class BatchedFit(Walker):
+    """S independent same-shape fits as one ``(S*B, d)`` walker ensemble.
+
+    ``function``: one model ``f(x, params) -> y`` shared by all datasets.
+    ``datasets``: list of ``(x, y)`` pairs, all the same length (each may
+    have its own x grid).  ``params``: one guess dict (shared) or a list
+    of per-dataset guess dicts.  ``data_error``: scalar, per-dataset
+    scalars, or per-point arrays.  ``log_prior``: one prior callable
+    applied per walker (with ``dataset=None``).
+    """
+
+    def __init__(
+        self,
+        function: Callable,
+        datasets: Sequence,
+        params,
+        data_error=None,
+        *,
+        log_prior: Callable | None = None,
+        walkers_per_dataset: int = 128,
+        seed: int = 0,
+        walker_jitter: float = 0.02,
+        dtype=None,
+        config=None,
+    ):
+        from .fit import default_dtype
+
+        dtype = dtype or default_dtype()
+        S = len(datasets)
+        if S == 0:
+            raise ValueError("no datasets provided")
+        prior = log_prior or log_prior_flat
+
+        n0 = len(np.asarray(datasets[0][0]))
+        P = pad_to(n0)
+        guesses = params if isinstance(params, (list, tuple)) else [params] * S
+        if len(guesses) != S:
+            raise ValueError(f"{len(guesses)} parameter guesses for {S} datasets")
+        errors = self._normalize_errors(data_error, datasets)
+
+        xs, ys, inv_sigmas, consts = [], [], [], []
+        mask = np.zeros(P)
+        mask[:n0] = 1.0
+        log_2pi = float(np.log(2.0 * np.pi))
+        for (x, y), err in zip(datasets, errors):
+            x = np.asarray(x, np.float64)
+            y = np.asarray(y, np.float64)
+            if len(x) != n0 or len(y) != n0:
+                raise ValueError(
+                    "BatchedFit requires same-length datasets; fit ragged "
+                    "data individually (WalkerSet)"
+                )
+            xs.append(np.pad(x, (0, P - n0), mode="edge"))
+            ys.append(np.pad(y, (0, P - n0), mode="edge"))
+            sig = np.pad(err, (0, P - n0), mode="constant", constant_values=1.0)
+            inv_sigmas.append(mask / sig)
+            consts.append(np.sum(mask * (-0.5 * log_2pi - np.log(sig))))
+
+        spec = ParamSpec.from_params(guesses[0])
+        d = spec.ndim
+        batch_data = {
+            "x": jnp.asarray(np.stack(xs), dtype),            # (S, P)
+            "y": jnp.asarray(np.stack(ys), dtype),            # (S, P)
+            "inv_sigma": jnp.asarray(np.stack(inv_sigmas), dtype),
+            "const": jnp.asarray(np.asarray(consts), dtype),  # (S,)
+        }
+        self.n_datasets = S
+        self.walkers_per_dataset = walkers_per_dataset
+
+        def log_post(theta, dataset_idx, data):
+            """Per-walker posterior (diagnostics path)."""
+            p = spec.unflatten(theta)
+            mu = function(data["x"][dataset_idx], p)
+            z = (data["y"][dataset_idx] - mu) * data["inv_sigma"][dataset_idx]
+            return data["const"][dataset_idx] - 0.5 * jnp.sum(z * z) + prior(p, None)
+
+        def batched_log_post(positions, data):
+            """Hot path: reshape to (S, B, d); no per-walker gathers."""
+            pos_s = positions.reshape(S, walkers_per_dataset, -1)
+
+            def per_dataset(theta_block, x, y, inv_sig, const):
+                def one(theta):
+                    p = spec.unflatten(theta)
+                    z = (y - function(x, p)) * inv_sig
+                    return const - 0.5 * jnp.sum(z * z) + prior(p, None)
+
+                return jax.vmap(one)(theta_block)
+
+            lps = jax.vmap(per_dataset)(
+                pos_s, data["x"], data["y"], data["inv_sigma"], data["const"]
+            )
+            return lps.reshape(positions.shape[0])
+
+        group_ids = np.repeat(np.arange(S, dtype=np.int32), walkers_per_dataset)
+        init = np.stack([
+            np.asarray([float(g[k]) for k in spec.keys], np.float64) for g in guesses
+        ])
+        positions = np.repeat(init, walkers_per_dataset, axis=0)  # (W, d)
+
+        # Representative dataset (index 0) for plotting/term APIs.
+        ds0 = Dataset(
+            x=batch_data["x"][0], y=batch_data["y"][0],
+            sigma=jnp.asarray(np.pad(errors[0], (0, P - n0), constant_values=1.0), dtype),
+            mask=jnp.asarray(mask, dtype), n=n0,
+        )
+
+        super().__init__(
+            terms=[_Term(fn=function, dataset=ds0,
+                         likelihood=log_likelihood_normal, prior=prior)],
+            spec=spec,
+            initial_vector=jnp.asarray(positions, dtype),
+            n_walkers=S * walkers_per_dataset,
+            seed=seed,
+            walker_jitter=walker_jitter,
+            config=config,
+            dtype=dtype,
+            aux=jnp.asarray(group_ids),
+            group_ids=group_ids,
+            n_groups=S,
+            log_posterior=log_post,
+            posterior_data=batch_data,
+            batched_log_posterior=batched_log_post,
+        )
+
+    @staticmethod
+    def _normalize_errors(data_error, datasets):
+        n = len(np.asarray(datasets[0][0]))
+        S = len(datasets)
+        if data_error is None:
+            return [np.ones(n) for _ in range(S)]
+        if np.isscalar(data_error):
+            return [np.full(n, float(data_error)) for _ in range(S)]
+        out = []
+        for e in data_error:
+            e = np.asarray(e, np.float64)
+            out.append(np.full(n, float(e)) if e.ndim == 0 else e)
+        if len(out) != S:
+            raise ValueError(f"{len(out)} errors for {S} datasets")
+        return out
+
+    # ------------------------------------------------------------- queries
+
+    def best_params_per_dataset(self) -> list[dict]:
+        """Per-dataset most-likely params: argmax within each walker block."""
+        best_lp = np.asarray(self.state.best_logprob)
+        best_pos = np.asarray(self.state.best_position)
+        B = self.walkers_per_dataset
+        out = []
+        for s in range(self.n_datasets):
+            block = slice(s * B, (s + 1) * B)
+            w = s * B + int(np.argmax(best_lp[block]))
+            out.append(self.spec.make(best_pos[w].tolist()))
+        return out
+
+    def best_logprob_per_dataset(self) -> list[float]:
+        best_lp = np.asarray(self.state.best_logprob)
+        B = self.walkers_per_dataset
+        return [
+            float(best_lp[s * B:(s + 1) * B].max()) for s in range(self.n_datasets)
+        ]
+
+    def expressions_per_dataset(self, expr: str) -> list[float]:
+        """Evaluate a derived-quantity expression at each dataset's best fit
+        (the vectorized ``walker-set-get-f``, nv-specific.lisp:87)."""
+        from .expressions import eval_expression
+
+        return [eval_expression(expr, p) for p in self.best_params_per_dataset()]

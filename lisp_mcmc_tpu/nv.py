@@ -31,11 +31,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .data import Dataset, pad_to
+from .batched import BatchedFit
 from .fit import Walker, walker_create
 from .io import get_filename, read_file_data
 from .likelihoods import log_likelihood_normal
-from .params import ParamSpec
 from .priors import constraint_penalty, make_bounds_prior
 from .expressions import walker_with_expression
 from .models import double_lorentzian_bg
@@ -200,151 +199,59 @@ def fit_nv_dir(directory: str, n_steps: int | None = None, **kwargs) -> WalkerSe
     return walkers
 
 
-class BatchedNVFit(Walker):
+class BatchedNVFit(BatchedFit):
     """S spectra fitted as one ensemble: the TPU walker-set.
 
-    Spectra (same frequency grid length) stack into ``(S, P)`` y / sigma
-    arrays; the ensemble has ``S * walkers_per_spectrum`` walkers whose
-    per-walker spectrum index is the kernel ``aux``; each spectrum is its
-    own adaptation group (per-group proposal covariance).  One fit replaces
-    the reference's k sequential fits (nv-specific.lisp:60).
+    :class:`lisp_mcmc_tpu.batched.BatchedFit` with the NV pipeline's
+    defaults: shared-frequency-grid check, per-spectrum noise estimates
+    (``nv-data-std-dev``), auto-guessed initial params, and the pooled
+    unit-scaled physics prior.  One fit replaces the reference's k
+    sequential fits (nv-specific.lisp:60).
     """
 
     def __init__(self, spectra, walkers_per_spectrum: int = 128, seed: int = 0,
                  model=double_lorentzian_bg, prior=None, dtype=None,
                  config=None, walker_jitter: float = 0.02):
-        from .fit import default_dtype
-
-        dtype = dtype or default_dtype()
-        S = len(spectra)
-        if S == 0:
+        if len(spectra) == 0:
             raise ValueError("no spectra provided")
-        if prior is None:
-            # Amplitude boxes scaled to the pooled y range of all spectra.
-            prior = make_nv_prior(np.concatenate(
-                [np.asarray(y, np.float64) for _, y in spectra]
-            ))
         x0 = np.asarray(spectra[0][0], dtype=np.float64)
-        P = pad_to(len(x0))
-        ys, sigmas, guesses = [], [], []
-        for x, y in spectra:
+        for x, _ in spectra:
             if len(x) != len(x0) or not np.allclose(x, x0):
                 raise ValueError(
                     "BatchedNVFit requires a shared frequency grid; "
                     "use fit_nv_file for ragged spectra"
                 )
-            yp = np.pad(np.asarray(y, np.float64), (0, P - len(y)), mode="edge")
-            ys.append(yp)
-            sigmas.append(np.full(P, nv_data_std_dev(y)))
-            guesses.append(guess_nv_params(y))
-
-        xp = np.pad(x0, (0, P - len(x0)), mode="edge")
-        mask = np.zeros(P)
-        mask[: len(x0)] = 1.0
-
-        self.n_spectra = S
-        self.walkers_per_spectrum = walkers_per_spectrum
-        x_dev = jnp.asarray(xp, dtype)
-        y_dev = jnp.asarray(np.stack(ys), dtype)        # (S, P)
-        sig_dev = jnp.asarray(np.stack(sigmas), dtype)  # (S, P)
-        mask_dev = jnp.asarray(mask, dtype)
-        # Representative dataset (spectrum 0) for plotting/term APIs.
-        ds0 = Dataset(x=x_dev, y=y_dev[0], sigma=sig_dev[0], mask=mask_dev, n=len(x0))
-
-        spec = ParamSpec.from_params(guesses[0])
-        sigma_log_term = jnp.sum(
-            (-0.5 * np.log(2 * np.pi) - jnp.log(sig_dev)) * mask_dev, axis=1
-        )  # (S,) constant per spectrum
-
-        # The spectra arrays ride as the posterior's runtime data argument
-        # (NOT closure constants), so a new scan file of the same shape
-        # reuses the compiled kernel (and the persistent XLA cache hits).
-        # inv_sigma folds the mask and the 1/sigma normalization into one
-        # precomputed multiplier (no per-step divide in the hot block).
-        batch_data = {
-            "x": x_dev, "y": y_dev, "sigma": sig_dev, "mask": mask_dev,
-            "inv_sigma": mask_dev * (1.0 / sig_dev),
-            "sigma_log_term": sigma_log_term,
-        }
-
-        def log_post(theta, spectrum_idx, data):
-            """Per-walker posterior (diagnostics path): gathers one spectrum."""
-            params = spec.unflatten(theta)
-            mu = model(data["x"], params)
-            z = (data["y"][spectrum_idx] - mu) * data["inv_sigma"][spectrum_idx]
-            ll = data["sigma_log_term"][spectrum_idx] - 0.5 * jnp.sum(z * z)
-            return ll + prior(params, None)
-
-        def batched_log_post(positions, data):
-            """Hot-path posterior for the whole (W, d) batch.
-
-            Walkers are ordered by spectrum (group_ids = repeat(arange(S))),
-            so reshaping to (S, wps, d) aligns each walker block with its
-            spectrum row — NO per-walker data gather (a per-step (W, P)
-            gather measured ~30x slower than this on TPU v5e).
-            """
-            pos_s = positions.reshape(S, walkers_per_spectrum, -1)
-
-            def per_spectrum(theta_block, y, inv_sig, const):
-                def one(theta):
-                    params = spec.unflatten(theta)
-                    mu = model(data["x"], params)
-                    z = (y - mu) * inv_sig
-                    ll = const - 0.5 * jnp.sum(z * z)
-                    return ll + prior(params, None)
-
-                return jax.vmap(one)(theta_block)
-
-            lps = jax.vmap(per_spectrum)(
-                pos_s, data["y"], data["inv_sigma"], data["sigma_log_term"]
-            )
-            return lps.reshape(positions.shape[0])
-
-        W = S * walkers_per_spectrum
-        group_ids = np.repeat(np.arange(S, dtype=np.int32), walkers_per_spectrum)
-        init = np.stack(
-            [np.asarray([g[k] for k in spec.keys], np.float64) for g in guesses]
-        )  # (S, d)
-        positions = np.repeat(init, walkers_per_spectrum, axis=0)  # (W, d)
-
-        from .fit import _Term
-
+        if prior is None:
+            # Amplitude boxes scaled to the pooled y range of all spectra.
+            prior = make_nv_prior(np.concatenate(
+                [np.asarray(y, np.float64) for _, y in spectra]
+            ))
+        guesses = [guess_nv_params(y) for _, y in spectra]
+        errors = [np.full(len(y), nv_data_std_dev(y)) for _, y in spectra]
         super().__init__(
-            terms=[_Term(fn=model, dataset=ds0, likelihood=log_likelihood_normal,
-                         prior=prior)],
-            spec=spec,
-            initial_vector=jnp.asarray(positions, dtype),
-            n_walkers=W,
-            seed=seed,
-            walker_jitter=walker_jitter,
-            config=config,
-            dtype=dtype,
-            aux=jnp.asarray(group_ids),
-            group_ids=group_ids,
-            n_groups=S,
-            log_posterior=log_post,
-            posterior_data=batch_data,
-            batched_log_posterior=batched_log_post,
+            model, spectra, guesses, errors,
+            log_prior=prior,
+            walkers_per_dataset=walkers_per_spectrum,
+            seed=seed, walker_jitter=walker_jitter,
+            dtype=dtype, config=config,
         )
+
+    @property
+    def n_spectra(self) -> int:
+        return self.n_datasets
+
+    @property
+    def walkers_per_spectrum(self) -> int:
+        return self.walkers_per_dataset
 
     def best_params_per_spectrum(self):
         """Per-spectrum most-likely params: argmax within each group."""
-        best_lp = np.asarray(self.state.best_logprob)
-        best_pos = np.asarray(self.state.best_position)
-        gid = np.asarray(self.group_ids)
-        out = []
-        for s in range(self.n_spectra):
-            idx = np.flatnonzero(gid == s)
-            w = idx[np.argmax(best_lp[idx])]
-            out.append(self.spec.make(best_pos[w].tolist()))
-        return out
+        return self.best_params_per_dataset()
 
     def field_offsets(self):
         """Per-spectrum field offset in Oe (``walker-field-offset``,
         nv-specific.lisp:68-69): (mu2 - mu1) / 2 / 2.8."""
-        return [
-            (p["mu2"] - p["mu1"]) / 2.0 / 2.8 for p in self.best_params_per_spectrum()
-        ]
+        return self.expressions_per_dataset(FIELD_OFFSET_EXPRESSION)
 
 
 def fit_nv_spectra_batched(spectra, n_steps: int | None = None,

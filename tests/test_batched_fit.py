@@ -1,0 +1,70 @@
+"""Generic vectorized walker sets (lisp_mcmc_tpu.batched.BatchedFit):
+S same-shape datasets, any model, one ensemble with per-dataset
+adaptation groups."""
+
+import numpy as np
+import pytest
+
+import lisp_mcmc_tpu as mfit
+from lisp_mcmc_tpu.models import exponential_decay
+
+
+def _decays(rng, taus, n=96):
+    x = np.linspace(0.0, 10.0, n)
+    out = []
+    for tau in taus:
+        y = 2.0 * np.exp(-x / tau) + 0.1 + 0.01 * rng.standard_normal(n)
+        out.append((x, y))
+    return out
+
+
+def test_batched_fit_recovers_distinct_taus(rng):
+    taus = [1.0, 2.5, 5.0]
+    datasets = _decays(rng, taus)
+    fit = mfit.BatchedFit(
+        exponential_decay,
+        datasets,
+        {"scale": 1.5, "tau": 2.0, "bg0": 0.2},
+        data_error=0.01,
+        walkers_per_dataset=48,
+        seed=0,
+    )
+    assert fit.n_walkers == 3 * 48
+    fit.adaptive_steps(8000, auto=None)
+    for tau, p in zip(taus, fit.best_params_per_dataset()):
+        assert p["tau"] == pytest.approx(tau, rel=0.1)
+        assert p["scale"] == pytest.approx(2.0, rel=0.15)
+    # derived quantity per dataset (the vectorized walker-set-get-f)
+    rates = fit.expressions_per_dataset("(/ 1 :tau)")
+    for tau, r in zip(taus, rates):
+        assert r == pytest.approx(1.0 / tau, rel=0.15)
+    lps = fit.best_logprob_per_dataset()
+    assert len(lps) == 3 and all(np.isfinite(lps))
+
+
+def test_batched_fit_per_dataset_guesses_and_errors(rng):
+    datasets = _decays(rng, [1.0, 4.0])
+    fit = mfit.BatchedFit(
+        exponential_decay,
+        datasets,
+        [{"scale": 1.0, "tau": 0.8, "bg0": 0.1},
+         {"scale": 3.0, "tau": 5.0, "bg0": 0.3}],
+        data_error=[0.01, np.full(96, 0.02)],
+        walkers_per_dataset=16,
+        seed=1,
+    )
+    p0 = fit.best_params_per_dataset()
+    assert p0[0]["tau"] != p0[1]["tau"]  # distinct starting blocks
+
+
+def test_batched_fit_validations(rng):
+    datasets = _decays(rng, [1.0, 2.0])
+    with pytest.raises(ValueError, match="no datasets"):
+        mfit.BatchedFit(exponential_decay, [], {})
+    with pytest.raises(ValueError, match="parameter guesses"):
+        mfit.BatchedFit(exponential_decay, datasets,
+                        [{"scale": 1.0, "tau": 1.0, "bg0": 0.1}])
+    ragged = [datasets[0], (np.arange(10.0), np.arange(10.0))]
+    with pytest.raises(ValueError, match="same-length"):
+        mfit.BatchedFit(exponential_decay, ragged,
+                        {"scale": 1.0, "tau": 1.0, "bg0": 0.1})
