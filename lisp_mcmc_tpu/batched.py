@@ -20,13 +20,13 @@ the generalization of that pattern to a single ensemble:
 
 from __future__ import annotations
 
-from typing import Callable, Mapping, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .data import Dataset, pad_to
+from .data import Dataset
 from .fit import Walker, _Term
 from .likelihoods import log_likelihood_normal
 from .params import ParamSpec
@@ -69,37 +69,29 @@ class BatchedFit(Walker):
         prior = log_prior or log_prior_flat
 
         n0 = len(np.asarray(datasets[0][0]))
-        P = pad_to(n0)
         guesses = params if isinstance(params, (list, tuple)) else [params] * S
         if len(guesses) != S:
             raise ValueError(f"{len(guesses)} parameter guesses for {S} datasets")
         errors = self._normalize_errors(data_error, datasets)
 
-        xs, ys, inv_sigmas, consts = [], [], [], []
-        mask = np.zeros(P)
-        mask[:n0] = 1.0
-        log_2pi = float(np.log(2.0 * np.pi))
+        # One Dataset per input — padding, masking, and the cached
+        # likelihood constants all come from the single source of truth
+        # (Dataset.create / __post_init__); the batch is just their stack.
+        dsets = []
         for (x, y), err in zip(datasets, errors):
-            x = np.asarray(x, np.float64)
-            y = np.asarray(y, np.float64)
-            if len(x) != n0 or len(y) != n0:
+            if len(np.asarray(x)) != n0 or len(np.asarray(y)) != n0:
                 raise ValueError(
                     "BatchedFit requires same-length datasets; fit ragged "
                     "data individually (WalkerSet)"
                 )
-            xs.append(np.pad(x, (0, P - n0), mode="edge"))
-            ys.append(np.pad(y, (0, P - n0), mode="edge"))
-            sig = np.pad(err, (0, P - n0), mode="constant", constant_values=1.0)
-            inv_sigmas.append(mask / sig)
-            consts.append(np.sum(mask * (-0.5 * log_2pi - np.log(sig))))
+            dsets.append(Dataset.create(x, y, err, dtype=dtype))
 
         spec = ParamSpec.from_params(guesses[0])
-        d = spec.ndim
         batch_data = {
-            "x": jnp.asarray(np.stack(xs), dtype),            # (S, P)
-            "y": jnp.asarray(np.stack(ys), dtype),            # (S, P)
-            "inv_sigma": jnp.asarray(np.stack(inv_sigmas), dtype),
-            "const": jnp.asarray(np.asarray(consts), dtype),  # (S,)
+            "x": jnp.stack([ds.x for ds in dsets]),              # (S, P)
+            "y": jnp.stack([ds.y for ds in dsets]),              # (S, P)
+            "inv_sigma": jnp.stack([ds.inv_sigma for ds in dsets]),
+            "const": jnp.stack([ds.log_norm_const for ds in dsets]),  # (S,)
         }
         self.n_datasets = S
         self.walkers_per_dataset = walkers_per_dataset
@@ -135,11 +127,7 @@ class BatchedFit(Walker):
         positions = np.repeat(init, walkers_per_dataset, axis=0)  # (W, d)
 
         # Representative dataset (index 0) for plotting/term APIs.
-        ds0 = Dataset(
-            x=batch_data["x"][0], y=batch_data["y"][0],
-            sigma=jnp.asarray(np.pad(errors[0], (0, P - n0), constant_values=1.0), dtype),
-            mask=jnp.asarray(mask, dtype), n=n0,
-        )
+        ds0 = dsets[0]
 
         super().__init__(
             terms=[_Term(fn=function, dataset=ds0,

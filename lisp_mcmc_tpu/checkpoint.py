@@ -102,6 +102,14 @@ def walker_save(walker, path: str, take: int | None = None) -> None:
     arrays["history_positions"] = hist_pos
     arrays["history_logprobs"] = hist_lp
     arrays["accept_log"] = np.asarray(walker._accept_log, dtype=np.float64)
+    # Auto-stop traces travel with the fit so a resumed run can settle
+    # immediately instead of regenerating max(settle, 400) steps of trace.
+    arrays["lpmax_trace"] = (
+        np.concatenate(walker._lpmax_trace) if walker._lpmax_trace else np.empty(0)
+    )
+    arrays["lpmean_trace"] = (
+        np.concatenate(walker._lpmean_trace) if walker._lpmean_trace else np.empty(0)
+    )
     for i, t in enumerate(walker.terms):
         arrays[f"term{i}_x"] = np.asarray(t.dataset.x)
         arrays[f"term{i}_y"] = np.asarray(t.dataset.y)
@@ -236,8 +244,10 @@ def walker_load(path: str, *, function=None, log_likelihood=None, log_prior=None
         [arrays["history_logprobs"]] if arrays["history_logprobs"].size else []
     )
     walker._accept_log = list(arrays["accept_log"])
-    walker._lpmax_trace = []
-    walker._lpmean_trace = []
+    lpmax = arrays.get("lpmax_trace", np.empty(0))
+    lpmean = arrays.get("lpmean_trace", np.empty(0))
+    walker._lpmax_trace = [lpmax] if lpmax.size else []
+    walker._lpmean_trace = [lpmean] if lpmean.size else []
     return walker
 
 

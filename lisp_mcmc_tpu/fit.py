@@ -125,10 +125,19 @@ class Walker:
         # step); both are deterministic per seed on a given backend.
         key = jax.random.key(seed, impl=self.config.prng_impl)
         key, k_init = jax.random.split(key)
-        if jnp.ndim(initial_vector) == 2:
+        if jnp.ndim(initial_vector) == 2 and initial_vector.shape[0] > 1:
             position = jnp.asarray(initial_vector, self.dtype)
             vec = position[0]
+            # A (W, d) start defines the ensemble size; an explicit
+            # contradictory n_walkers is an error, the default (1) adopts it.
+            if self.n_walkers not in (1, position.shape[0]):
+                raise ValueError(
+                    f"initial_vector has {position.shape[0]} walkers but "
+                    f"n_walkers={self.n_walkers}"
+                )
+            self.n_walkers = int(position.shape[0])
         else:
+            initial_vector = jnp.asarray(initial_vector).reshape(-1)
             vec = jnp.asarray(initial_vector, self.dtype)
             position = jnp.broadcast_to(vec, (self.n_walkers, d)).astype(self.dtype)
         if walker_jitter > 0:
@@ -201,8 +210,14 @@ class Walker:
                 fn = jax.jit(jax.vmap(self._log_post_one, in_axes=(0, 0, None)))
             self._runner_cache["_eval_batch"] = fn
         if self._custom_batched is not None or self.aux is None:
-            return fn(positions, self._posterior_data())
-        return fn(positions, self.aux, self._posterior_data())
+            lp = fn(positions, self._posterior_data())
+        else:
+            lp = fn(positions, self.aux, self._posterior_data())
+        # Same non-finite guard as the kernel's proposal path: a NaN initial
+        # posterior would otherwise freeze every accept comparison forever.
+        from .kernel import _neg_floor
+
+        return jnp.where(jnp.isfinite(lp), lp, _neg_floor(lp.dtype))
 
     def _batched_posterior(self):
         """Whole-batch posterior override, if any.
@@ -328,13 +343,23 @@ class Walker:
         with control.interruptible():
             while remaining > 0 and not control.stop_requested():
                 # Shutdown = the reference's cold finish (915-917): refresh
-                # disabled and temperature pinned to 1 (force_cold).  The
-                # flags are passed as traced device booleans so flipping
-                # them mid-run does NOT retrace/recompile the chunk.
+                # disabled and temperature pinned to 1 (force_cold).
+                # In-band refresh cadence: the reference refreshes from its
+                # single-chain history only every 2*settle steps (929-931);
+                # this ensemble pools accepted-move moments over W walkers,
+                # so one chunk already holds ~W*chunk*acc samples and the
+                # default refreshes every chunk (markedly faster adaptation,
+                # measured).  Set FitConfig.refresh_every=2*settle for the
+                # reference cadence.  Flags are traced device booleans so
+                # flipping them mid-run does NOT retrace/recompile.
+                if cfg.refresh_every > 0:
+                    refresh_due = ((i_chunk + 1) * chunk) % cfg.refresh_every < chunk
+                else:
+                    refresh_due = True
                 state, out = runner(
                     self.state,
                     jnp.asarray(True),
-                    jnp.asarray(not shutting_down),
+                    jnp.asarray(refresh_due and not shutting_down),
                     jnp.asarray(shutting_down),
                     self._posterior_data(),
                 )
@@ -459,6 +484,10 @@ class Walker:
     def _sample_region_loop(self, n: int):
         runner = self._runner(greedy=True, with_history=False)
         chunks = max(1, math.ceil(n / self.config.chunk_size))
+        # Tuner statistics stay OUT of the adaptive run's chunk logs
+        # (different chunk size and accept semantics would desynchronize
+        # acceptance() windows and the auto-stop traces).
+        self.tuner_accept_log: list[float] = []
         for _ in range(chunks):
             if control.stop_requested():
                 break
@@ -467,8 +496,7 @@ class Walker:
             scale = 0.25 if acc <= 0.02 else (1.7 if acc > 0.08 else 1.0)
             state = dataclasses.replace(state, l_matrix=state.l_matrix * scale)
             self.state = state
-            self._accept_log.append(acc)
-            self._lpmax_trace.append(np.asarray(out["logprob_max"]))
+            self.tuner_accept_log.append(acc)
 
     def force_step(self):
         """Re-evaluate the posterior at the current params
@@ -490,6 +518,14 @@ class Walker:
         self._log_post_one = self._build_log_posterior()
         self._runner_cache.clear()
         self.force_step()
+        # Best-step tracking restarts under the new posterior — the old
+        # best_logprob belongs to a different distribution and would never
+        # be beaten (or would win spuriously).
+        self.state = dataclasses.replace(
+            self.state,
+            best_position=self.state.position,
+            best_logprob=self.state.logprob,
+        )
 
     # ------------------------------------------------------------- query verbs
 
@@ -579,17 +615,27 @@ class Walker:
         return pos[:, walker, self.spec.index(name)]
 
     def covariance_matrix(self, take: int | None = None):
-        """Covariance of retained unique samples (``:covariance-matrix``, 541)."""
-        samples = np.concatenate(
-            [self.unique_steps(take, w) for w in range(self.n_walkers)], axis=0
-        )
+        """Covariance of retained unique samples (``:covariance-matrix``, 541).
+
+        Vectorized over the whole (T, W) history: consecutive equal-prob
+        steps are masked per walker in one pass (not one history
+        materialization per walker).
+        """
+        pos, lp = self._history(take)                   # (T, W, d), (T, W)
+        keep = np.ones(lp.shape, dtype=bool)
+        keep[1:] = lp[1:] != lp[:-1]
+        samples = pos[keep]                             # (K, d)
         return np.asarray(sample_covariance(jnp.asarray(samples)))
 
     def l_matrix_estimate(self, take: int | None = None):
         """Cholesky of covariance of diffs of forward steps (``:l-matrix``, 543)."""
+        pos, lp = self._history(take)                   # one host materialization
+        fwd = np.zeros(lp.shape, dtype=bool)
+        fwd[1:] = lp[1:] > lp[:-1]
+        fwd[0] = True
         diffs = []
-        for w in range(self.n_walkers):
-            f = self.forward_steps(take, w)
+        for w in range(pos.shape[1]):
+            f = pos[fwd[:, w], w]
             if len(f) > 1:
                 diffs.append(np.diff(f, axis=0))
         if not diffs:

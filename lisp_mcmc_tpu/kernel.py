@@ -71,6 +71,10 @@ class FitConfig:
     settle_floor: int = 50
     auto: str | None = "prob-settle"     # :prob-settle | :slope-settle | None (862)
     sampling_optimization: str = "covariance"  # L-refresh source: "covariance" | "best-value" (862, 888-895)
+    refresh_every: int = 0               # in-band refresh cadence in steps; 0 = every
+                                         # chunk (ensemble default — pooled moments make
+                                         # one chunk a large sample; the reference's
+                                         # single-chain cadence is 2*settle, 929-931)
     max_history: int = 30000             # max-walker-length analogue (923-927)
     thin: int = 10                       # history thinning (device->host traffic)
     greedy: bool = False                 # pretend-take-step accept rule (1117)
