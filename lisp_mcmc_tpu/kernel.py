@@ -29,9 +29,12 @@ specifies.
 
 Adaptation *groups*: walkers may be partitioned into G groups (one per
 spectrum in batched walker-set fits, nv-specific.lisp:58-66), each with
-its own proposal factor and acceptance window; moments aggregate by
-``segment_sum`` over the group ids.  G=1 (the default) is the plain
-single-fit ensemble and avoids the per-walker L gather entirely.
+its own proposal factor and acceptance window.  When groups are
+contiguous equal-size blocks (the batched-fit layout) the per-group
+reductions are (G, B, ...) reshape-sums and the proposal is a (G, B, d)
+einsum — per-step ``segment_sum`` scatter-adds and (W, d, d) gathers
+measured ~25-34x slower on TPU v5e and remain only as the fallback for
+irregular groupings.  G=1 (the default) is the plain single-fit ensemble.
 """
 
 from __future__ import annotations
