@@ -297,7 +297,8 @@ class Walker:
 
     def adaptive_steps(self, n: int | None = None, *, temperature: float | None = None,
                        auto: str | None = "default", collect_history: bool = True,
-                       progress: bool = False, l_matrix=None):
+                       progress: bool = False, l_matrix=None,
+                       on_chunk: Callable | None = None):
         """Adaptive MH driver (``walker-adaptive-steps[-full]``, 862-947).
 
         Runs up to ``n`` steps in jitted 200-step chunks.  Auto-stop
@@ -319,11 +320,12 @@ class Walker:
         prev_config = self.config
         self.config = cfg
         try:
-            self._adaptive_loop(cfg, collect_history, progress)
+            self._adaptive_loop(cfg, collect_history, progress, on_chunk)
         finally:
             self.config = prev_config
 
-    def _adaptive_loop(self, cfg: FitConfig, collect_history: bool, progress: bool):
+    def _adaptive_loop(self, cfg: FitConfig, collect_history: bool,
+                       progress: bool, on_chunk: Callable | None = None):
         control.clear_stop()
         # Each adaptive run gets a fresh annealing clock (the reference
         # indexes its temps list by the do-loop's own counter, 919-921).
@@ -369,6 +371,16 @@ class Walker:
                 remaining -= 1
                 step = i_chunk * chunk
 
+                if on_chunk is not None:
+                    # Observability hook (SURVEY §5 metrics): per-chunk
+                    # scalars; return True to request a graceful stop.
+                    if on_chunk(step, {
+                        "accept_rate": float(out["accept_rate"]),
+                        "logprob_max": float(out["logprob_max"][-1]),
+                        "logprob_mean": float(out["logprob_mean"][-1]),
+                        "shutting_down": shutting_down,
+                    }):
+                        control.request_stop()
                 if progress and i_chunk % 25 == 0:
                     print(
                         f"step {step}: acc={float(out['accept_rate']):.3f} "

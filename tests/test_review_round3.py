@@ -83,6 +83,19 @@ def test_checkpoint_round_trips_autostop_traces(rng, tmp_path):
     assert sum(t.size for t in w2._lpmean_trace) == sum(t.size for t in w._lpmean_trace)
 
 
+def test_on_chunk_callback_observes_and_stops(rng):
+    w = _line_walker(rng)
+    seen = []
+
+    def hook(step, metrics):
+        seen.append((step, metrics["accept_rate"]))
+        return step >= 600  # request a graceful stop
+
+    w.adaptive_steps(10000, auto=None, on_chunk=hook)
+    assert seen and seen[0][0] == 200
+    assert w.age < 10000  # stopped early at a chunk boundary
+
+
 def test_vectorized_covariance_matches_per_walker(rng):
     w = _line_walker(rng, n_walkers=8)
     w.adaptive_steps(1000, auto=None)
