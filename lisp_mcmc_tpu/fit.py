@@ -405,6 +405,17 @@ class Walker:
         self._accept_log.append(float(out["accept_rate"]))
         self._lpmax_trace.append(np.asarray(out["logprob_max"]))
         self._lpmean_trace.append(np.asarray(out["logprob_mean"]))
+        # Cap the auto-stop traces: only the last few settle windows are
+        # ever read, so multi-million-step runs must not grow them
+        # unboundedly (one (chunk,) array per chunk).
+        max_trace_chunks = max(
+            1, 4 * max(self.config.steps_to_settle(self.ndim), 2500)
+            // self.config.chunk_size
+        )
+        if len(self._lpmax_trace) > 2 * max_trace_chunks:
+            del self._lpmax_trace[:-max_trace_chunks]
+            del self._lpmean_trace[:-max_trace_chunks]
+            del self._accept_log[:-max_trace_chunks]
         if collect_history and "positions" in out:
             self._hist_positions.append(np.asarray(out["positions"]))
             self._hist_logprobs.append(np.asarray(out["logprobs"]))
