@@ -72,6 +72,10 @@ class FitConfig:
     temp_period: int = 5000              # annealing divisor (878)
     settle_multiplier: int = 10          # steps-to-settle = 10*max(50, d) (873)
     settle_floor: int = 50
+    kernel: str = "rwm"                  # "rwm" (reference MH) | "mala" (gradient-based
+                                         # SAMPLING kernel: autodiff drift, ~7x ESS/step;
+                                         # drift activates only at T=1 — anneal with rwm
+                                         # first, then sample with mala at temperature=1)
     auto: str | None = "prob-settle"     # :prob-settle | :slope-settle | None (862)
     sampling_optimization: str = "covariance"  # L-refresh source: "covariance" | "best-value" (862, 888-895)
     refresh_every: int = 0               # in-band refresh cadence in steps; 0 = every
@@ -247,6 +251,54 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         total = jnp.sum(x, axis=0)
         return total[None]
 
+    mala = config.kernel == "mala" and not config.greedy
+    if mala:
+        # Per-walker value+gradient of the posterior (the autodiff surface
+        # the Lisp reference could never have).
+        if batched_posterior is not None:
+            def eval_vg(pos, data):
+                lp, vjp = jax.vjp(lambda p: batched_posterior(p, data), pos)
+                (g,) = vjp(jnp.ones_like(lp))
+                return lp, g
+        elif aux is None:
+            if takes_data:
+                _vg = jax.vmap(jax.value_and_grad(log_posterior), in_axes=(0, None))
+                eval_vg = lambda pos, data: _vg(pos, data)
+            else:
+                _vg = jax.vmap(jax.value_and_grad(log_posterior))
+                eval_vg = lambda pos, data: _vg(pos)
+        else:
+            if takes_data:
+                _vg = jax.vmap(jax.value_and_grad(log_posterior), in_axes=(0, 0, None))
+                eval_vg = lambda pos, data: _vg(pos, aux, data)
+            else:
+                _vg = jax.vmap(jax.value_and_grad(log_posterior), in_axes=(0, 0))
+                eval_vg = lambda pos, data: _vg(pos, aux)
+
+    # MALA's optimal acceptance is ~0.574 (vs ~0.234 for random walk), so
+    # the adaptation band shifts when the user kept the reference defaults.
+    accept_low, accept_high = config.accept_low, config.accept_high
+    if mala and (accept_low, accept_high) == (0.2, 0.4):
+        accept_low, accept_high = 0.45, 0.7
+
+    def mul_l(l_matrix, v):
+        """L @ v per walker, respecting the grouping layout."""
+        if grouped and group_block is not None:
+            v_g = v.reshape(n_groups, group_block, ndim)
+            return jnp.einsum("gij,gbj->gbi", l_matrix, v_g).reshape(v.shape)
+        if grouped:
+            return jnp.einsum("wij,wj->wi", l_matrix[group_ids], v)
+        return jnp.einsum("ij,wj->wi", l_matrix[0], v)
+
+    def mul_lt(l_matrix, v):
+        """L^T @ v per walker."""
+        if grouped and group_block is not None:
+            v_g = v.reshape(n_groups, group_block, ndim)
+            return jnp.einsum("gji,gbj->gbi", l_matrix, v_g).reshape(v.shape)
+        if grouped:
+            return jnp.einsum("wji,wj->wi", l_matrix[group_ids], v)
+        return jnp.einsum("ji,wj->wi", l_matrix[0], v)
+
     def one_step(carry, i, data=None):
         state, accept_counts, force_cold = carry
         dtype = state.position.dtype
@@ -262,15 +314,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         )
 
         z = jax.random.normal(k_prop, state.position.shape, dtype)
-        if grouped and group_block is not None:
-            z_g = z.reshape(n_groups, group_block, ndim)
-            step_vec = jnp.einsum("gij,gbj->gbi", state.l_matrix, z_g)
-            step_vec = step_vec.reshape(z.shape)
-        elif grouped:
-            l_w = state.l_matrix[group_ids]                       # (W, d, d)
-            step_vec = jnp.einsum("wij,wj->wi", l_w, z)
-        else:
-            step_vec = jnp.einsum("ij,wj->wi", state.l_matrix[0], z)
+        step_vec = mul_l(state.l_matrix, z)
         proposal = state.position + step_vec
         lp_prop = eval_lp(proposal, data)
         # NaN/Inf guard: the walker-check-for-complex-walks analogue (483)
@@ -321,6 +365,86 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         }
         return (new_state, accept_counts + accf, force_cold), out
 
+    def one_step_mala(carry, i, data=None):
+        """Preconditioned MALA step (new TPU surface, not in the reference).
+
+        With M = L L^T (the adapted proposal covariance as preconditioner)
+        and tempered target pi^(1/T):
+
+            proposal = x + (1/(2T)) M g + L z,   z ~ N(0, I)
+
+        In whitened coordinates y = L^{-1} x the forward draw is exactly
+        ``z`` and the reverse draw is ``-(z + (u + u')/(2T))`` with
+        ``u = L^T g``, giving the Hastings correction without any
+        triangular solves.  The same acceptance-band machinery adapts L
+        (band shifted to MALA's ~0.574 optimum).
+        """
+        state, accept_counts, force_cold, g = carry
+        dtype = state.position.dtype
+        key, k_prop, k_accept = jax.random.split(state.key, 3)
+        temp = jnp.where(
+            force_cold, 1.0, temperature_schedule(state.anneal_step, ndim, config)
+        )
+        inv_t = 1.0 / temp
+        # Langevin drift only in the cold phase: during annealing (T > 1)
+        # the gradient drift chases tempered plateaus and can carry the
+        # ensemble far from the data (observed on the reference fit), so
+        # hot steps behave as the random walk and the drift switches on
+        # when T reaches 1.  With lam = 0 the Hastings correction reduces
+        # exactly to the plain MH rule.
+        lam = jnp.where(temp > 1.001, 0.0, 1.0).astype(dtype)
+
+        u = lam * mul_lt(state.l_matrix, g)                   # (W, d)
+        z = jax.random.normal(k_prop, state.position.shape, dtype)
+        step_vec = mul_l(state.l_matrix, z + 0.5 * inv_t * u)
+        proposal = state.position + step_vec
+
+        lp_prop, g_prop = eval_vg(proposal, data)
+        lp_prop = jnp.where(jnp.isfinite(lp_prop), lp_prop, _neg_floor(dtype))
+        g_prop = jnp.where(jnp.isfinite(g_prop), g_prop, 0.0)
+        u_prop = lam * mul_lt(state.l_matrix, g_prop)
+
+        rev = z + 0.5 * inv_t * (u + u_prop)
+        log_q_diff = 0.5 * (jnp.sum(z * z, axis=1) - jnp.sum(rev * rev, axis=1))
+        log_alpha = (lp_prop - state.logprob) * inv_t + log_q_diff
+        log_u_draw = jnp.log(jax.random.uniform(k_accept, state.logprob.shape, dtype))
+        accept = log_alpha > log_u_draw
+
+        acc = accept[:, None]
+        accf = accept.astype(dtype)
+        new_position = jnp.where(acc, proposal, state.position)
+        new_logprob = jnp.where(accept, lp_prop, state.logprob)
+        new_grad = jnp.where(acc, g_prop, g)
+
+        delta = step_vec * acc.astype(dtype)
+        m_sum = state.m_sum + seg_sum(delta, 1)
+        m_outer = state.m_outer + seg_sum(delta[:, :, None] * delta[:, None, :], 2)
+        m_count = state.m_count + seg_sum(accf, 0)
+
+        better = new_logprob > state.best_logprob
+        best_position = jnp.where(better[:, None], new_position, state.best_position)
+        best_logprob = jnp.where(better, new_logprob, state.best_logprob)
+
+        new_state = WalkerState(
+            key=key,
+            position=new_position,
+            logprob=new_logprob,
+            best_position=best_position,
+            best_logprob=best_logprob,
+            l_matrix=state.l_matrix,
+            m_sum=m_sum,
+            m_outer=m_outer,
+            m_count=m_count,
+            age=state.age + 1,
+            anneal_step=state.anneal_step + 1,
+        )
+        out = {
+            "logprob_max": jnp.max(new_logprob),
+            "logprob_mean": jnp.mean(new_logprob),
+            "logprob_min": jnp.min(new_logprob),
+        }
+        return (new_state, accept_counts + accf, force_cold, new_grad), out
+
     def adapt(state: WalkerState, group_accept, allow_refresh):
         """Chunk-boundary L update (mcmc-fitting.lisp:929-942), branchless
         and batched over adaptation groups."""
@@ -347,8 +471,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             mags = jnp.where(mags > 0, mags, 1e-3)
             candidate = 1e-5 * jax.vmap(jnp.diag)(mags).astype(dtype)
             refresh_ok = jnp.broadcast_to(jnp.asarray(allow_refresh), (n_groups,))
-            in_band = (config.accept_low < group_accept) & (group_accept < config.accept_high)
-            too_low = group_accept <= config.accept_low
+            in_band = (accept_low < group_accept) & (group_accept < accept_high)
+            too_low = group_accept <= accept_low
             l_refreshed = jnp.where(refresh_ok[:, None, None], candidate, state.l_matrix)
             l_rescaled = jnp.where(
                 too_low[:, None, None],
@@ -358,8 +482,11 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             new_l = jnp.where(in_band[:, None, None], l_refreshed, l_rescaled)
             return dataclasses.replace(state, l_matrix=new_l.astype(dtype))
 
-        # Candidate refresh covariance per group.
-        if config.covariance_source == "ensemble":
+        # Candidate refresh covariance per group.  MALA preconditions with
+        # the TARGET covariance, which the walker ensemble's position
+        # spread estimates directly (accepted-move covariance is a
+        # proposal-filtered quantity calibrated for random walk only).
+        if config.covariance_source == "ensemble" or mala:
             ones = jnp.ones((state.position.shape[0],), dtype)
             counts = jnp.maximum(seg_sum(ones, 0), 1.0)            # (G,)
             mean = seg_sum(state.position, 1) / counts[:, None]
@@ -375,12 +502,18 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         if config.jitter > 0:
             cov = cov + config.jitter * jnp.eye(d, dtype=dtype)
         chol, ok = cholesky_clamped(cov)                           # (G,d,d), (G,)
-        # Reference scales the L-matrix by 2.38^2/d (890) — replicated.
-        candidate = jnp.asarray(haario_scale(d), dtype) * chol
+        if mala:
+            # Roberts-Rosenthal optimal Langevin step in whitened space:
+            # l = 1.65 * d^(-1/6) (acceptance ~0.574).
+            scale = 1.65 * float(d) ** (-1.0 / 6.0)
+        else:
+            # Reference scales the L-matrix by 2.38^2/d (890) — replicated.
+            scale = haario_scale(d)
+        candidate = jnp.asarray(scale, dtype) * chol
         refresh_ok = ok & enough & allow_refresh                   # (G,)
 
-        in_band = (config.accept_low < group_accept) & (group_accept < config.accept_high)
-        too_low = group_accept <= config.accept_low
+        in_band = (accept_low < group_accept) & (group_accept < accept_high)
+        too_low = group_accept <= accept_low
 
         l_refreshed = jnp.where(refresh_ok[:, None, None], candidate, state.l_matrix)
         l_rescaled = jnp.where(
@@ -440,10 +573,18 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         pytree when built with ``takes_data`` (a scan constant, not carried).
         """
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
-        (state, accept_counts, _), trace = lax.scan(
-            lambda carry, i: one_step(carry, i, data),
-            (state, zero_counts, force_cold), jnp.arange(chunk)
-        )
+        if mala:
+            _, g0 = eval_vg(state.position, data)
+            g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+            (state, accept_counts, _, _), trace = lax.scan(
+                lambda carry, i: one_step_mala(carry, i, data),
+                (state, zero_counts, force_cold, g0), jnp.arange(chunk)
+            )
+        else:
+            (state, accept_counts, _), trace = lax.scan(
+                lambda carry, i: one_step(carry, i, data),
+                (state, zero_counts, force_cold), jnp.arange(chunk)
+            )
         return _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
 
     def run_with_history(state: WalkerState, adapt_enabled, allow_refresh,
@@ -455,14 +596,24 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         reference's cons-list walk (SURVEY §3.3) — and thinned *before*
         any host transfer.
         """
+        step = one_step_mala if mala else one_step
+
         def one_step_hist(carry, i):
-            carry, out = one_step(carry, i, data)
+            carry, out = step(carry, i, data)
             return carry, (out, carry[0].position, carry[0].logprob)
 
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
-        (state, accept_counts, _), (trace, positions, logprobs) = lax.scan(
-            one_step_hist, (state, zero_counts, force_cold), jnp.arange(chunk)
-        )
+        if mala:
+            _, g0 = eval_vg(state.position, data)
+            g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+            carry0 = (state, zero_counts, force_cold, g0)
+            (state, accept_counts, _, _), (trace, positions, logprobs) = lax.scan(
+                one_step_hist, carry0, jnp.arange(chunk)
+            )
+        else:
+            (state, accept_counts, _), (trace, positions, logprobs) = lax.scan(
+                one_step_hist, (state, zero_counts, force_cold), jnp.arange(chunk)
+            )
         state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
         out["positions"] = positions[thin - 1 :: thin]      # (chunk//thin, W, d)
         out["logprobs"] = logprobs[thin - 1 :: thin]        # (chunk//thin, W)
