@@ -451,6 +451,23 @@ class Walker:
             mean_trace = np.concatenate(self._lpmean_trace)[-settle:]
             mean_drift = abs(mean_trace[:200].mean() - mean_trace[-200:].mean())
             return abs(early_max - late_max) < 0.5 and mean_drift < 0.5
+        if cfg.auto == "rhat":
+            # Ensemble-native convergence (new surface): stop when the
+            # split Gelman-Rubin statistic over the walker ensemble drops
+            # below 1.01 for every parameter — a principled criterion the
+            # single-chain reference could not compute.
+            if not self._hist_positions:
+                return False
+            pos, _ = self._history(max(settle, 1000))
+            if pos.shape[0] * max(1, self.config.thin) < settle:
+                return False
+            from .ops.reductions import split_rhat
+
+            rhats = [
+                float(split_rhat(jnp.asarray(pos[:, :, i])))
+                for i in range(self.ndim)
+            ]
+            return max(rhats) < 1.01
         if cfg.auto == "slope-settle":
             # stable-prob-slope-p (886-887) rebuilt as a closed-form OLS
             # slope on the trace instead of the reference's nested MCMC

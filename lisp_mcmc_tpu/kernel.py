@@ -76,7 +76,8 @@ class FitConfig:
                                          # SAMPLING kernel: autodiff drift, ~7x ESS/step;
                                          # drift activates only at T=1 — anneal with rwm
                                          # first, then sample with mala at temperature=1)
-    auto: str | None = "prob-settle"     # :prob-settle | :slope-settle | None (862)
+    auto: str | None = "prob-settle"     # :prob-settle | :slope-settle (862) |
+                                         # "rhat" (ensemble split-R-hat < 1.01, new) | None
     sampling_optimization: str = "covariance"  # L-refresh source: "covariance" | "best-value" (862, 888-895)
     refresh_every: int = 0               # in-band refresh cadence in steps; 0 = every
                                          # chunk (ensemble default — pooled moments make

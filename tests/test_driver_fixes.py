@@ -86,6 +86,24 @@ def test_prob_settle_for_ensembles():
     assert not w._auto_settled(w.config, settle)
 
 
+def test_rhat_auto_stop():
+    """auto='rhat' stops a converged ensemble well before n_steps and
+    keeps running an unconverged one."""
+    rng = np.random.default_rng(1)
+    x = np.linspace(0.0, 10.0, 50)
+    y = 2.0 * x + 1.0 + 0.05 * rng.standard_normal(50)
+    w = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 2.0, "b": 1.0},
+        data_error=0.05, n_walkers=64, seed=0, walker_jitter=0.02,
+        config=FitConfig(temperature=2.0),
+    )
+    w.adaptive_steps(40000, auto="rhat")
+    assert w.age < 40000  # converged and stopped early
+    from lisp_mcmc_tpu.diagnostics import rhat_per_param
+
+    assert max(rhat_per_param(w, take=1000).values()) < 1.2
+
+
 def test_nv_prior_scales_to_normalized_units():
     """A normalized spectrum (bg ~ 1.0, 2% dips) must satisfy the default
     pipeline prior at its own auto-guess (the reference's literal boxes
