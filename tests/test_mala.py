@@ -106,8 +106,6 @@ def test_anneal_rwm_then_sample_mala():
     """The production recipe for hard fits: anneal with the random walk,
     then switch the kernel to MALA for the sampling phase — the drift
     activates at T=1 and the best-fit quality is preserved/improved."""
-    import dataclasses
-
     import lisp_mcmc_tpu as mfit_
 
     rng = np.random.default_rng(0)
@@ -122,9 +120,7 @@ def test_anneal_rwm_then_sample_mala():
     )
     w.adaptive_steps(10000, auto=None)                # rwm anneal
     lp_rwm = w.most_likely_step()[0]
-    w.config = dataclasses.replace(w.config, kernel="mala")
-    w._runner_cache.clear()
-    w.adaptive_steps(3000, temperature=1.0, auto=None)  # mala sampling
+    w.sampling_steps(3000)                            # mala sampling phase
     lp_mala, best = w.most_likely_step()
     assert lp_mala >= lp_rwm - 1e-9
     assert best["x0"] == pytest.approx(0.7, abs=0.1)
