@@ -33,7 +33,13 @@ import numpy as np
 
 from . import control
 from .data import Dataset, clean_data, clean_data_error
-from .kernel import FitConfig, WalkerState, build_chunk_runner, init_state
+from .kernel import (
+    FitConfig,
+    WalkerState,
+    build_chunk_runner,
+    init_state,
+    resolve_accept_band,
+)
 from .likelihoods import log_likelihood_normal, resolve_likelihood
 from .ops.linalg import cholesky_clamped, diagonal_covariance, haario_scale, sample_covariance
 from .params import ParamSpec, normalize_params
@@ -52,6 +58,19 @@ def _force_list(item):
     if isinstance(item, (list, tuple)):
         return list(item)
     return [item]
+
+
+def _split_rhat_host(pos: np.ndarray) -> np.ndarray:
+    """Vectorized split Gelman-Rubin over a host (T, W, d) history -> (d,)."""
+    t2 = pos.shape[0] // 2 * 2
+    halves = np.concatenate([pos[: t2 // 2], pos[t2 // 2 : t2]], axis=1)  # (T/2, 2W, d)
+    n = halves.shape[0]
+    chain_means = halves.mean(axis=0)                 # (2W, d)
+    chain_vars = halves.var(axis=0, ddof=1)           # (2W, d)
+    w = chain_vars.mean(axis=0)                       # (d,)
+    b = n * chain_means.var(axis=0, ddof=1)
+    var_plus = (n - 1) / n * w + b / n
+    return np.sqrt(var_plus / np.where(w > 0, w, 1.0))
 
 
 def _nonzero_scales(vec):
@@ -234,6 +253,10 @@ class Walker:
         impl = self.config.posterior_impl
         if impl != "pallas" or self._custom_log_post is not None or self.aux is not None:
             return None
+        if self.config.kernel == "mala":
+            # pallas_call has no autodiff rule: MALA's vjp through the
+            # fused kernel fails to linearize, so gradients use the XLA path.
+            return None
         if getattr(self, "mesh", None) is not None:
             # Sharded ensembles keep the XLA path: pallas_call is not
             # GSPMD-partitionable along the chain axis without a shard_map
@@ -327,6 +350,11 @@ class Walker:
     def _adaptive_loop(self, cfg: FitConfig, collect_history: bool,
                        progress: bool, on_chunk: Callable | None = None):
         control.clear_stop()
+        if cfg.auto == "rhat" and not collect_history:
+            raise ValueError(
+                "auto='rhat' computes split R-hat from the retained walker "
+                "history; run with collect_history=True (or another auto mode)"
+            )
         # Each adaptive run gets a fresh annealing clock (the reference
         # indexes its temps list by the do-loop's own counter, 919-921).
         self.state = dataclasses.replace(
@@ -393,11 +421,17 @@ class Walker:
                 if remaining <= shutdown_chunks:
                     shutting_down = True
                     continue
-                # ... or when auto-stop triggers (907-917).
+                # ... or when auto-stop triggers (907-917).  The gate uses
+                # the kernel's resolved acceptance band (the reference's
+                # 0.2 < acc < 0.5 is band_high + 0.1 for random walk;
+                # MALA's band sits at ~0.574, so the hardcoded gate would
+                # never fire there).
                 if cfg.auto and step % 1000 < chunk and step > 2 * settle:
                     k = max(1, 1000 // chunk)  # last ~1000 steps of chunks
                     acc = float(np.mean(self._accept_log[-k:]))
-                    if 0.2 < acc < 0.5 and self._auto_settled(cfg, settle):
+                    gate_low, gate_high = resolve_accept_band(cfg)
+                    if (gate_low < acc < gate_high + 0.1
+                            and self._auto_settled(cfg, settle)):
                         shutting_down = True
                         remaining = shutdown_chunks
 
@@ -455,19 +489,14 @@ class Walker:
             # Ensemble-native convergence (new surface): stop when the
             # split Gelman-Rubin statistic over the walker ensemble drops
             # below 1.01 for every parameter — a principled criterion the
-            # single-chain reference could not compute.
+            # single-chain reference could not compute.  Pure numpy on the
+            # already-host-resident history (no device round-trips).
             if not self._hist_positions:
                 return False
-            pos, _ = self._history(max(settle, 1000))
+            pos, _ = self._history(max(settle, 1000))  # (T, W, d) numpy
             if pos.shape[0] * max(1, self.config.thin) < settle:
                 return False
-            from .ops.reductions import split_rhat
-
-            rhats = [
-                float(split_rhat(jnp.asarray(pos[:, :, i])))
-                for i in range(self.ndim)
-            ]
-            return max(rhats) < 1.01
+            return float(np.max(_split_rhat_host(pos))) < 1.01
         if cfg.auto == "slope-settle":
             # stable-prob-slope-p (886-887) rebuilt as a closed-form OLS
             # slope on the trace instead of the reference's nested MCMC

@@ -50,7 +50,8 @@ from jax import lax
 
 from .ops.linalg import cholesky_clamped, haario_scale, moments_covariance
 
-__all__ = ["FitConfig", "WalkerState", "init_state", "temperature_schedule", "build_chunk_runner"]
+__all__ = ["FitConfig", "WalkerState", "init_state", "temperature_schedule",
+           "build_chunk_runner", "resolve_accept_band"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,6 +171,21 @@ def _neg_floor(dtype):
     return jnp.asarray(jnp.finfo(dtype).min / 4, dtype)
 
 
+def resolve_accept_band(config: FitConfig) -> tuple[float, float]:
+    """The adaptation acceptance band for the configured kernel.
+
+    MALA's optimal acceptance is ~0.574 (vs ~0.234 for random walk), so
+    the band shifts to (0.45, 0.7) when the user kept the reference
+    defaults.  Shared by the kernel's adapt step and the driver's
+    auto-stop gate (which, like the reference's 0.2 < acc < 0.5 check at
+    mcmc-fitting.lisp:911, allows band_high + 0.1).
+    """
+    low, high = config.accept_low, config.accept_high
+    if config.kernel == "mala" and not config.greedy and (low, high) == (0.2, 0.4):
+        return 0.45, 0.7
+    return low, high
+
+
 def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                        group_ids=None, n_groups: int = 1, aux=None,
                        batched_posterior: Callable | None = None,
@@ -276,11 +292,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                 _vg = jax.vmap(jax.value_and_grad(log_posterior), in_axes=(0, 0))
                 eval_vg = lambda pos, data: _vg(pos, aux)
 
-    # MALA's optimal acceptance is ~0.574 (vs ~0.234 for random walk), so
-    # the adaptation band shifts when the user kept the reference defaults.
-    accept_low, accept_high = config.accept_low, config.accept_high
-    if mala and (accept_low, accept_high) == (0.2, 0.4):
-        accept_low, accept_high = 0.45, 0.7
+    accept_low, accept_high = resolve_accept_band(config)
 
     def mul_l(l_matrix, v):
         """L @ v per walker, respecting the grouping layout."""
@@ -299,6 +311,54 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         if grouped:
             return jnp.einsum("wji,wj->wi", l_matrix[group_ids], v)
         return jnp.einsum("ji,wj->wi", l_matrix[0], v)
+
+    def _apply_step(state, key, proposal, lp_prop, step_vec, accept,
+                    accumulate_moments: bool):
+        """Shared accept/update tail: position, bookkeeping, best tracking.
+
+        ``accumulate_moments`` is off for MALA — its refresh uses the
+        ensemble position covariance, so the accepted-move moments would
+        be pure dead weight (an O(W d^2) outer product per step).
+        """
+        dtype = state.position.dtype
+        acc = accept[:, None]
+        accf = accept.astype(dtype)
+        new_position = jnp.where(acc, proposal, state.position)
+        new_logprob = jnp.where(accept, lp_prop, state.logprob)
+
+        if accumulate_moments:
+            # Accepted-move moments for covariance adaptation, per group.
+            delta = step_vec * acc.astype(dtype)
+            m_sum = state.m_sum + seg_sum(delta, 1)
+            m_outer = state.m_outer + seg_sum(delta[:, :, None] * delta[:, None, :], 2)
+            m_count = state.m_count + seg_sum(accf, 0)
+        else:
+            m_sum, m_outer, m_count = state.m_sum, state.m_outer, state.m_count
+
+        # Most-likely-step tracking (553-555), per walker.
+        better = new_logprob > state.best_logprob
+        best_position = jnp.where(better[:, None], new_position, state.best_position)
+        best_logprob = jnp.where(better, new_logprob, state.best_logprob)
+
+        new_state = WalkerState(
+            key=key,
+            position=new_position,
+            logprob=new_logprob,
+            best_position=best_position,
+            best_logprob=best_logprob,
+            l_matrix=state.l_matrix,
+            m_sum=m_sum,
+            m_outer=m_outer,
+            m_count=m_count,
+            age=state.age + 1,
+            anneal_step=state.anneal_step + 1,
+        )
+        out = {
+            "logprob_max": jnp.max(new_logprob),
+            "logprob_mean": jnp.mean(new_logprob),
+            "logprob_min": jnp.min(new_logprob),
+        }
+        return new_state, accf, out
 
     def one_step(carry, i, data=None):
         state, accept_counts, force_cold = carry
@@ -330,40 +390,9 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             # walker-take-step accept rule (1091-1092)
             accept = (lp_prop > state.logprob) | ((lp_prop - state.logprob) / temp > log_u)
 
-        acc = accept[:, None]
-        accf = accept.astype(dtype)
-        new_position = jnp.where(acc, proposal, state.position)
-        new_logprob = jnp.where(accept, lp_prop, state.logprob)
-
-        # Accepted-move moments for covariance adaptation, per group.
-        delta = step_vec * acc.astype(dtype)
-        m_sum = state.m_sum + seg_sum(delta, 1)
-        m_outer = state.m_outer + seg_sum(delta[:, :, None] * delta[:, None, :], 2)
-        m_count = state.m_count + seg_sum(accf, 0)
-
-        # Most-likely-step tracking (553-555), per walker.
-        better = new_logprob > state.best_logprob
-        best_position = jnp.where(better[:, None], new_position, state.best_position)
-        best_logprob = jnp.where(better, new_logprob, state.best_logprob)
-
-        new_state = WalkerState(
-            key=key,
-            position=new_position,
-            logprob=new_logprob,
-            best_position=best_position,
-            best_logprob=best_logprob,
-            l_matrix=state.l_matrix,
-            m_sum=m_sum,
-            m_outer=m_outer,
-            m_count=m_count,
-            age=state.age + 1,
-            anneal_step=state.anneal_step + 1,
+        new_state, accf, out = _apply_step(
+            state, key, proposal, lp_prop, step_vec, accept, True
         )
-        out = {
-            "logprob_max": jnp.max(new_logprob),
-            "logprob_mean": jnp.mean(new_logprob),
-            "logprob_min": jnp.min(new_logprob),
-        }
         return (new_state, accept_counts + accf, force_cold), out
 
     def one_step_mala(carry, i, data=None):
@@ -411,40 +440,19 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         log_u_draw = jnp.log(jax.random.uniform(k_accept, state.logprob.shape, dtype))
         accept = log_alpha > log_u_draw
 
-        acc = accept[:, None]
-        accf = accept.astype(dtype)
-        new_position = jnp.where(acc, proposal, state.position)
-        new_logprob = jnp.where(accept, lp_prop, state.logprob)
-        new_grad = jnp.where(acc, g_prop, g)
-
-        delta = step_vec * acc.astype(dtype)
-        m_sum = state.m_sum + seg_sum(delta, 1)
-        m_outer = state.m_outer + seg_sum(delta[:, :, None] * delta[:, None, :], 2)
-        m_count = state.m_count + seg_sum(accf, 0)
-
-        better = new_logprob > state.best_logprob
-        best_position = jnp.where(better[:, None], new_position, state.best_position)
-        best_logprob = jnp.where(better, new_logprob, state.best_logprob)
-
-        new_state = WalkerState(
-            key=key,
-            position=new_position,
-            logprob=new_logprob,
-            best_position=best_position,
-            best_logprob=best_logprob,
-            l_matrix=state.l_matrix,
-            m_sum=m_sum,
-            m_outer=m_outer,
-            m_count=m_count,
-            age=state.age + 1,
-            anneal_step=state.anneal_step + 1,
+        new_state, accf, out = _apply_step(
+            state, key, proposal, lp_prop, step_vec, accept, False
         )
-        out = {
-            "logprob_max": jnp.max(new_logprob),
-            "logprob_mean": jnp.mean(new_logprob),
-            "logprob_min": jnp.min(new_logprob),
-        }
+        new_grad = jnp.where(accept[:, None], g_prop, g)
         return (new_state, accept_counts + accf, force_cold, new_grad), out
+
+    def _mala_carry(state, zero_counts, force_cold, data):
+        """Initial MALA carry: one value+grad eval per chunk (kept out of
+        WalkerState to avoid widening every consumer's pytree; costs one
+        posterior evaluation per chunk_size steps, ~0.5%)."""
+        _, g0 = eval_vg(state.position, data)
+        g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+        return (state, zero_counts, force_cold, g0)
 
     def adapt(state: WalkerState, group_accept, allow_refresh):
         """Chunk-boundary L update (mcmc-fitting.lisp:929-942), branchless
@@ -575,11 +583,9 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         """
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
         if mala:
-            _, g0 = eval_vg(state.position, data)
-            g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
             (state, accept_counts, _, _), trace = lax.scan(
                 lambda carry, i: one_step_mala(carry, i, data),
-                (state, zero_counts, force_cold, g0), jnp.arange(chunk)
+                _mala_carry(state, zero_counts, force_cold, data), jnp.arange(chunk)
             )
         else:
             (state, accept_counts, _), trace = lax.scan(
@@ -605,9 +611,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
 
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
         if mala:
-            _, g0 = eval_vg(state.position, data)
-            g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
-            carry0 = (state, zero_counts, force_cold, g0)
+            carry0 = _mala_carry(state, zero_counts, force_cold, data)
             (state, accept_counts, _, _), (trace, positions, logprobs) = lax.scan(
                 one_step_hist, carry0, jnp.arange(chunk)
             )

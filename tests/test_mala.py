@@ -127,6 +127,49 @@ def test_anneal_rwm_then_sample_mala():
     assert 0.3 < w.acceptance() < 0.85
 
 
+def test_mala_auto_stop_uses_shifted_band():
+    """Auto-stop must gate on MALA's acceptance band (~0.574): a converged
+    MALA fit stops early rather than burning every step."""
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 10.0, 50)
+    y = 2.0 * x + 1.0 + 0.05 * rng.standard_normal(50)
+    w = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 2.0, "b": 1.0},
+        data_error=0.05, n_walkers=64, seed=0, walker_jitter=0.02,
+        config=FitConfig(kernel="mala", temperature=2.0),
+    )
+    w.adaptive_steps(40000, auto="rhat")
+    assert w.age < 40000
+
+
+def test_mala_falls_back_from_pallas():
+    """pallas_call has no autodiff rule; kernel='mala' must keep the XLA
+    posterior even when posterior_impl='pallas' is forced."""
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 10.0, 50)
+    y = 2.0 * x + 1.0 + 0.1 * rng.standard_normal(50)
+    w = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 1.5, "b": 0.5},
+        data_error=0.1, n_walkers=128, seed=0, walker_jitter=0.05,
+        config=FitConfig(kernel="mala", posterior_impl="pallas"),
+    )
+    assert w._batched_posterior() is None
+    w.adaptive_steps(600, auto=None)  # must not crash in linearization
+    assert np.isfinite(w.most_likely_step()[0])
+
+
+def test_rhat_requires_history():
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 10.0, 50)
+    y = 2.0 * x + 1.0 + 0.1 * rng.standard_normal(50)
+    w = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 1.5, "b": 0.5},
+        data_error=0.1, n_walkers=16, seed=0,
+    )
+    with pytest.raises(ValueError, match="collect_history"):
+        w.adaptive_steps(1000, auto="rhat", collect_history=False)
+
+
 def test_mala_batched_fit():
     """MALA composes with grouped batched fits (vjp through the
     whole-batch posterior)."""
