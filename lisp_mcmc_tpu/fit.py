@@ -514,6 +514,66 @@ class Walker:
             l = jnp.broadcast_to(l, (self.n_groups,) + l.shape)
         self.state = dataclasses.replace(self.state, l_matrix=l)
 
+    def tempered_steps(self, n: int, rungs: int = 8, t_max: float | None = None,
+                       collect_history: bool = False):
+        """Parallel-tempering SEARCH phase (replica exchange, new surface).
+
+        Splits the ensemble into ``rungs`` contiguous blocks holding a
+        geometric temperature ladder from 1 to ``t_max`` (default: the
+        config temperature, at least 10); replicas swap between adjacent
+        rungs at every chunk boundary.  Hot rungs cross likelihood
+        barriers, swaps carry good states down to the cold rung — far
+        stronger global search than the reference's annealing on
+        multimodal posteriors.  Best-step tracking remains exact
+        (``logprob`` is always untempered); retained history mixes
+        temperatures, so it is off by default — draw posterior samples
+        afterwards with :meth:`adaptive_steps` or :meth:`sampling_steps`.
+        """
+        if self.aux is not None or self.group_ids is not None:
+            raise ValueError("tempering is unavailable for batched/grouped fits")
+        K = int(rungs)
+        if K < 2 or self.n_walkers % K:
+            raise ValueError(f"rungs must be >= 2 and divide n_walkers={self.n_walkers}")
+        prev_config = self.config
+        prev_groups = (self.group_ids, self.n_groups)
+        d = self.ndim
+        # One adaptation group per rung: widen the group-axis state.
+        self.group_ids = jnp.asarray(
+            np.repeat(np.arange(K, dtype=np.int32), self.n_walkers // K)
+        )
+        self.n_groups = K
+        self.state = dataclasses.replace(
+            self.state,
+            l_matrix=jnp.broadcast_to(
+                self.state.l_matrix[0], (K, d, d)
+            ).astype(self.dtype),
+            m_sum=jnp.zeros((K, d), self.dtype),
+            m_outer=jnp.zeros((K, d, d), self.dtype),
+            m_count=jnp.zeros((K,), self.dtype),
+        )
+        self.config = dataclasses.replace(
+            self.config,
+            tempering_rungs=K,
+            kernel="rwm",
+            n_steps=int(n),
+            auto=None,
+            temperature=float(t_max if t_max is not None
+                              else max(self.config.temperature, 10.0)),
+        )
+        try:
+            self._adaptive_loop(self.config, collect_history, False)
+        finally:
+            self.config = prev_config
+            self.group_ids, self.n_groups = prev_groups
+            # Collapse the group axis back: keep the cold rung's proposal.
+            self.state = dataclasses.replace(
+                self.state,
+                l_matrix=self.state.l_matrix[:1],
+                m_sum=jnp.zeros((1, d), self.dtype),
+                m_outer=jnp.zeros((1, d, d), self.dtype),
+                m_count=jnp.zeros((1,), self.dtype),
+            )
+
     def sampling_steps(self, n: int, kernel: str = "mala", **kwargs):
         """Cold sampling phase at T=1 with the given kernel.
 

@@ -77,6 +77,10 @@ class FitConfig:
                                          # SAMPLING kernel: autodiff drift, ~7x ESS/step;
                                          # drift activates only at T=1 — anneal with rwm
                                          # first, then sample with mala at temperature=1)
+    tempering_rungs: int = 0             # >1 = parallel tempering SEARCH phase (new):
+                                         # walker blocks hold a geometric T-ladder from 1
+                                         # to `temperature`, replica swaps at chunk ends;
+                                         # rungs double as adaptation groups
     auto: str | None = "prob-settle"     # :prob-settle | :slope-settle (862) |
                                          # "rhat" (ensemble split-R-hat < 1.01, new) | None
     sampling_optimization: str = "covariance"  # L-refresh source: "covariance" | "best-value" (862, 888-895)
@@ -268,6 +272,27 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         total = jnp.sum(x, axis=0)
         return total[None]
 
+    # Parallel tempering (new surface): each contiguous walker block is a
+    # rung on a geometric temperature ladder T_k = temperature^(k/(K-1)),
+    # rung 0 cold.  Rungs must coincide with the adaptation groups (the
+    # caller synthesizes group_ids per rung) so each rung adapts its own
+    # proposal scale.
+    tempered = config.tempering_rungs > 1 and not config.greedy
+    if tempered:
+        if config.kernel == "mala":
+            raise ValueError("parallel tempering is a search phase; use kernel='rwm' "
+                             "(sample afterwards with sampling_steps)")
+        if group_block is None or n_groups != config.tempering_rungs:
+            raise ValueError(
+                "tempering requires contiguous equal walker blocks, one "
+                "adaptation group per rung (use Walker.tempered_steps)"
+            )
+        K = config.tempering_rungs
+        rung_temps_np = np.asarray(
+            [config.temperature ** (k / (K - 1)) for k in range(K)], np.float64
+        )
+        rung_betas_np = 1.0 / rung_temps_np
+
     mala = config.kernel == "mala" and not config.greedy
     if mala:
         # Per-walker value+gradient of the posterior (the autodiff surface
@@ -370,9 +395,17 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         # Annealing is indexed by the per-run counter (reset by the driver
         # at the start of each adaptive run), matching the reference's
         # do-loop i (mcmc-fitting.lisp:902,919-921) — NOT lifetime age.
-        temp = jnp.where(
-            force_cold, 1.0, temperature_schedule(state.anneal_step, ndim, config)
-        )
+        if tempered:
+            # Static per-walker temperature ladder (rung blocks), not the
+            # annealing schedule; the cold finish still pins T=1.
+            ladder = jnp.repeat(
+                jnp.asarray(rung_temps_np, dtype), group_block, total_repeat_length=state.position.shape[0]
+            )
+            temp = jnp.where(force_cold, 1.0, ladder)
+        else:
+            temp = jnp.where(
+                force_cold, 1.0, temperature_schedule(state.anneal_step, ndim, config)
+            )
 
         z = jax.random.normal(k_prop, state.position.shape, dtype)
         step_vec = mul_l(state.l_matrix, z)
@@ -542,6 +575,46 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             m_count=jnp.where(reset, 0.0, state.m_count).astype(dtype),
         )
 
+    def replica_swap(state: WalkerState):
+        """One replica-exchange round between adjacent rungs (tempered mode).
+
+        Pairs (k, k+1) with alternating parity per chunk; walker i of rung
+        k swaps with walker i of rung k+1 with probability
+        ``min(1, exp((beta_k - beta_{k+1}) (logpi_{k+1} - logpi_k)))`` —
+        ``logprob`` is always the UNTEMPERED posterior, so swaps move
+        states between rungs without re-evaluation.
+        """
+        dtype = state.position.dtype
+        key, k_swap = jax.random.split(state.key)
+        K, B = n_groups, group_block
+        pos = state.position.reshape(K, B, ndim)
+        lp = state.logprob.reshape(K, B)
+
+        parity = (state.age // chunk) % 2
+        dbeta = jnp.asarray(rung_betas_np[:-1] - rung_betas_np[1:], dtype)  # (K-1,)
+        log_alpha = dbeta[:, None] * (lp[1:] - lp[:-1])                    # (K-1, B)
+        u = jnp.log(jax.random.uniform(k_swap, (K - 1, B), dtype))
+        pair_on = (jnp.arange(K - 1) % 2) == parity                        # (K-1,)
+        do_swap = (u < log_alpha) & pair_on[:, None]                       # (K-1, B)
+
+        # Alternating parity makes the active pairs disjoint, so one
+        # where-pass with rolled neighbors applies every swap at once.
+        take_next = jnp.zeros((K, B), bool).at[:-1].set(do_swap)
+        take_prev = jnp.zeros((K, B), bool).at[1:].set(do_swap)
+        pos_next = jnp.roll(pos, -1, axis=0)
+        pos_prev = jnp.roll(pos, 1, axis=0)
+        lp_next = jnp.roll(lp, -1, axis=0)
+        lp_prev = jnp.roll(lp, 1, axis=0)
+        new_pos = jnp.where(take_next[:, :, None], pos_next,
+                            jnp.where(take_prev[:, :, None], pos_prev, pos))
+        new_lp = jnp.where(take_next, lp_next, jnp.where(take_prev, lp_prev, lp))
+        return dataclasses.replace(
+            state,
+            key=key,
+            position=new_pos.reshape(state.position.shape),
+            logprob=new_lp.reshape(state.logprob.shape),
+        )
+
     def _finish(state, accept_counts, trace, adapt_enabled, allow_refresh):
         dtype = state.position.dtype
         ones = jnp.ones_like(accept_counts)
@@ -592,7 +665,10 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                 lambda carry, i: one_step(carry, i, data),
                 (state, zero_counts, force_cold), jnp.arange(chunk)
             )
-        return _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
+        state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
+        if tempered:
+            state = replica_swap(state)
+        return state, out
 
     def run_with_history(state: WalkerState, adapt_enabled, allow_refresh,
                          force_cold=False, data=None):
@@ -620,6 +696,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                 one_step_hist, (state, zero_counts, force_cold), jnp.arange(chunk)
             )
         state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
+        if tempered:
+            state = replica_swap(state)
         out["positions"] = positions[thin - 1 :: thin]      # (chunk//thin, W, d)
         out["logprobs"] = logprobs[thin - 1 :: thin]        # (chunk//thin, W)
         return state, out
