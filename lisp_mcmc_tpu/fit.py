@@ -171,9 +171,11 @@ class Walker:
         # Host-side thinned history ring (the walker's "walk", 471).
         self._hist_positions: list[np.ndarray] = []  # each (K, W, d)
         self._hist_logprobs: list[np.ndarray] = []   # each (K, W)
-        self._accept_log: list[float] = []           # per-chunk pooled acceptance
-        self._lpmax_trace: list[np.ndarray] = []     # per-step max-logprob traces
-        self._lpmean_trace: list[np.ndarray] = []    # per-step ensemble means
+        # Chunk logs hold DEVICE scalars/arrays (lazy conversion — see
+        # _record_chunk); consumers go through numpy which syncs on read.
+        self._accept_log: list = []                  # per-chunk pooled acceptance
+        self._lpmax_trace: list = []                 # per-step max-logprob traces
+        self._lpmean_trace: list = []                # per-step ensemble means
 
     # ------------------------------------------------------------------ build
 
@@ -436,9 +438,13 @@ class Walker:
                         remaining = shutdown_chunks
 
     def _record_chunk(self, out, collect_history: bool):
-        self._accept_log.append(float(out["accept_rate"]))
-        self._lpmax_trace.append(np.asarray(out["logprob_max"]))
-        self._lpmean_trace.append(np.asarray(out["logprob_mean"]))
+        # Store DEVICE values: converting here (float()/np.asarray) would
+        # block the dispatch pipeline on every chunk — measured 3x
+        # end-to-end slowdown on high-latency hosts.  Consumers convert
+        # lazily (auto-stop every ~1000 steps, queries on demand).
+        self._accept_log.append(out["accept_rate"])
+        self._lpmax_trace.append(out["logprob_max"])
+        self._lpmean_trace.append(out["logprob_mean"])
         # Cap the auto-stop traces: only the last few settle windows are
         # ever read, so multi-million-step runs must not grow them
         # unboundedly (one (chunk,) array per chunk).
