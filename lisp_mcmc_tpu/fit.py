@@ -279,6 +279,12 @@ class Walker:
 
     def _runner(self, greedy: bool = False, with_history: bool = True):
         cfg = dataclasses.replace(self.config, greedy=greedy)
+        if cfg.tempering_rungs > 1:
+            # n_steps is host-side only in tempered mode (the static rung
+            # ladder replaces the schedule, which is n_steps-dependent);
+            # normalize it out so different run lengths reuse the compiled
+            # kernel instead of retracing.
+            cfg = dataclasses.replace(cfg, n_steps=0)
         cache_key = (cfg, with_history)
         if cache_key not in self._runner_cache:
             run, run_hist = build_chunk_runner(
@@ -366,12 +372,22 @@ class Walker:
         settle = cfg.steps_to_settle(d)
         chunk = cfg.chunk_size
         n_chunks = max(1, math.ceil(cfg.n_steps / chunk))
-        shutdown_chunks = max(1, math.ceil(max(2000, settle) / chunk))
+        # The cold finish is for posterior-producing runs; a tempered
+        # SEARCH phase keeps its ladder for the whole budget (users sample
+        # afterwards) — otherwise the max(2000, settle) cold tail would
+        # dominate short tempered runs with the ladder disabled.
+        if cfg.tempering_rungs > 1:
+            shutdown_chunks = 0
+        else:
+            shutdown_chunks = max(1, math.ceil(max(2000, settle) / chunk))
         runner = self._runner(greedy=False, with_history=collect_history)
 
         shutting_down = False
         remaining = n_chunks
         i_chunk = 0
+        pending_out = None  # previous chunk's metrics: recorded AFTER the
+        # next chunk is dispatched so the (blocking) history transfer
+        # overlaps device execution instead of stalling the pipeline.
         with control.interruptible():
             while remaining > 0 and not control.stop_requested():
                 # Shutdown = the reference's cold finish (915-917): refresh
@@ -396,7 +412,9 @@ class Walker:
                     self._posterior_data(),
                 )
                 self.state = state
-                self._record_chunk(out, collect_history)
+                if pending_out is not None:
+                    self._record_chunk(pending_out, collect_history)
+                pending_out = out
                 i_chunk += 1
                 remaining -= 1
                 step = i_chunk * chunk
@@ -428,14 +446,17 @@ class Walker:
                 # 0.2 < acc < 0.5 is band_high + 0.1 for random walk;
                 # MALA's band sits at ~0.574, so the hardcoded gate would
                 # never fire there).
-                if cfg.auto and step % 1000 < chunk and step > 2 * settle:
+                if (cfg.auto and step % 1000 < chunk and step > 2 * settle
+                        and self._accept_log):
                     k = max(1, 1000 // chunk)  # last ~1000 steps of chunks
-                    acc = float(np.mean(self._accept_log[-k:]))
+                    acc = float(np.mean(np.asarray(self._accept_log[-k:])))
                     gate_low, gate_high = resolve_accept_band(cfg)
                     if (gate_low < acc < gate_high + 0.1
                             and self._auto_settled(cfg, settle)):
                         shutting_down = True
-                        remaining = shutdown_chunks
+                        remaining = max(1, shutdown_chunks)
+            if pending_out is not None:
+                self._record_chunk(pending_out, collect_history)
 
     def _record_chunk(self, out, collect_history: bool):
         # Store DEVICE values: converting here (float()/np.asarray) would

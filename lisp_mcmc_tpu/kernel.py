@@ -575,7 +575,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             m_count=jnp.where(reset, 0.0, state.m_count).astype(dtype),
         )
 
-    def replica_swap(state: WalkerState):
+    def replica_swap(state: WalkerState, force_cold):
         """One replica-exchange round between adjacent rungs (tempered mode).
 
         Pairs (k, k+1) with alternating parity per chunk; walker i of rung
@@ -591,7 +591,12 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         lp = state.logprob.reshape(K, B)
 
         parity = (state.age // chunk) % 2
+        # Under force_cold every rung samples at T=1: the only valid
+        # exchange between equal-temperature chains is dbeta = 0 (swaps
+        # become unbiased permutations); the ladder betas would sort
+        # states by likelihood and break detailed balance.
         dbeta = jnp.asarray(rung_betas_np[:-1] - rung_betas_np[1:], dtype)  # (K-1,)
+        dbeta = jnp.where(jnp.asarray(force_cold), 0.0, dbeta).astype(dtype)
         log_alpha = dbeta[:, None] * (lp[1:] - lp[:-1])                    # (K-1, B)
         u = jnp.log(jax.random.uniform(k_swap, (K - 1, B), dtype))
         pair_on = (jnp.arange(K - 1) % 2) == parity                        # (K-1,)
@@ -667,7 +672,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             )
         state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
         if tempered:
-            state = replica_swap(state)
+            state = replica_swap(state, force_cold)
         return state, out
 
     def run_with_history(state: WalkerState, adapt_enabled, allow_refresh,
@@ -697,7 +702,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             )
         state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
         if tempered:
-            state = replica_swap(state)
+            state = replica_swap(state, force_cold)
         out["positions"] = positions[thin - 1 :: thin]      # (chunk//thin, W, d)
         out["logprobs"] = logprobs[thin - 1 :: thin]        # (chunk//thin, W)
         return state, out

@@ -61,7 +61,7 @@ def test_tempering_validations():
     from lisp_mcmc_tpu.kernel import FitConfig, build_chunk_runner
 
     w2 = _bimodal_walker(n_walkers=32)
-    with pytest.raises(ValueError, match="tempering"):
+    with pytest.raises(ValueError, match="search phase"):
         build_chunk_runner(
             w2._log_post_one, w2.ndim,
             FitConfig(kernel="mala", tempering_rungs=4), takes_data=True,
