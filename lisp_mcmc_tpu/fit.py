@@ -35,13 +35,12 @@ from . import control
 from .data import Dataset, clean_data, clean_data_error
 from .kernel import (
     FitConfig,
-    WalkerState,
     build_chunk_runner,
     init_state,
     resolve_accept_band,
 )
 from .likelihoods import log_likelihood_normal, resolve_likelihood
-from .ops.linalg import cholesky_clamped, diagonal_covariance, haario_scale, sample_covariance
+from .ops.linalg import cholesky_clamped, sample_covariance
 from .params import ParamSpec, normalize_params
 from .priors import log_prior_flat, resolve_prior
 
@@ -61,8 +60,15 @@ def _force_list(item):
 
 
 def _split_rhat_host(pos: np.ndarray) -> np.ndarray:
-    """Vectorized split Gelman-Rubin over a host (T, W, d) history -> (d,)."""
+    """Vectorized split Gelman-Rubin over a host (T, W, d) history -> (d,).
+
+    Returns +inf for degenerate histories (fewer than 4 retained steps:
+    each half-chain needs >= 2 samples for a ddof=1 variance), so callers
+    treat "not enough history" as "not converged" rather than crashing.
+    """
     t2 = pos.shape[0] // 2 * 2
+    if t2 < 4:
+        return np.full(pos.shape[-1], np.inf)
     halves = np.concatenate([pos[: t2 // 2], pos[t2 // 2 : t2]], axis=1)  # (T/2, 2W, d)
     n = halves.shape[0]
     chain_means = halves.mean(axis=0)                 # (2W, d)
@@ -144,7 +150,13 @@ class Walker:
         # step); both are deterministic per seed on a given backend.
         key = jax.random.key(seed, impl=self.config.prng_impl)
         key, k_init = jax.random.split(key)
-        if jnp.ndim(initial_vector) == 2 and initial_vector.shape[0] > 1:
+        initial_vector = jnp.asarray(initial_vector)
+        if initial_vector.ndim == 2 and initial_vector.shape[0] > 1:
+            if initial_vector.shape[1] != d:
+                raise ValueError(
+                    f"initial_vector has {initial_vector.shape[1]} parameters "
+                    f"but the spec defines {d} ({spec.keys})"
+                )
             position = jnp.asarray(initial_vector, self.dtype)
             vec = position[0]
             # A (W, d) start defines the ensemble size; an explicit
@@ -156,7 +168,7 @@ class Walker:
                 )
             self.n_walkers = int(position.shape[0])
         else:
-            initial_vector = jnp.asarray(initial_vector).reshape(-1)
+            initial_vector = initial_vector.reshape(-1)
             vec = jnp.asarray(initial_vector, self.dtype)
             position = jnp.broadcast_to(vec, (self.n_walkers, d)).astype(self.dtype)
         if walker_jitter > 0:
@@ -623,17 +635,23 @@ class Walker:
         if l_matrix is not None:
             self._set_l_matrix(l_matrix)
         else:
-            # Reference default: diag(1e-2 * median params) (851).
+            # Reference default: diag(1e-2 * median params) (851), with the
+            # same zero-parameter guard as the cold start (a zero entry
+            # would freeze that coordinate permanently).
             med = self.median_params_vector()
-            self._set_l_matrix(np.diag(1e-2 * np.asarray(med)))
+            self._set_l_matrix(np.diag(1e-2 * _nonzero_scales(med)))
         runner = self._runner(greedy=False, with_history=True)
         chunks = max(1, math.ceil(n / self.config.chunk_size))
-        for _ in range(chunks):
-            state, out = runner(  # cold, no adaptation
-                self.state, False, False, True, self._posterior_data()
-            )
-            self.state = state
-            self._record_chunk(out, True)
+        control.clear_stop()
+        with control.interruptible():
+            for _ in range(chunks):
+                if control.stop_requested():
+                    break
+                state, out = runner(  # cold, no adaptation
+                    self.state, False, False, True, self._posterior_data()
+                )
+                self.state = state
+                self._record_chunk(out, True)
 
     def sample_region(self, initial_scale: float = 1e-3, n: int = 3000):
         """Greedy proposal tuner (``walker-sample-region``, 949-969).
@@ -797,7 +815,10 @@ class Walker:
         keep = np.ones(lp.shape, dtype=bool)
         keep[1:] = lp[1:] != lp[:-1]
         samples = pos[keep]                             # (K, d)
-        return np.asarray(sample_covariance(jnp.asarray(samples)))
+        # Host-side population covariance (reference normalization /N,
+        # mcmc-fitting.lisp:643); diagnostics avoid device round-trips.
+        centered = samples - samples.mean(axis=0, keepdims=True)
+        return centered.T @ centered / max(1, samples.shape[0])
 
     def l_matrix_estimate(self, take: int | None = None):
         """Cholesky of covariance of diffs of forward steps (``:l-matrix``, 543)."""
@@ -813,8 +834,9 @@ class Walker:
         if not diffs:
             return np.zeros((self.ndim, self.ndim))
         diffs = np.concatenate(diffs, axis=0)
-        cov = sample_covariance(jnp.asarray(diffs))
-        chol, _ = cholesky_clamped(cov)
+        centered = diffs - diffs.mean(axis=0, keepdims=True)
+        cov = centered.T @ centered / max(1, diffs.shape[0])
+        chol, _ = cholesky_clamped(jnp.asarray(cov))
         return np.asarray(chol)
 
     def stddev_params(self, take: int | None = None) -> dict[str, float]:
@@ -875,6 +897,8 @@ class Walker:
 
     def burn_steps(self, burn_number: int):
         """Drop the oldest ``burn_number`` steps (``:burn-walks``, 566-567)."""
+        if not self._hist_positions:
+            return  # nothing retained; don't store _history()'s synthetic fallback
         k = burn_number // max(1, self.config.thin)
         pos, lp = self._history()
         pos, lp = pos[k:], lp[k:]
@@ -883,6 +907,8 @@ class Walker:
 
     def keep_steps(self, keep_number: int):
         """Keep only the newest ``keep_number`` steps (``:keep-walks``, 568-569)."""
+        if not self._hist_positions:
+            return  # nothing retained; don't store _history()'s synthetic fallback
         k = max(1, keep_number // max(1, self.config.thin))
         pos, lp = self._history()
         self._hist_positions = [pos[-k:]]
@@ -1044,6 +1070,7 @@ def mcmc_fit(
     n_steps: int | None = None,
     n_walkers: int = 1,
     seed: int = 0,
+    walker_jitter: float = 0.0,
     config: FitConfig | None = None,
     dtype=None,
 ) -> Walker:
@@ -1057,6 +1084,7 @@ def mcmc_fit(
         log_prior=log_prior,
         n_walkers=n_walkers,
         seed=seed,
+        walker_jitter=walker_jitter,
         config=config,
         dtype=dtype,
     )
