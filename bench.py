@@ -23,7 +23,9 @@ BASELINE_STEPS_PER_SEC = 1.0e5 / 6.34  # test.lisp:23-24
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--walkers", type=int, default=int(os.environ.get("BENCH_WALKERS", 65536)))
+    # 131072 walkers measured ~3% faster than 65536 (better fixed-cost
+    # amortization); throughput is flat above that (VPU-bound).
+    parser.add_argument("--walkers", type=int, default=int(os.environ.get("BENCH_WALKERS", 131072)))
     parser.add_argument("--chunks", type=int, default=int(os.environ.get("BENCH_CHUNKS", 20)))
     parser.add_argument("--warmup-chunks", type=int, default=3)
     parser.add_argument("--verbose", action="store_true")
