@@ -271,6 +271,12 @@ class Walker:
             # pallas_call has no autodiff rule: MALA's vjp through the
             # fused kernel fails to linearize, so gradients use the XLA path.
             return None
+        if self.config.kernel == "stretch":
+            # The fused kernel is shape-specialized to the full ensemble;
+            # stretch evaluates half-ensembles, so it keeps the XLA path
+            # (a structured batched posterior still works via the
+            # full-batch fallback inside the kernel).
+            return None
         if getattr(self, "mesh", None) is not None:
             # Sharded ensembles keep the XLA path: pallas_call is not
             # GSPMD-partitionable along the chain axis without a shard_map
@@ -620,6 +626,9 @@ class Walker:
         :meth:`adaptive_steps` (random walk), then draw posterior samples
         here — with ``kernel="mala"`` the gradient drift yields ~7x the
         effective samples per step (measured; see DESIGN.md).
+        ``kernel="stretch"`` selects the affine-invariant ensemble moves
+        instead (no gradients needed; robust to strong correlation and
+        scale mismatch without any proposal adaptation).
         """
         prev_config = self.config
         self.config = dataclasses.replace(self.config, kernel=kernel)

@@ -77,6 +77,14 @@ class FitConfig:
                                          # SAMPLING kernel: autodiff drift, ~7x ESS/step;
                                          # drift activates only at T=1 — anneal with rwm
                                          # first, then sample with mala at temperature=1)
+                                         # | "stretch" (affine-invariant ensemble moves,
+                                         # Goodman-Weare red-black: no proposal covariance
+                                         # to adapt at all — walkers propose along lines
+                                         # through complementary walkers, so anisotropy/
+                                         # correlation handle themselves; sample_region
+                                         # tuning is a no-op for it)
+    stretch_a: float = 2.0               # stretch-move scale a (z ~ g(z) on [1/a, a]);
+                                         # lower toward 1 if acceptance collapses at high d
     tempering_rungs: int = 0             # >1 = parallel tempering SEARCH phase (new):
                                          # walker blocks hold a geometric T-ladder from 1
                                          # to `temperature`, replica swaps at chunk ends;
@@ -279,7 +287,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     # proposal scale.
     tempered = config.tempering_rungs > 1 and not config.greedy
     if tempered:
-        if config.kernel == "mala":
+        if config.kernel in ("mala", "stretch"):
             raise ValueError("parallel tempering is a search phase; use kernel='rwm' "
                              "(sample afterwards with sampling_steps)")
         if group_block is None or n_groups != config.tempering_rungs:
@@ -292,6 +300,60 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             [config.temperature ** (k / (K - 1)) for k in range(K)], np.float64
         )
         rung_betas_np = 1.0 / rung_temps_np
+
+    # Affine-invariant stretch moves (new TPU surface, Goodman & Weare
+    # 2010): each walker proposes along the line through a random walker of
+    # the complementary half-ensemble, y = x_j + z (x_k - x_j) with
+    # z ~ g(z) ∝ 1/sqrt(z) on [1/a, a], accepted with probability
+    # min(1, z^(d-1) [pi(y)/pi(x)]^(1/T)).  The red-black scheme (update
+    # half 0 against half 1, then half 1 against the UPDATED half 0) keeps
+    # exact detailed balance — the walker ensemble the framework already
+    # carries IS the proposal distribution, so there is no L-matrix to
+    # adapt and the kernel is invariant to affine reparameterizations.
+    stretch = config.kernel == "stretch" and not config.greedy
+    if stretch:
+        if grouped and group_block is None:
+            raise ValueError(
+                "stretch kernel needs contiguous equal-size walker blocks per "
+                "adaptation group (complementary halves must stay within a group)"
+            )
+
+        def _half_eval(aux_half):
+            """Per-walker posterior eval for one half-ensemble (flat (Wh, d))."""
+            if aux_half is None:
+                if takes_data:
+                    f = jax.vmap(log_posterior, in_axes=(0, None))
+                    return lambda pos, data: f(pos, data)
+                f = jax.vmap(log_posterior)
+                return lambda pos, data: f(pos)
+            if takes_data:
+                f = jax.vmap(log_posterior, in_axes=(0, 0, None))
+                return lambda pos, data: f(pos, aux_half, data)
+            f = jax.vmap(log_posterior, in_axes=(0, 0))
+            return lambda pos, data: f(pos, aux_half)
+
+        if batched_posterior is None and aux is not None:
+            # aux leaves have leading axis W (concrete at build time): slice
+            # them to the red/black halves once, in the grouped block layout
+            # so ordering matches the flattened half positions.
+            def _slice_aux(lo: bool):
+                def sl(a):
+                    a = jnp.asarray(a)
+                    if grouped:
+                        g = a.reshape((n_groups, group_block) + a.shape[1:])
+                        bh = group_block // 2
+                        g = g[:, :bh] if lo else g[:, bh:]
+                        return g.reshape((-1,) + a.shape[1:])
+                    h = a.shape[0] // 2
+                    return a[:h] if lo else a[h:]
+                return jax.tree_util.tree_map(sl, aux)
+
+            _eval_lo = _half_eval(_slice_aux(True))
+            _eval_hi = _half_eval(_slice_aux(False))
+        elif batched_posterior is None:
+            _eval_lo = _eval_hi = _half_eval(None)
+        else:
+            _eval_lo = _eval_hi = None  # full-ensemble fallback (see below)
 
     mala = config.kernel == "mala" and not config.greedy
     if mala:
@@ -425,6 +487,75 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
 
         new_state, accf, out = _apply_step(
             state, key, proposal, lp_prop, step_vec, accept, True
+        )
+        return (new_state, accept_counts + accf, force_cold), out
+
+    def one_step_stretch(carry, i, data=None):
+        """Affine-invariant stretch step (kernel='stretch'), red-black.
+
+        One scan step = one full-ensemble update: the low half proposes
+        against the high half, then the high half proposes against the
+        *updated* low half (the sequential two-phase scheme that keeps the
+        Goodman-Weare move exact).  Cost per step matches rwm — two half-
+        ensemble posterior evaluations instead of one full one.  Grouped
+        ensembles (batched fits) pair strictly within their own group
+        block, so every proposal stays on its own dataset's posterior.
+        """
+        state, accept_counts, force_cold = carry
+        dtype = state.position.dtype
+        key, k_lo, k_hi = jax.random.split(state.key, 3)
+        temp = jnp.where(
+            force_cold, 1.0, temperature_schedule(state.anneal_step, ndim, config)
+        )
+
+        W = state.position.shape[0]
+        if grouped and group_block is not None:
+            G, B = n_groups, group_block
+        else:
+            G, B = 1, W
+        if B % 2:
+            raise ValueError(
+                "stretch kernel needs an even number of walkers per group"
+            )
+        Bh = B // 2
+        pos = state.position.reshape(G, B, ndim)
+        lp = state.logprob.reshape(G, B)
+        a = config.stretch_a
+
+        def half(k, xk, lpk, comp, eval_fn, lo: bool):
+            kj, kz, ka = jax.random.split(k, 3)
+            j = jax.random.randint(kj, lpk.shape, 0, Bh)
+            xj = jnp.take_along_axis(comp, j[..., None], axis=1)     # (G,Bh,d)
+            u = jax.random.uniform(kz, lpk.shape, dtype)
+            # Inverse-CDF draw of g(z) ∝ 1/sqrt(z) on [1/a, a].
+            z = ((a - 1.0) * u + 1.0) ** 2 / a
+            prop = xj + z[..., None] * (xk - xj)
+            if eval_fn is not None:
+                lp_prop = eval_fn(prop.reshape(-1, ndim), data).reshape(lpk.shape)
+            else:
+                # Structured whole-batch posterior (shape-specialized to the
+                # full ensemble): evaluate the full batch with the active
+                # half replaced by its proposals and slice the active part.
+                halves = [prop, comp] if lo else [comp, prop]
+                full = jnp.concatenate(halves, axis=1).reshape(-1, ndim)
+                lp_full = batched_posterior(full, data).reshape(G, B)
+                lp_prop = lp_full[:, :Bh] if lo else lp_full[:, Bh:]
+            lp_prop = jnp.where(jnp.isfinite(lp_prop), lp_prop, _neg_floor(dtype))
+            log_alpha = (ndim - 1.0) * jnp.log(z) + (lp_prop - lpk) / temp
+            acc = jnp.log(jax.random.uniform(ka, lpk.shape, dtype)) < log_alpha
+            return prop, lp_prop, acc
+
+        x_lo, l_lo = pos[:, :Bh], lp[:, :Bh]
+        x_hi, l_hi = pos[:, Bh:], lp[:, Bh:]
+        p_lo, lp_lo, a_lo = half(k_lo, x_lo, l_lo, x_hi, _eval_lo, True)
+        x_lo_new = jnp.where(a_lo[..., None], p_lo, x_lo)
+        p_hi, lp_hi, a_hi = half(k_hi, x_hi, l_hi, x_lo_new, _eval_hi, False)
+
+        proposal = jnp.concatenate([p_lo, p_hi], axis=1).reshape(W, ndim)
+        lp_prop = jnp.concatenate([lp_lo, lp_hi], axis=1).reshape(W)
+        accept = jnp.concatenate([a_lo, a_hi], axis=1).reshape(W)
+        new_state, accf, out = _apply_step(
+            state, key, proposal, lp_prop, proposal - state.position, accept, False
         )
         return (new_state, accept_counts + accf, force_cold), out
 
@@ -625,7 +756,18 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         ones = jnp.ones_like(accept_counts)
         group_total = jnp.maximum(seg_sum(ones, 0) * chunk, 1.0)   # (G,)
         group_accept = seg_sum(accept_counts, 0) / group_total     # (G,)
-        adapted = adapt(state, group_accept, allow_refresh)
+        if stretch:
+            # Affine invariance: nothing to adapt.  Clear any moments
+            # carried in from an earlier rwm phase so a later refresh
+            # never sees stale displacement statistics.
+            adapted = dataclasses.replace(
+                state,
+                m_sum=jnp.zeros_like(state.m_sum),
+                m_outer=jnp.zeros_like(state.m_outer),
+                m_count=jnp.zeros_like(state.m_count),
+            )
+        else:
+            adapted = adapt(state, group_accept, allow_refresh)
         # When adaptation is off (many_steps, sample_region) the move
         # moments are zeroed rather than kept: otherwise greedy-tuner or
         # fixed-L displacements accumulate and poison the first covariance
@@ -666,8 +808,9 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                 _mala_carry(state, zero_counts, force_cold, data), jnp.arange(chunk)
             )
         else:
+            plain_step = one_step_stretch if stretch else one_step
             (state, accept_counts, _), trace = lax.scan(
-                lambda carry, i: one_step(carry, i, data),
+                lambda carry, i: plain_step(carry, i, data),
                 (state, zero_counts, force_cold), jnp.arange(chunk)
             )
         state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
@@ -684,7 +827,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         reference's cons-list walk (SURVEY §3.3) — and thinned *before*
         any host transfer.
         """
-        step = one_step_mala if mala else one_step
+        step = one_step_mala if mala else (one_step_stretch if stretch else one_step)
 
         def one_step_hist(carry, i):
             carry, out = step(carry, i, data)
