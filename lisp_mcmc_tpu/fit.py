@@ -267,9 +267,10 @@ class Walker:
         impl = self.config.posterior_impl
         if impl != "pallas" or self._custom_log_post is not None or self.aux is not None:
             return None
-        if self.config.kernel == "mala":
-            # pallas_call has no autodiff rule: MALA's vjp through the
-            # fused kernel fails to linearize, so gradients use the XLA path.
+        if self.config.kernel in ("mala", "hmc"):
+            # pallas_call has no autodiff rule: the gradient kernels' vjp
+            # through the fused kernel fails to linearize, so they keep
+            # the XLA path.
             return None
         if self.config.kernel == "stretch":
             # The fused kernel is shape-specialized to the full ensemble;

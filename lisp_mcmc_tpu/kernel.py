@@ -83,8 +83,13 @@ class FitConfig:
                                          # through complementary walkers, so anisotropy/
                                          # correlation handle themselves; sample_region
                                          # tuning is a no-op for it)
+                                         # | "hmc" (Hamiltonian sampling kernel: leapfrog
+                                         # in L-whitened coordinates, hmc_leapfrog grad
+                                         # evals per step — highest ESS per step on smooth
+                                         # targets; like mala, best used at temperature=1)
     stretch_a: float = 2.0               # stretch-move scale a (z ~ g(z) on [1/a, a]);
                                          # lower toward 1 if acceptance collapses at high d
+    hmc_leapfrog: int = 8                # leapfrog steps per HMC proposal
     tempering_rungs: int = 0             # >1 = parallel tempering SEARCH phase (new):
                                          # walker blocks hold a geometric T-ladder from 1
                                          # to `temperature`, replica swaps at chunk ends;
@@ -188,13 +193,17 @@ def resolve_accept_band(config: FitConfig) -> tuple[float, float]:
 
     MALA's optimal acceptance is ~0.574 (vs ~0.234 for random walk), so
     the band shifts to (0.45, 0.7) when the user kept the reference
-    defaults.  Shared by the kernel's adapt step and the driver's
-    auto-stop gate (which, like the reference's 0.2 < acc < 0.5 check at
-    mcmc-fitting.lisp:911, allows band_high + 0.1).
+    defaults; HMC's optimum is ~0.65, band (0.55, 0.85).  Shared by the
+    kernel's adapt step and the driver's auto-stop gate (which, like the
+    reference's 0.2 < acc < 0.5 check at mcmc-fitting.lisp:911, allows
+    band_high + 0.1).
     """
     low, high = config.accept_low, config.accept_high
-    if config.kernel == "mala" and not config.greedy and (low, high) == (0.2, 0.4):
-        return 0.45, 0.7
+    if not config.greedy and (low, high) == (0.2, 0.4):
+        if config.kernel == "mala":
+            return 0.45, 0.7
+        if config.kernel == "hmc":
+            return 0.55, 0.85
     return low, high
 
 
@@ -287,7 +296,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     # proposal scale.
     tempered = config.tempering_rungs > 1 and not config.greedy
     if tempered:
-        if config.kernel in ("mala", "stretch"):
+        if config.kernel in ("mala", "stretch", "hmc"):
             raise ValueError("parallel tempering is a search phase; use kernel='rwm' "
                              "(sample afterwards with sampling_steps)")
         if group_block is None or n_groups != config.tempering_rungs:
@@ -356,7 +365,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             _eval_lo = _eval_hi = None  # full-ensemble fallback (see below)
 
     mala = config.kernel == "mala" and not config.greedy
-    if mala:
+    hmc = config.kernel == "hmc" and not config.greedy
+    if mala or hmc:
         # Per-walker value+gradient of the posterior (the autodiff surface
         # the Lisp reference could never have).
         if batched_posterior is not None:
@@ -610,9 +620,67 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         new_grad = jnp.where(accept[:, None], g_prop, g)
         return (new_state, accept_counts + accf, force_cold, new_grad), out
 
+    def one_step_hmc(carry, i, data=None):
+        """Hamiltonian step (kernel='hmc', new TPU surface).
+
+        Leapfrog integration in L-whitened coordinates: with momentum
+        ``p ~ N(0, I)`` in whitened space and tempered potential
+        ``U = -logpi / T``, the drift is ``x += L p`` and the kick is
+        ``p += (1/2T) L^T grad logpi`` — the adapted proposal factor L is
+        simultaneously the mass-matrix preconditioner and the step size
+        (the acceptance band rescales it toward HMC's ~0.65 optimum).
+        ``hmc_leapfrog`` gradient evaluations per proposal; a divergent
+        (non-finite) trajectory is rejected hard, never propagated.
+        """
+        state, accept_counts, force_cold, g = carry
+        dtype = state.position.dtype
+        key, k_mom, k_accept = jax.random.split(state.key, 3)
+        temp = jnp.where(
+            force_cold, 1.0, temperature_schedule(state.anneal_step, ndim, config)
+        )
+        inv_t = (1.0 / temp).astype(dtype)
+        L = state.l_matrix
+
+        p0 = jax.random.normal(k_mom, state.position.shape, dtype)
+        # First half kick, then hmc_leapfrog x (drift + full kick), then
+        # un-kick half at the end — the standard splitting, with every
+        # kick riding mul_lt (no triangular solves anywhere).
+        p = p0 + 0.5 * inv_t * mul_lt(L, g)
+
+        def leap(inner, _):
+            x_i, p_i, lp_i, g_i, bad = inner
+            x_n = x_i + mul_l(L, p_i)
+            lp_n, g_n = eval_vg(x_n, data)
+            bad = bad | ~jnp.isfinite(lp_n) | ~jnp.all(jnp.isfinite(g_n), axis=1)
+            g_n = jnp.where(jnp.isfinite(g_n), g_n, 0.0)
+            lp_n = jnp.where(jnp.isfinite(lp_n), lp_n, _neg_floor(dtype))
+            p_n = p_i + inv_t * mul_lt(L, g_n)
+            return (x_n, p_n, lp_n, g_n, bad), None
+
+        bad0 = jnp.zeros(state.logprob.shape, bool)
+        (x1, p1, lp1, g1, bad), _ = lax.scan(
+            leap, (state.position, p, state.logprob, g, bad0),
+            None, length=max(1, config.hmc_leapfrog),
+        )
+        p1 = p1 - 0.5 * inv_t * mul_lt(L, g1)
+
+        # Delta H = U(x0) - U(x1) + (|p0|^2 - |p1|^2)/2 in whitened space.
+        log_alpha = (lp1 - state.logprob) * inv_t + 0.5 * (
+            jnp.sum(p0 * p0, axis=1) - jnp.sum(p1 * p1, axis=1)
+        )
+        log_alpha = jnp.where(bad, -jnp.inf, log_alpha)
+        log_u = jnp.log(jax.random.uniform(k_accept, state.logprob.shape, dtype))
+        accept = log_alpha > log_u
+
+        new_state, accf, out = _apply_step(
+            state, key, x1, lp1, x1 - state.position, accept, False
+        )
+        new_grad = jnp.where(accept[:, None], g1, g)
+        return (new_state, accept_counts + accf, force_cold, new_grad), out
+
     def _mala_carry(state, zero_counts, force_cold, data):
-        """Initial MALA carry: one value+grad eval per chunk (kept out of
-        WalkerState to avoid widening every consumer's pytree; costs one
+        """Initial MALA/HMC carry: one value+grad eval per chunk (kept out
+        of WalkerState to avoid widening every consumer's pytree; costs one
         posterior evaluation per chunk_size steps, ~0.5%)."""
         _, g0 = eval_vg(state.position, data)
         g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
@@ -659,7 +727,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         # the TARGET covariance, which the walker ensemble's position
         # spread estimates directly (accepted-move covariance is a
         # proposal-filtered quantity calibrated for random walk only).
-        if config.covariance_source == "ensemble" or mala:
+        if config.covariance_source == "ensemble" or mala or hmc:
             ones = jnp.ones((state.position.shape[0],), dtype)
             counts = jnp.maximum(seg_sum(ones, 0), 1.0)            # (G,)
             mean = seg_sum(state.position, 1) / counts[:, None]
@@ -679,6 +747,10 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             # Roberts-Rosenthal optimal Langevin step in whitened space:
             # l = 1.65 * d^(-1/6) (acceptance ~0.574).
             scale = 1.65 * float(d) ** (-1.0 / 6.0)
+        elif hmc:
+            # Leapfrog step size scales as d^(-1/4) in whitened space
+            # (Beskos et al.); the band rescale fine-tunes from there.
+            scale = float(d) ** (-0.25)
         else:
             # Reference scales the L-matrix by 2.38^2/d (890) — replicated.
             scale = haario_scale(d)
@@ -802,9 +874,10 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         pytree when built with ``takes_data`` (a scan constant, not carried).
         """
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
-        if mala:
+        if mala or hmc:
+            grad_step = one_step_mala if mala else one_step_hmc
             (state, accept_counts, _, _), trace = lax.scan(
-                lambda carry, i: one_step_mala(carry, i, data),
+                lambda carry, i: grad_step(carry, i, data),
                 _mala_carry(state, zero_counts, force_cold, data), jnp.arange(chunk)
             )
         else:
@@ -827,14 +900,21 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         reference's cons-list walk (SURVEY §3.3) — and thinned *before*
         any host transfer.
         """
-        step = one_step_mala if mala else (one_step_stretch if stretch else one_step)
+        if mala:
+            step = one_step_mala
+        elif hmc:
+            step = one_step_hmc
+        elif stretch:
+            step = one_step_stretch
+        else:
+            step = one_step
 
         def one_step_hist(carry, i):
             carry, out = step(carry, i, data)
             return carry, (out, carry[0].position, carry[0].logprob)
 
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
-        if mala:
+        if mala or hmc:
             carry0 = _mala_carry(state, zero_counts, force_cold, data)
             (state, accept_counts, _, _), (trace, positions, logprobs) = lax.scan(
                 one_step_hist, carry0, jnp.arange(chunk)
