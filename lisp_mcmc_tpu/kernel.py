@@ -413,9 +413,10 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                     accumulate_moments: bool):
         """Shared accept/update tail: position, bookkeeping, best tracking.
 
-        ``accumulate_moments`` is off for MALA — its refresh uses the
-        ensemble position covariance, so the accepted-move moments would
-        be pure dead weight (an O(W d^2) outer product per step).
+        ``accumulate_moments`` is off for the gradient kernels (their
+        refresh uses the typical-set ensemble covariance, so the moments
+        would be an O(W d^2) dead weight per step) and for stretch (no
+        proposal state to adapt at all).
         """
         dtype = state.position.dtype
         acc = accept[:, None]
@@ -723,10 +724,14 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             new_l = jnp.where(in_band[:, None, None], l_refreshed, l_rescaled)
             return dataclasses.replace(state, l_matrix=new_l.astype(dtype))
 
-        # Candidate refresh covariance per group.  MALA preconditions with
-        # the TARGET covariance, which the walker ensemble's position
-        # spread estimates directly (accepted-move covariance is a
-        # proposal-filtered quantity calibrated for random walk only).
+        # Candidate refresh covariance per group.  The gradient kernels
+        # precondition with the TARGET covariance, which the walker
+        # ensemble's position spread estimates directly (accepted-move
+        # covariance was benchmarked as the refresh source: robust to
+        # stragglers, but a measurably worse preconditioner shape — it is
+        # proposal-filtered — costing ~2-3x ESS on correlated targets).
+        # The independence-rescue round below keeps the population honest
+        # so this estimate stays close to the target covariance.
         if config.covariance_source == "ensemble" or mala or hmc:
             ones = jnp.ones((state.position.shape[0],), dtype)
             counts = jnp.maximum(seg_sum(ones, 0), 1.0)            # (G,)
@@ -747,10 +752,6 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             # Roberts-Rosenthal optimal Langevin step in whitened space:
             # l = 1.65 * d^(-1/6) (acceptance ~0.574).
             scale = 1.65 * float(d) ** (-1.0 / 6.0)
-        elif hmc:
-            # Leapfrog step size scales as d^(-1/4) in whitened space
-            # (Beskos et al.); the band rescale fine-tunes from there.
-            scale = float(d) ** (-0.25)
         else:
             # Reference scales the L-matrix by 2.38^2/d (890) — replicated.
             scale = haario_scale(d)
@@ -760,11 +761,56 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         in_band = (accept_low < group_accept) & (group_accept < accept_high)
         too_low = group_accept <= accept_low
 
+        if hmc:
+            # HMC adaptation: continuous step-size steering + SHAPE-only
+            # refresh.  Anchoring the scale at a fixed d^(-1/4) on every
+            # in-band refresh pins acceptance near 0.8-0.9 (conservative
+            # steps, measured ~4x ESS loss); instead the scalar whitened
+            # step steers multiplicatively toward the ~0.65 optimum every
+            # chunk — asymmetric rates (<=4%/chunk up, down to 0.5x/chunk
+            # on collapse) because the leapfrog integrator's stability
+            # cliff drops acceptance ~1 -> ~0 over a few percent of eps
+            # and symmetric rates limit-cycle across it.  The direction
+            # basis refreshes from the ensemble covariance only at
+            # healthy (in-band) acceptance, with the current magnitude
+            # carried over via s = (det L / det chol)^(1/d).
+            target = 0.65
+            corr = jnp.where(
+                group_accept >= target,
+                1.0 + 0.1 * (group_accept - target),
+                jnp.exp(group_accept - target),
+            ).astype(dtype)                                        # (G,)
+            diag_l = jnp.abs(jnp.diagonal(state.l_matrix, axis1=1, axis2=2))
+            diag_c = jnp.abs(jnp.diagonal(chol, axis1=1, axis2=2))
+            floor = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+            log_s = jnp.clip(
+                jnp.mean(jnp.log(jnp.maximum(diag_l, floor)), axis=1)
+                - jnp.mean(jnp.log(jnp.maximum(diag_c, floor)), axis=1),
+                -20.0, 20.0,
+            )
+            cand_hmc = (jnp.exp(log_s) * corr)[:, None, None] * chol
+            refresh_now = refresh_ok & in_band
+            new_l = jnp.where(
+                refresh_now[:, None, None], cand_hmc,
+                corr[:, None, None] * state.l_matrix,
+            )
+            return dataclasses.replace(state, l_matrix=new_l.astype(dtype))
+
+        # Gentler out-of-band rescales for the gradient kernels: the
+        # leapfrog/Langevin step has a hard stability cliff in scale
+        # (acceptance falls ~1 -> ~0 over a few tens of percent of eps),
+        # so the reference's x0.1/x1.9 jumps ping-pong straight across it
+        # (measured 1.00 <-> 0.00 chunk alternation); x0.5/x1.3 converges
+        # into the band instead.  Only applied when the user kept the
+        # reference's default factors.
+        down, up = config.scale_down, config.scale_up
+        if (mala or hmc) and (down, up) == (0.1, 1.9):
+            down, up = 0.5, 1.3
         l_refreshed = jnp.where(refresh_ok[:, None, None], candidate, state.l_matrix)
         l_rescaled = jnp.where(
             too_low[:, None, None],
-            config.scale_down * state.l_matrix,
-            config.scale_up * state.l_matrix,
+            down * state.l_matrix,
+            up * state.l_matrix,
         )
         new_l = jnp.where(in_band[:, None, None], l_refreshed, l_rescaled)
 
@@ -776,6 +822,113 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             m_sum=jnp.where(reset[:, None], 0.0, state.m_sum).astype(dtype),
             m_outer=jnp.where(reset[:, None, None], 0.0, state.m_outer).astype(dtype),
             m_count=jnp.where(reset, 0.0, state.m_count).astype(dtype),
+        )
+
+    # Regeneration applies to the gradient kernels (whose stragglers are
+    # frozen); rwm/stretch stragglers mix on their own and keep the
+    # reference's pure-kernel semantics.  Irregular groupings would need a
+    # per-walker (W,d,d) triangular solve — not worth it for that corner.
+    rescue_on = (mala or hmc) and (not grouped or group_block is not None)
+
+    def independence_rescue(state: WalkerState, force_cold, data):
+        """One independence-MH regeneration round (chunk boundary).
+
+        The walker ensemble always carries a straggler tail (chains
+        stranded far from the mode by the hot annealing phase; measured
+        lp spread of 4.2e4 log-units on the flagship fit at rwm
+        convergence).  Under the gradient kernels stragglers are
+        effectively frozen — their gradients are enormous, so every
+        trajectory rejects.  This move fixes the population itself,
+        exactly: propose ``y ~ q``, a multivariate Student-t(nu=2) with
+        mean/scale fitted per group on the chi^2-TYPICAL walker set
+        (within d/2 + 4 sqrt(d/2) + 2 log-units of the group max — a
+        wider window measured 50x-inflated scales per axis, making q
+        draws land in the high-posterior region with probability ~1e-10),
+        accepted with the independence-sampler ratio
+
+            log a = beta (lp(y) - lp(x)) + ((nu+d)/2) *
+                    [log(1 + |z_x|^2/nu) - log(1 + |z_y|^2/nu)]
+
+        (the log-det terms cancel — same q both sides).  The HEAVY tails
+        are load-bearing: walkers stuck on posterior plateaus sit ~1e8
+        whitened-log-units into a Gaussian q's tail, making pi(x)/q(x)
+        astronomical and the teleport never accepted (measured); under
+        the t the same point costs only ~((nu+d)/2) log|z_x|^2 and the
+        posterior term dominates, so stragglers teleport with
+        probability ~1 while healthy walkers move only when the
+        posterior ratio allows.  A valid pi-invariant kernel composed
+        with the main one — one extra posterior evaluation per walker
+        per chunk (~0.5% cost).
+        """
+        dtype = state.position.dtype
+        key, k_z, k_v, k_u = jax.random.split(state.key, 4)
+        temp = jnp.where(
+            force_cold, 1.0, temperature_schedule(state.anneal_step, ndim, config)
+        )
+        inv_t = (1.0 / temp).astype(dtype)
+
+        cut = jnp.asarray(0.5 * ndim + 4.0 * math.sqrt(0.5 * ndim) + 2.0, dtype)
+        if grouped and group_block is not None:
+            lp_g = state.logprob.reshape(n_groups, group_block)
+            top = jnp.max(lp_g, axis=1)
+            keep = (lp_g >= (top - cut)[:, None]).reshape(-1)
+        else:
+            keep = state.logprob >= jnp.max(state.logprob) - cut
+        wgt = keep.astype(dtype)
+        counts = jnp.maximum(seg_sum(wgt, 0), 1.0)
+        mean = seg_sum(state.position * wgt[:, None], 1) / counts[:, None]
+        mean_w = mean[group_ids] if grouped else mean[0]
+        centered = (state.position - mean_w) * wgt[:, None]
+        cov = seg_sum(centered[:, :, None] * centered[:, None, :], 2) / counts[:, None, None]
+        # 1.3x overdispersed so q covers the target's shoulders.
+        chol, ok = cholesky_clamped(1.69 * cov)
+        ok = ok & (counts > ndim)                                  # (G,)
+
+        # Multivariate t draw: z_t = z_normal * sqrt(nu / V), V ~ chi^2_nu
+        # (one V per walker — tails are radial, not per-axis).
+        nu = 2.0
+        z_n = jax.random.normal(k_z, state.position.shape, dtype)
+        v_chi2 = 2.0 * jax.random.gamma(k_v, jnp.asarray(nu / 2.0, dtype),
+                                        state.logprob.shape, dtype)
+        z_y = z_n * jnp.sqrt(nu / jnp.maximum(v_chi2, 1e-12))[:, None]
+        prop = mean_w + mul_l(chol, z_y)
+        lp_prop = eval_lp(prop, data)
+        lp_prop = jnp.where(jnp.isfinite(lp_prop), lp_prop, _neg_floor(dtype))
+
+        # Whiten the CURRENT positions under the same q (per group).
+        jit_eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+        chol_safe = chol + jit_eps * jnp.eye(ndim, dtype=dtype)
+        diff = state.position - mean_w                             # (W, d)
+        if grouped and group_block is not None:
+            diff_g = diff.reshape(n_groups, group_block, ndim)
+            z_x = jax.vmap(
+                lambda c, v: jax.scipy.linalg.solve_triangular(c, v.T, lower=True).T
+            )(chol_safe, diff_g).reshape(diff.shape)
+        else:
+            z_x = jax.scipy.linalg.solve_triangular(chol_safe[0], diff.T, lower=True).T
+        z_x = jnp.where(jnp.isfinite(z_x), z_x, jnp.asarray(1e6, dtype))
+
+        def log_q_t(z):
+            # log multivariate-t density up to the (cancelling) det/const:
+            # -((nu+d)/2) log(1 + |z|^2/nu)
+            return -0.5 * (nu + ndim) * jnp.log1p(jnp.sum(z * z, axis=1) / nu)
+
+        log_alpha = (lp_prop - state.logprob) * inv_t + log_q_t(z_x) - log_q_t(z_y)
+        ok_w = ok[group_ids] if grouped else ok[0]
+        accept = ok_w & (
+            jnp.log(jax.random.uniform(k_u, state.logprob.shape, dtype)) < log_alpha
+        )
+        acc = accept[:, None]
+        new_position = jnp.where(acc, prop, state.position)
+        new_logprob = jnp.where(accept, lp_prop, state.logprob)
+        better = new_logprob > state.best_logprob
+        return dataclasses.replace(
+            state,
+            key=key,
+            position=new_position,
+            logprob=new_logprob,
+            best_position=jnp.where(better[:, None], new_position, state.best_position),
+            best_logprob=jnp.where(better, new_logprob, state.best_logprob),
         )
 
     def replica_swap(state: WalkerState, force_cold):
@@ -889,6 +1042,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
         if tempered:
             state = replica_swap(state, force_cold)
+        if rescue_on:
+            state = independence_rescue(state, force_cold, data)
         return state, out
 
     def run_with_history(state: WalkerState, adapt_enabled, allow_refresh,
@@ -926,6 +1081,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
         if tempered:
             state = replica_swap(state, force_cold)
+        if rescue_on:
+            state = independence_rescue(state, force_cold, data)
         out["positions"] = positions[thin - 1 :: thin]      # (chunk//thin, W, d)
         out["logprobs"] = logprobs[thin - 1 :: thin]        # (chunk//thin, W)
         return state, out
