@@ -90,6 +90,12 @@ class FitConfig:
     stretch_a: float = 2.0               # stretch-move scale a (z ~ g(z) on [1/a, a]);
                                          # lower toward 1 if acceptance collapses at high d
     hmc_leapfrog: int = 8                # leapfrog steps per HMC proposal
+    rescue: bool = True                  # gradient kernels: independence-MH regeneration
+                                         # round at chunk boundaries (teleports walkers
+                                         # frozen by huge gradients back into the typical
+                                         # set; exact pi-invariant move, ~1 extra
+                                         # posterior eval per chunk).  No-op for rwm/
+                                         # stretch, whose stragglers mix on their own.
     tempering_rungs: int = 0             # >1 = parallel tempering SEARCH phase (new):
                                          # walker blocks hold a geometric T-ladder from 1
                                          # to `temperature`, replica swaps at chunk ends;
@@ -687,6 +693,47 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
         return (state, zero_counts, force_cold, g0)
 
+    # Regular groupings reshape to (G, B); irregular ones can't take the
+    # per-group quantile below, so trimming (and the rescue) stay off there.
+    regular = not grouped or group_block is not None
+
+    def typical_weights(logprob):
+        """Per-walker weights selecting each group's chi^2-TYPICAL set.
+
+        Window: within d/2 + 4 sqrt(d/2) + 2 log-units of the group max
+        (the chi^2_d typical-set depth below the mode, 4 sigma of slack) —
+        a wider window measured 50x-inflated covariance scales per axis
+        from the straggler tail.  Floored at the top K walkers by logprob
+        (K = max(2d+4, 32), enough support for a rank-d covariance):
+        while the population is still wide (hot anneal handoff leaves a
+        ~4e4-log-unit tail on the flagship fit) the tight window can hold
+        fewer than d walkers, which starved both the refresh covariance
+        and the rescue's q-fit exactly when they were needed (measured:
+        raw-covariance refresh inflated L 27,000x and the rescue stayed
+        disabled for ~15 chunks).  The floor must be top-K, not a
+        quantile: a top-QUARTILE floor was measured to span thousands of
+        log-units on that same population, re-inflating the fit it was
+        supposed to protect.  Returns ``(wgt (W,), counts (G,))``.
+        """
+        dtype = logprob.dtype
+        cut = jnp.asarray(0.5 * ndim + 4.0 * math.sqrt(0.5 * ndim) + 2.0, dtype)
+        if grouped and group_block is not None:
+            k = min(group_block, max(2 * ndim + 4, 32))
+            lp_g = logprob.reshape(n_groups, group_block)
+            top = jnp.max(lp_g, axis=1)
+            kth = jnp.sort(lp_g, axis=1)[:, group_block - k]       # (G,)
+            thresh = jnp.minimum(top - cut, kth)                   # (G,)
+            keep = (lp_g >= thresh[:, None]).reshape(-1)
+        else:
+            n = logprob.shape[0]
+            k = min(n, max(2 * ndim + 4, 32))
+            kth = jnp.sort(logprob)[n - k]
+            thresh = jnp.minimum(jnp.max(logprob) - cut, kth)
+            keep = logprob >= thresh
+        wgt = keep.astype(dtype)
+        counts = jnp.maximum(seg_sum(wgt, 0), 1.0)                 # (G,)
+        return wgt, counts
+
     def adapt(state: WalkerState, group_accept, allow_refresh):
         """Chunk-boundary L update (mcmc-fitting.lisp:929-942), branchless
         and batched over adaptation groups."""
@@ -730,9 +777,21 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         # covariance was benchmarked as the refresh source: robust to
         # stragglers, but a measurably worse preconditioner shape — it is
         # proposal-filtered — costing ~2-3x ESS on correlated targets).
-        # The independence-rescue round below keeps the population honest
-        # so this estimate stays close to the target covariance.
-        if config.covariance_source == "ensemble" or mala or hmc:
+        # For MALA/HMC the estimate is TRIMMED to the typical set: the raw
+        # ensemble covariance is quadratically contaminated by the
+        # straggler tail (measured 27,000x L inflation on the flagship
+        # fit's post-anneal population, locking a refresh -> collapse ->
+        # re-refresh limit cycle), and the independence-rescue round below
+        # heals that tail walker by walker, so the trimmed estimate is the
+        # one that matches the population the kernel actually steps.
+        if (mala or hmc) and regular:
+            wgt, counts = typical_weights(state.logprob)
+            mean = seg_sum(state.position * wgt[:, None], 1) / counts[:, None]
+            mean_w = mean[group_ids] if grouped else mean[0]
+            centered = (state.position - mean_w) * wgt[:, None]
+            cov = seg_sum(centered[:, :, None] * centered[:, None, :], 2) / counts[:, None, None]
+            enough = counts > d
+        elif config.covariance_source == "ensemble" or mala or hmc:
             ones = jnp.ones((state.position.shape[0],), dtype)
             counts = jnp.maximum(seg_sum(ones, 0), 1.0)            # (G,)
             mean = seg_sum(state.position, 1) / counts[:, None]
@@ -748,36 +807,39 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         if config.jitter > 0:
             cov = cov + config.jitter * jnp.eye(d, dtype=dtype)
         chol, ok = cholesky_clamped(cov)                           # (G,d,d), (G,)
-        if mala:
-            # Roberts-Rosenthal optimal Langevin step in whitened space:
-            # l = 1.65 * d^(-1/6) (acceptance ~0.574).
-            scale = 1.65 * float(d) ** (-1.0 / 6.0)
-        else:
-            # Reference scales the L-matrix by 2.38^2/d (890) — replicated.
-            scale = haario_scale(d)
-        candidate = jnp.asarray(scale, dtype) * chol
+        # Reference scales the L-matrix by 2.38^2/d (890) — replicated.
+        candidate = jnp.asarray(haario_scale(d), dtype) * chol
         refresh_ok = ok & enough & allow_refresh                   # (G,)
 
         in_band = (accept_low < group_accept) & (group_accept < accept_high)
         too_low = group_accept <= accept_low
 
-        if hmc:
-            # HMC adaptation: continuous step-size steering + SHAPE-only
-            # refresh.  Anchoring the scale at a fixed d^(-1/4) on every
-            # in-band refresh pins acceptance near 0.8-0.9 (conservative
-            # steps, measured ~4x ESS loss); instead the scalar whitened
-            # step steers multiplicatively toward the ~0.65 optimum every
-            # chunk — asymmetric rates (<=4%/chunk up, down to 0.5x/chunk
-            # on collapse) because the leapfrog integrator's stability
-            # cliff drops acceptance ~1 -> ~0 over a few percent of eps
-            # and symmetric rates limit-cycle across it.  The direction
-            # basis refreshes from the ensemble covariance only at
-            # healthy (in-band) acceptance, with the current magnitude
-            # carried over via s = (det L / det chol)^(1/d).
-            target = 0.65
+        if mala or hmc:
+            # Gradient-kernel adaptation: continuous step-size steering +
+            # SHAPE-only refresh.  The gradient kernels must never trust
+            # the covariance estimate's ABSOLUTE scale: on posteriors with
+            # a near-degenerate ridge (the flagship fit's background-only
+            # plateau sits within ~1 log-unit of the real peak, leaving
+            # linewidth/mix/x0 unconstrained along it) even the typical-set
+            # covariance is legitimately orders wider than a stable
+            # Langevin/leapfrog step, and an absolute-scale refresh at
+            # 1.65 d^(-1/6) (MALA) was measured to inflate L ~300x and
+            # lock a refresh -> collapse -> re-refresh limit cycle.
+            # Instead the scalar whitened step steers multiplicatively
+            # toward the Roberts-Rosenthal/Beskos optimum every chunk —
+            # asymmetric rates (<=1.19x/chunk up, down to 0.52x/chunk on
+            # collapse) because the integrator's stability cliff drops
+            # acceptance ~1 -> ~0 over a few percent of eps: overshoot
+            # recovers in a couple of chunks on the fast down-rate, while
+            # equally-fast symmetric rates limit-cycle across the cliff.
+            # The direction basis refreshes from the trimmed ensemble
+            # covariance only at healthy (in-band) acceptance, with the
+            # current magnitude carried over via
+            # s = (det L / det chol)^(1/d).
+            target = 0.65 if hmc else 0.574
             corr = jnp.where(
                 group_accept >= target,
-                1.0 + 0.1 * (group_accept - target),
+                jnp.exp(0.5 * (group_accept - target)),
                 jnp.exp(group_accept - target),
             ).astype(dtype)                                        # (G,)
             diag_l = jnp.abs(jnp.diagonal(state.l_matrix, axis1=1, axis2=2))
@@ -788,29 +850,19 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                 - jnp.mean(jnp.log(jnp.maximum(diag_c, floor)), axis=1),
                 -20.0, 20.0,
             )
-            cand_hmc = (jnp.exp(log_s) * corr)[:, None, None] * chol
+            cand_shape = (jnp.exp(log_s) * corr)[:, None, None] * chol
             refresh_now = refresh_ok & in_band
             new_l = jnp.where(
-                refresh_now[:, None, None], cand_hmc,
+                refresh_now[:, None, None], cand_shape,
                 corr[:, None, None] * state.l_matrix,
             )
             return dataclasses.replace(state, l_matrix=new_l.astype(dtype))
 
-        # Gentler out-of-band rescales for the gradient kernels: the
-        # leapfrog/Langevin step has a hard stability cliff in scale
-        # (acceptance falls ~1 -> ~0 over a few tens of percent of eps),
-        # so the reference's x0.1/x1.9 jumps ping-pong straight across it
-        # (measured 1.00 <-> 0.00 chunk alternation); x0.5/x1.3 converges
-        # into the band instead.  Only applied when the user kept the
-        # reference's default factors.
-        down, up = config.scale_down, config.scale_up
-        if (mala or hmc) and (down, up) == (0.1, 1.9):
-            down, up = 0.5, 1.3
         l_refreshed = jnp.where(refresh_ok[:, None, None], candidate, state.l_matrix)
         l_rescaled = jnp.where(
             too_low[:, None, None],
-            down * state.l_matrix,
-            up * state.l_matrix,
+            config.scale_down * state.l_matrix,
+            config.scale_up * state.l_matrix,
         )
         new_l = jnp.where(in_band[:, None, None], l_refreshed, l_rescaled)
 
@@ -828,7 +880,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     # frozen); rwm/stretch stragglers mix on their own and keep the
     # reference's pure-kernel semantics.  Irregular groupings would need a
     # per-walker (W,d,d) triangular solve — not worth it for that corner.
-    rescue_on = (mala or hmc) and (not grouped or group_block is not None)
+    rescue_on = config.rescue and (mala or hmc) and regular
 
     def independence_rescue(state: WalkerState, force_cold, data):
         """One independence-MH regeneration round (chunk boundary).
@@ -840,11 +892,10 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         effectively frozen — their gradients are enormous, so every
         trajectory rejects.  This move fixes the population itself,
         exactly: propose ``y ~ q``, a multivariate Student-t(nu=2) with
-        mean/scale fitted per group on the chi^2-TYPICAL walker set
-        (within d/2 + 4 sqrt(d/2) + 2 log-units of the group max — a
-        wider window measured 50x-inflated scales per axis, making q
-        draws land in the high-posterior region with probability ~1e-10),
-        accepted with the independence-sampler ratio
+        mean/scale fitted per group on the ``typical_weights`` walker set
+        (chi^2-typical window with a top-quartile floor — see that helper
+        for the measured failure modes of both a wider window and the
+        unfloored one), accepted with the independence-sampler ratio
 
             log a = beta (lp(y) - lp(x)) + ((nu+d)/2) *
                     [log(1 + |z_x|^2/nu) - log(1 + |z_y|^2/nu)]
@@ -867,15 +918,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         )
         inv_t = (1.0 / temp).astype(dtype)
 
-        cut = jnp.asarray(0.5 * ndim + 4.0 * math.sqrt(0.5 * ndim) + 2.0, dtype)
-        if grouped and group_block is not None:
-            lp_g = state.logprob.reshape(n_groups, group_block)
-            top = jnp.max(lp_g, axis=1)
-            keep = (lp_g >= (top - cut)[:, None]).reshape(-1)
-        else:
-            keep = state.logprob >= jnp.max(state.logprob) - cut
-        wgt = keep.astype(dtype)
-        counts = jnp.maximum(seg_sum(wgt, 0), 1.0)
+        wgt, counts = typical_weights(state.logprob)
         mean = seg_sum(state.position * wgt[:, None], 1) / counts[:, None]
         mean_w = mean[group_ids] if grouped else mean[0]
         centered = (state.position - mean_w) * wgt[:, None]
@@ -885,11 +928,16 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         ok = ok & (counts > ndim)                                  # (G,)
 
         # Multivariate t draw: z_t = z_normal * sqrt(nu / V), V ~ chi^2_nu
-        # (one V per walker — tails are radial, not per-axis).
+        # (one V per walker — tails are radial, not per-axis).  nu = 2 is
+        # load-bearing twice over: the tails (see above), and chi^2_2 =
+        # Exp(mean 2) = -2 log U, which avoids jax.random.gamma — whose
+        # rejection-sampling loop measured 440 ms/call at W = 65536 on
+        # v5e (4x the whole 200-step MALA chunk).
         nu = 2.0
         z_n = jax.random.normal(k_z, state.position.shape, dtype)
-        v_chi2 = 2.0 * jax.random.gamma(k_v, jnp.asarray(nu / 2.0, dtype),
-                                        state.logprob.shape, dtype)
+        u = jax.random.uniform(k_v, state.logprob.shape, dtype,
+                               minval=jnp.finfo(dtype).tiny)
+        v_chi2 = -2.0 * jnp.log(u)
         z_y = z_n * jnp.sqrt(nu / jnp.maximum(v_chi2, 1e-12))[:, None]
         prop = mean_w + mul_l(chol, z_y)
         lp_prop = eval_lp(prop, data)

