@@ -75,6 +75,33 @@ def test_sharded_chunk_matches_single_device(mesh):
     )
 
 
+def test_sharded_mala_rescue_matches_single_device(mesh):
+    """The gradient kernel's chunk (autodiff drift, trimmed-covariance
+    shape refresh, independence-rescue round: full-ensemble sort,
+    typical-set covariance, triangular solve) must stay
+    GSPMD-partitionable and numerically identical sharded vs unsharded."""
+    import dataclasses
+
+    w = _make_walker(64)
+    config = dataclasses.replace(w.config, kernel="mala")
+    run, _ = build_chunk_runner(w._log_post_one, w.ndim, config, takes_data=True)
+    step = jax.jit(run)
+    data = w._posterior_data()
+
+    state_single, out_single = step(w.state, True, True, True, data)
+    state_sharded, out_sharded = step(shard_state(w.state, mesh), True, True, True, data)
+
+    np.testing.assert_allclose(
+        np.asarray(state_single.position), np.asarray(state_sharded.position), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_single.logprob), np.asarray(state_sharded.logprob), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        float(out_single["accept_rate"]), float(out_sharded["accept_rate"]), rtol=1e-10
+    )
+
+
 def test_sharded_adaptive_fit(mesh):
     """A full sharded fit converges like the single-device one."""
     w = _make_walker(64).shard(mesh)
