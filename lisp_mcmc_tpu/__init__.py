@@ -31,6 +31,7 @@ Quick start (the test.lisp journey):
 from .batched import BatchedFit
 from .control import clear_stop, estop, request_stop, stop_requested
 from .data import Dataset, clean_data, clean_data_error, create_walker_data
+from .evidence import EvidenceResult, log_bayes_factor, log_evidence
 from .expressions import (
     expression_credible_interval,
     expression_samples,
@@ -89,6 +90,7 @@ __all__ = [
     "Walker",
     "WalkerSet",
     "WalkerState",
+    "EvidenceResult",
     "bound_penalty",
     "clean_data",
     "clean_data_error",
@@ -104,6 +106,8 @@ __all__ = [
     "expression_samples",
     "get_filename",
     "linspace",
+    "log_bayes_factor",
+    "log_evidence",
     "log_likelihood_normal",
     "log_likelihood_normal_cutoff",
     "log_likelihood_normal_weighted",

@@ -1,0 +1,142 @@
+"""Model evidence (marginal likelihood) via the parallel-tempering ladder.
+
+New capability beyond the reference (which has no model-comparison
+machinery): the replica-exchange ladder :meth:`Walker.tempered_steps`
+already samples every power posterior ``pi^beta`` on a geometric beta
+grid — the two classic evidence estimators fall out of its history for
+free:
+
+- **Stepping-stone** (Xie et al. 2011): ``Z_1 / Z_0 = prod_k
+  E_{beta_{k+1}}[exp((beta_k - beta_{k+1}) logpi)]``, each factor a
+  logsumexp over the HOTTER rung's samples.  Low bias; the recommended
+  estimate.
+- **Thermodynamic integration** (Gelman & Meng 1998): ``log(Z_1/Z_0) =
+  int_0^1 E_beta[logpi] dbeta``, trapezoid on the ladder.  Reported as a
+  cross-check — when TI and stepping-stone disagree by more than their
+  Monte-Carlo error the ladder is too coarse or too cold (raise
+  ``rungs`` / ``t_max``).
+
+The ``beta = 0`` reference ``Z_0`` is the prior-support volume: with the
+reference's flat-in-bounds priors (priors.py, mcmc-fitting.lisp:346-369)
+the hot limit ``pi^beta -> 1`` INSIDE the bounds while the exterior
+penalty (-1e10-scale) stays impenetrable at every ladder beta, so
+``Z_1/Z_0 = (int_box L) / V`` — exactly the evidence under the implied
+uniform prior.  This requires a PROPER prior: fits whose parameters are
+unbounded (no bounds prior) have no hot-limit reference measure, and the
+hot rungs will wander without equilibrium — bound every parameter before
+asking for an evidence.
+
+The ladder spans ``beta in [1/t_max, 1]``, not quite to 0; the
+``[0, 1/t_max]`` tail is closed with its TI upper bound
+``E_{beta_min}[logpi] / t_max`` (E_beta[logpi] is increasing in beta).
+``tail`` is reported so its magnitude can be checked — if it is not
+small against the quoted error, raise ``t_max``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+__all__ = ["EvidenceResult", "log_evidence", "log_bayes_factor"]
+
+
+def _logmeanexp(x: np.ndarray) -> float:
+    m = float(np.max(x))
+    return m + math.log(float(np.mean(np.exp(x - m))))
+
+
+@dataclasses.dataclass(frozen=True)
+class EvidenceResult:
+    """Evidence estimate with its ladder diagnostics.
+
+    ``log_z`` is the stepping-stone estimate (use this); ``log_z_ti`` the
+    thermodynamic-integration cross-check; ``error`` a Monte-Carlo
+    standard error on ``log_z`` from batching the per-rung samples;
+    ``betas``/``mean_logpi`` the ladder and its measured TI integrand;
+    ``tail`` the ``[0, beta_min]`` closure both estimates include.
+    """
+
+    log_z: float
+    log_z_ti: float
+    error: float
+    betas: np.ndarray
+    mean_logpi: np.ndarray
+    tail: float
+
+    def __repr__(self):  # keep the array fields from flooding the repl
+        return (f"EvidenceResult(log_z={self.log_z:.4f}, "
+                f"log_z_ti={self.log_z_ti:.4f}, error={self.error:.4f}, "
+                f"rungs={len(self.betas)}, tail={self.tail:.4f})")
+
+
+def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
+                 t_max: float = 1e5, burn: float = 0.5,
+                 n_error_batches: int = 8) -> EvidenceResult:
+    """Estimate ``log Z`` for the walker's posterior (see module docs).
+
+    Runs :meth:`Walker.tempered_steps` with history (mutating the walker:
+    its ensemble ends distributed over the ladder — re-anneal or
+    ``reset_to_most_likely`` before drawing posterior samples), then
+    reduces the per-rung log-posterior history.  ``burn`` discards the
+    leading fraction of the history (per-rung proposal adaptation +
+    ladder equilibration).  ``t_max`` sets ``beta_min = 1/t_max``.
+    """
+    if not 2 <= rungs <= walker.n_walkers:
+        raise ValueError(f"rungs must be in [2, n_walkers], got {rungs}")
+    if not 0.0 <= burn < 1.0:
+        raise ValueError(f"burn must be in [0, 1), got {burn}")
+
+    walker.tempered_steps(n_steps, rungs=rungs, t_max=float(t_max),
+                          collect_history=True)
+    _, lp = walker._history(None)                       # (T, W)
+    lp = np.asarray(lp, np.float64)
+    lp = lp[int(lp.shape[0] * burn):]
+    if lp.shape[0] < 2:
+        raise ValueError("history too short after burn; raise n_steps")
+    K, B = rungs, walker.n_walkers // rungs
+    lp_k = lp.reshape(lp.shape[0], K, B)                # rung k = block k, k=0 cold
+
+    temps = np.asarray([t_max ** (k / (K - 1)) for k in range(K)], np.float64)
+    betas = 1.0 / temps                                 # descending from 1
+    mean_logpi = lp_k.mean(axis=(0, 2))                 # (K,) E_beta[logpi]
+
+    # TI (trapezoid, ascending beta) + hot-tail closure.
+    ti = float(np.trapezoid(mean_logpi[::-1], betas[::-1]))
+    tail = float(betas[-1] * mean_logpi[-1])
+
+    def stepping_stone(samples_by_rung):
+        # samples_by_rung[k]: 1-D logpi draws at rung k.
+        total = 0.0
+        for k in range(K - 1):
+            dbeta = betas[k] - betas[k + 1]             # > 0
+            total += _logmeanexp(dbeta * samples_by_rung[k + 1])
+        return total
+
+    ss = stepping_stone([lp_k[:, k, :].ravel() for k in range(K)])
+
+    # Batch-means error: split the (post-burn) time axis into batches and
+    # take the spread of per-batch stepping-stone estimates.
+    nb = max(2, min(n_error_batches, lp_k.shape[0]))
+    edges = np.linspace(0, lp_k.shape[0], nb + 1, dtype=int)
+    per_batch = [
+        stepping_stone([lp_k[a:b, k, :].ravel() for k in range(K)])
+        for a, b in zip(edges[:-1], edges[1:]) if b > a
+    ]
+    error = float(np.std(per_batch, ddof=1) / math.sqrt(len(per_batch)))
+
+    return EvidenceResult(log_z=ss + tail, log_z_ti=ti + tail, error=error,
+                          betas=betas, mean_logpi=mean_logpi, tail=tail)
+
+
+def log_bayes_factor(result_a: EvidenceResult, result_b: EvidenceResult) -> tuple[float, float]:
+    """``log10 B_ab`` of model a over model b, with its standard error.
+
+    Positive favors a.  (log10 because that is how Jeffreys' scale is
+    tabulated; > 2 is "decisive".)
+    """
+    diff = (result_a.log_z - result_b.log_z) / math.log(10.0)
+    err = math.hypot(result_a.error, result_b.error) / math.log(10.0)
+    return diff, err

@@ -620,6 +620,21 @@ class Walker:
                 m_count=jnp.zeros((1,), self.dtype),
             )
 
+    def log_evidence(self, n_steps: int = 20000, rungs: int = 16,
+                     t_max: float = 1e5, **kwargs):
+        """Marginal-likelihood estimate off the tempering ladder.
+
+        Stepping-stone + thermodynamic-integration estimates of ``log Z``
+        under the implied uniform-in-bounds prior (requires every
+        parameter bounded — see :mod:`lisp_mcmc_tpu.evidence` for the
+        measure-theoretic fine print and diagnostics).  Mutates the
+        ensemble (it ends spread over the ladder); re-anneal or
+        :meth:`reset_to_most_likely` before drawing posterior samples.
+        """
+        from .evidence import log_evidence as _log_evidence
+        return _log_evidence(self, n_steps=n_steps, rungs=rungs,
+                             t_max=t_max, **kwargs)
+
     def sampling_steps(self, n: int, kernel: str = "mala", **kwargs):
         """Cold sampling phase at T=1 with the given kernel.
 
