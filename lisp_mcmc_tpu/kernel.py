@@ -90,6 +90,9 @@ class FitConfig:
     stretch_a: float = 2.0               # stretch-move scale a (z ~ g(z) on [1/a, a]);
                                          # lower toward 1 if acceptance collapses at high d
     hmc_leapfrog: int = 8                # leapfrog steps per HMC proposal
+    hmc_jitter: bool = True              # jitter trajectory length per step over
+                                         # [hmc_leapfrog/2, hmc_leapfrog] (breaks
+                                         # resonant orbits, Neal 2011 5.4.3.2)
     rescue: bool = True                  # gradient kernels: independence-MH regeneration
                                          # round at chunk boundaries (teleports walkers
                                          # frozen by huge gradients back into the typical
@@ -638,10 +641,21 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         (the acceptance band rescales it toward HMC's ~0.65 optimum).
         ``hmc_leapfrog`` gradient evaluations per proposal; a divergent
         (non-finite) trajectory is rejected hard, never propagated.
+
+        The trajectory LENGTH is jittered uniformly over
+        [hmc_leapfrog/2, hmc_leapfrog] per step (``hmc_jitter``): fixed
+        lengths resonate with the target's periods (Neal 2011 §5.4.3.2 —
+        a trajectory that U-turns back to its start every step explores
+        nothing at full cost).  The draw is masked inside the
+        static-length scan — iterations past the drawn length carry the
+        state through unchanged — because a data-dependent trip count
+        would force a `while_loop` that defeats XLA's pipelining; the
+        masked iterations' gradient evals are the price of the static
+        shape (expected 25% of the scan).
         """
         state, accept_counts, force_cold, g = carry
         dtype = state.position.dtype
-        key, k_mom, k_accept = jax.random.split(state.key, 3)
+        key, k_mom, k_accept, k_len = jax.random.split(state.key, 4)
         temp = jnp.where(
             force_cold, 1.0, temperature_schedule(state.anneal_step, ndim, config)
         )
@@ -654,20 +668,29 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         # kick riding mul_lt (no triangular solves anywhere).
         p = p0 + 0.5 * inv_t * mul_lt(L, g)
 
-        def leap(inner, _):
+        n_steps = max(1, config.hmc_leapfrog)
+        if config.hmc_jitter and n_steps > 1:
+            n_leap = jax.random.randint(k_len, (), (n_steps + 1) // 2, n_steps + 1)
+        else:
+            n_leap = n_steps
+
+        def leap(inner, i):
             x_i, p_i, lp_i, g_i, bad = inner
+            active = i < n_leap
             x_n = x_i + mul_l(L, p_i)
             lp_n, g_n = eval_vg(x_n, data)
-            bad = bad | ~jnp.isfinite(lp_n) | ~jnp.all(jnp.isfinite(g_n), axis=1)
+            bad_n = bad | ~jnp.isfinite(lp_n) | ~jnp.all(jnp.isfinite(g_n), axis=1)
             g_n = jnp.where(jnp.isfinite(g_n), g_n, 0.0)
             lp_n = jnp.where(jnp.isfinite(lp_n), lp_n, _neg_floor(dtype))
             p_n = p_i + inv_t * mul_lt(L, g_n)
-            return (x_n, p_n, lp_n, g_n, bad), None
+            keep = lambda new, old: jnp.where(active, new, old)
+            return (keep(x_n, x_i), keep(p_n, p_i), keep(lp_n, lp_i),
+                    keep(g_n, g_i), keep(bad_n, bad)), None
 
         bad0 = jnp.zeros(state.logprob.shape, bool)
         (x1, p1, lp1, g1, bad), _ = lax.scan(
             leap, (state.position, p, state.logprob, g, bad0),
-            None, length=max(1, config.hmc_leapfrog),
+            jnp.arange(n_steps),
         )
         p1 = p1 - 0.5 * inv_t * mul_lt(L, g1)
 
