@@ -30,6 +30,7 @@ from typing import Any, Callable, Mapping, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from . import control
 from .data import Dataset, clean_data, clean_data_error
@@ -906,6 +907,103 @@ class Walker:
         self._accept_log.clear()
         self._lpmax_trace.clear()
         self._lpmean_trace.clear()
+
+    def optimize(self, n_steps: int = 500, learning_rate: float = 0.05):
+        """Multi-start gradient ascent on the log-posterior (new surface).
+
+        Every walker runs Adam in per-parameter-whitened coordinates
+        (``z = theta / s``, ``s`` the ensemble's median parameter
+        magnitudes — Adam's per-coordinate normalization then makes one
+        ``learning_rate`` serve parameters spanning 13 orders of
+        magnitude, e.g. x0~2e3 vs bg1~1e-10 on the flagship fit), all in
+        one jitted ``lax.scan`` — W walkers are W optimization starts for
+        free on the chain axis.  Ascent is LOCAL: it polishes whatever
+        basin each walker occupies.  Production use: after annealing, a
+        few hundred steps sharpen the MAP estimate far past what
+        finite-acceptance MH polishing does; or from a deliberately wide
+        ``walker_jitter`` as a multi-start global search.
+
+        A walker only moves if its endpoint genuinely improved its
+        log-posterior (non-finite excursions are discarded wholesale), so
+        the ensemble never degrades.  Proposal state (L, moments) is
+        untouched — follow with :meth:`adaptive_steps` /
+        :meth:`sampling_steps` to re-adapt and draw posterior samples;
+        a pure optimize->report workflow skips that entirely.
+        """
+        if n_steps <= 0:
+            raise ValueError(f"n_steps must be positive, got {n_steps}")
+        data = self._posterior_data()
+        s = jnp.asarray(
+            _nonzero_scales(np.median(np.abs(np.asarray(self.state.position)), axis=0)),
+            self.dtype,
+        )
+
+        key = ("optimize", int(n_steps))
+        fn = self._runner_cache.get(key)
+        if fn is None:
+            if self.aux is None:
+                _vg = jax.vmap(jax.value_and_grad(self._log_post_one),
+                               in_axes=(0, None))
+                vg = lambda pos, data: _vg(pos, data)
+            else:
+                _vg = jax.vmap(jax.value_and_grad(self._log_post_one),
+                               in_axes=(0, 0, None))
+                aux = self.aux
+                vg = lambda pos, data: _vg(pos, aux, data)
+            b1, b2, eps = 0.9, 0.999, 1e-8
+
+            # Cosine-annealed warm restarts (SGDR): Adam at constant lr
+            # stalls at a finite radius inside narrow correlated valleys
+            # (the line fit's (m, b) trough), and one long cosine decay
+            # runs out of step before reaching the bottom; cycles of
+            # decay-to-zero then fresh-moment restart measured exact
+            # least-squares convergence where both single-schedule
+            # variants missed at 3 decimals.
+            cycle = min(n_steps, 200)
+
+            def run(pos0, s, lr, data):
+                def step(carry, i):
+                    pos, m, v = carry
+                    ic = (i % cycle).astype(pos.dtype)
+                    fresh = ic == 0
+                    m = jnp.where(fresh, 0.0, m)
+                    v = jnp.where(fresh, 0.0, v)
+                    _, g = vg(pos, data)
+                    gz = jnp.where(jnp.isfinite(g), g, 0.0) * s
+                    m = b1 * m + (1 - b1) * gz
+                    v = b2 * v + (1 - b2) * gz * gz
+                    mhat = m / (1 - b1 ** (ic + 1.0))
+                    vhat = v / (1 - b2 ** (ic + 1.0))
+                    lr_t = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * ic / cycle))
+                    pos = pos + lr_t * s * mhat / (jnp.sqrt(vhat) + eps)
+                    return (pos, m, v), None
+
+                z = jnp.zeros_like(pos0)
+                (pos, _, _), _ = lax.scan(step, (pos0, z, z),
+                                          jnp.arange(n_steps), unroll=False)
+                return pos
+
+            fn = jax.jit(run)
+            self._runner_cache[key] = fn
+
+        lr = jnp.asarray(learning_rate, self.dtype)
+        new_pos = fn(self.state.position, s, lr, data)
+        new_pos = jnp.where(jnp.all(jnp.isfinite(new_pos), axis=1)[:, None],
+                            new_pos, self.state.position)
+        new_lp = self._eval_batch(new_pos)
+        improved = new_lp > self.state.logprob
+        position = jnp.where(improved[:, None], new_pos, self.state.position)
+        logprob = jnp.where(improved, new_lp, self.state.logprob)
+        better = logprob > self.state.best_logprob
+        self.state = dataclasses.replace(
+            self.state,
+            position=position.astype(self.dtype),
+            logprob=logprob.astype(self.dtype),
+            best_position=jnp.where(better[:, None], position,
+                                    self.state.best_position).astype(self.dtype),
+            best_logprob=jnp.where(better, logprob,
+                                   self.state.best_logprob).astype(self.dtype),
+        )
 
     def reset_to_most_likely(self):
         """Restart every walker at the global best (``:reset-to-most-likely``, 574-578)."""
