@@ -79,6 +79,21 @@ def test_optimize_respects_bounds_penalty():
     assert 0.0 < best["m"] <= 1.5 + 1e-6
 
 
+def test_optimize_batched_fit_per_dataset():
+    """optimize() inherits through BatchedFit's aux path: every
+    dataset's walkers ascend their own posterior."""
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 10.0, 40)
+    datasets = [(x, (2.0 + i) * x + 1.0 + 0.05 * rng.standard_normal(40))
+                for i in range(3)]
+    fit = mfit.BatchedFit(line, datasets, {"m": 1.0, "b": 0.5},
+                          data_error=0.05, walkers_per_dataset=16, seed=0)
+    fit.optimize(600)
+    best = fit.best_params_per_dataset()
+    for i, b in enumerate(best):
+        assert b["m"] == pytest.approx(2.0 + i, abs=0.02)
+
+
 def test_optimize_validates_args():
     x = np.linspace(0.0, 1.0, 10)
     w = mfit.walker_create(
