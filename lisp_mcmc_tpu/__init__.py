@@ -32,6 +32,7 @@ from .batched import BatchedFit
 from .control import clear_stop, estop, request_stop, stop_requested
 from .data import Dataset, clean_data, clean_data_error, create_walker_data
 from .evidence import EvidenceResult, log_bayes_factor, log_evidence
+from .smc import SMCResult, smc_sample
 from .expressions import (
     expression_credible_interval,
     expression_samples,
@@ -91,6 +92,7 @@ __all__ = [
     "WalkerSet",
     "WalkerState",
     "EvidenceResult",
+    "SMCResult",
     "bound_penalty",
     "clean_data",
     "clean_data_error",
@@ -107,6 +109,7 @@ __all__ = [
     "get_filename",
     "linspace",
     "log_bayes_factor",
+    "smc_sample",
     "log_evidence",
     "log_likelihood_normal",
     "log_likelihood_normal_cutoff",

@@ -636,6 +636,21 @@ class Walker:
         return _log_evidence(self, n_steps=n_steps, rungs=rungs,
                              t_max=t_max, **kwargs)
 
+    def smc_sample(self, bounds, **kwargs):
+        """Tempered Sequential Monte Carlo: prior box -> posterior.
+
+        Re-draws the ensemble uniform in ``bounds``, then runs the
+        adaptive reweight/resample/move schedule of
+        :func:`lisp_mcmc_tpu.smc.smc_sample` (which see).  Returns an
+        ``SMCResult`` with the evidence estimate; the ensemble is left
+        distributed as the posterior with mode weights preserved —
+        the population-correct alternative to annealing on multimodal
+        fits, and a from-different-machinery cross-check of
+        :meth:`log_evidence`.
+        """
+        from .smc import smc_sample as _smc
+        return _smc(self, bounds, **kwargs)
+
     def sampling_steps(self, n: int, kernel: str = "mala", **kwargs):
         """Cold sampling phase at T=1 with the given kernel.
 

@@ -467,27 +467,41 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         }
         return new_state, accf, out
 
+    def resolve_temp(force_cold, state, dtype):
+        """``force_cold`` doubles as a numeric temperature override.
+
+        True (== 1.0) pins T=1 — the reference's shutdown phase and
+        walker-many-steps both sample the *untempered* posterior
+        (mcmc-fitting.lisp:915-917, 849-853).  Any float > 0 pins that
+        temperature instead (the SMC driver holds each stage at its own
+        1/beta without recompiling — the override rides the traced
+        argument, not the config).  False (== 0.0) follows the annealing
+        schedule, which is indexed by the per-run counter (reset by the
+        driver at the start of each adaptive run), matching the
+        reference's do-loop i (mcmc-fitting.lisp:902,919-921) — NOT
+        lifetime age.
+        """
+        tover = jnp.asarray(force_cold, dtype)
+        return jnp.where(
+            tover > 0, tover,
+            temperature_schedule(state.anneal_step, ndim, config).astype(dtype),
+        )
+
     def one_step(carry, i, data=None):
         state, accept_counts, force_cold = carry
         dtype = state.position.dtype
         key, k_prop, k_accept = jax.random.split(state.key, 3)
-        # force_cold pins T=1: the reference's shutdown phase and
-        # walker-many-steps both sample the *untempered* posterior
-        # (mcmc-fitting.lisp:915-917, 849-853).
-        # Annealing is indexed by the per-run counter (reset by the driver
-        # at the start of each adaptive run), matching the reference's
-        # do-loop i (mcmc-fitting.lisp:902,919-921) — NOT lifetime age.
         if tempered:
             # Static per-walker temperature ladder (rung blocks), not the
-            # annealing schedule; the cold finish still pins T=1.
+            # annealing schedule; the cold finish still pins T=1 (and a
+            # numeric override pins every rung to that temperature).
             ladder = jnp.repeat(
                 jnp.asarray(rung_temps_np, dtype), group_block, total_repeat_length=state.position.shape[0]
             )
-            temp = jnp.where(force_cold, 1.0, ladder)
+            tover = jnp.asarray(force_cold, dtype)
+            temp = jnp.where(tover > 0, tover, ladder)
         else:
-            temp = jnp.where(
-                force_cold, 1.0, temperature_schedule(state.anneal_step, ndim, config)
-            )
+            temp = resolve_temp(force_cold, state, dtype)
 
         z = jax.random.normal(k_prop, state.position.shape, dtype)
         step_vec = mul_l(state.l_matrix, z)
@@ -524,9 +538,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         state, accept_counts, force_cold = carry
         dtype = state.position.dtype
         key, k_lo, k_hi = jax.random.split(state.key, 3)
-        temp = jnp.where(
-            force_cold, 1.0, temperature_schedule(state.anneal_step, ndim, config)
-        )
+        temp = resolve_temp(force_cold, state, dtype)
 
         W = state.position.shape[0]
         if grouped and group_block is not None:
@@ -596,9 +608,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         state, accept_counts, force_cold, g = carry
         dtype = state.position.dtype
         key, k_prop, k_accept = jax.random.split(state.key, 3)
-        temp = jnp.where(
-            force_cold, 1.0, temperature_schedule(state.anneal_step, ndim, config)
-        )
+        temp = resolve_temp(force_cold, state, dtype)
         inv_t = 1.0 / temp
         # Langevin drift only in the cold phase: during annealing (T > 1)
         # the gradient drift chases tempered plateaus and can carry the
@@ -656,9 +666,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         state, accept_counts, force_cold, g = carry
         dtype = state.position.dtype
         key, k_mom, k_accept, k_len = jax.random.split(state.key, 4)
-        temp = jnp.where(
-            force_cold, 1.0, temperature_schedule(state.anneal_step, ndim, config)
-        )
+        temp = resolve_temp(force_cold, state, dtype)
         inv_t = (1.0 / temp).astype(dtype)
         L = state.l_matrix
 
@@ -936,9 +944,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         """
         dtype = state.position.dtype
         key, k_z, k_v, k_u = jax.random.split(state.key, 4)
-        temp = jnp.where(
-            force_cold, 1.0, temperature_schedule(state.anneal_step, ndim, config)
-        )
+        temp = resolve_temp(force_cold, state, dtype)
         inv_t = (1.0 / temp).astype(dtype)
 
         wgt, counts = typical_weights(state.logprob)
@@ -1023,7 +1029,9 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         # become unbiased permutations); the ladder betas would sort
         # states by likelihood and break detailed balance.
         dbeta = jnp.asarray(rung_betas_np[:-1] - rung_betas_np[1:], dtype)  # (K-1,)
-        dbeta = jnp.where(jnp.asarray(force_cold), 0.0, dbeta).astype(dtype)
+        # Any override (cold T=1 or a numeric SMC temperature) makes every
+        # rung equal-temperature, where dbeta = 0 is the only valid swap.
+        dbeta = jnp.where(jnp.asarray(force_cold, dtype) > 0, 0.0, dbeta).astype(dtype)
         log_alpha = dbeta[:, None] * (lp[1:] - lp[:-1])                    # (K-1, B)
         u = jnp.log(jax.random.uniform(k_swap, (K - 1, B), dtype))
         pair_on = (jnp.arange(K - 1) % 2) == parity                        # (K-1,)

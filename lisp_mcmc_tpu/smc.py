@@ -1,0 +1,166 @@
+"""Tempered Sequential Monte Carlo over the walker ensemble.
+
+New capability beyond the reference: the walker ensemble IS a particle
+population, so the classic tempered-SMC sampler (Del Moral, Doucet &
+Jasra 2006) maps onto this framework with no new state — particles are
+walkers, importance reweighting is a (W,) elementwise op, resampling is
+a cumsum+searchsorted, and the MCMC move kernel is the existing chunked
+runner held at the stage temperature through the runtime override
+(kernel.py ``resolve_temp`` — a traced argument, so a fresh ``beta``
+every stage costs no recompile).
+
+Against MCMC annealing, SMC buys three things:
+- **Population correctness on multimodal posteriors**: resampling keeps
+  mass allocated by actual posterior weight, where annealed MH loses
+  modes to whichever basin its walkers happen to cool into.
+- **An evidence estimate for free**: ``log Z = sum_stages
+  (logsumexp(dbeta * lp) - log W)`` under the same uniform-in-bounds
+  ``beta = 0`` reference measure as evidence.py — the two estimators
+  cross-check each other from entirely different machinery.
+- **An adaptive schedule**: each ``dbeta`` is chosen by bisection so the
+  relative effective sample size of the weights stays at
+  ``target_ress`` — steep likelihoods automatically get dense
+  temperature ladders.
+
+The ``beta = 0`` population must SAMPLE the prior, so ``bounds`` is
+required and the ensemble is re-drawn uniform in the box (the
+reference-style flat-in-bounds prior; see evidence.py for the
+measure-theoretic fine print).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SMCResult", "smc_sample"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SMCResult:
+    """Realized SMC run: evidence, schedule, and per-stage health."""
+
+    log_z: float
+    betas: np.ndarray          # realized ladder, 0 -> 1 inclusive
+    acceptance: np.ndarray     # move acceptance per stage
+    n_stages: int
+
+    def __repr__(self):
+        return (f"SMCResult(log_z={self.log_z:.4f}, n_stages={self.n_stages}, "
+                f"final_acceptance={self.acceptance[-1]:.3f})")
+
+
+def _next_beta(lp: np.ndarray, beta: float, target_ress: float) -> float:
+    """Largest ``beta' <= 1`` whose incremental weights keep
+    ``rESS >= target_ress``, by bisection on ``dbeta``."""
+
+    def ress(dbeta: float) -> float:
+        w = dbeta * (lp - lp.max())
+        w = np.exp(w - w.max())
+        return float(w.sum() ** 2 / (len(w) * (w * w).sum()))
+
+    if ress(1.0 - beta) >= target_ress:
+        return 1.0
+    lo, hi = 0.0, 1.0 - beta
+    for _ in range(50):
+        mid = 0.5 * (lo + hi)
+        if ress(mid) >= target_ress:
+            lo = mid
+        else:
+            hi = mid
+    return beta + max(lo, 1e-9)
+
+
+def smc_sample(walker, bounds, n_move: int = 400, target_ress: float = 0.5,
+               max_stages: int = 200, seed: int = 0) -> SMCResult:
+    """Run tempered SMC; leaves the walker's ensemble ~ posterior.
+
+    ``bounds``: ``{param: (low, high)}`` for EVERY parameter — defines
+    the ``beta = 0`` uniform reference the particles start from (and the
+    measure ``log_z`` is taken against).  ``n_move``: MCMC steps per
+    stage (rounded up to whole chunks; the stage temperature rides the
+    runtime override so every stage reuses one compiled runner).
+    ``target_ress``: relative weight-ESS that picks each ``dbeta``.
+
+    The walker's configured kernel drives the moves; per-stage
+    L-adaptation runs as usual, so proposals re-tune as the target
+    sharpens.  Raises if the schedule fails to reach ``beta = 1`` within
+    ``max_stages``.
+    """
+    spec_keys = list(walker.spec.keys)
+    missing = [k for k in spec_keys if k not in bounds]
+    if missing:
+        raise ValueError(f"smc_sample: bounds required for every parameter; "
+                         f"missing {missing}")
+    if not 0.0 < target_ress < 1.0:
+        raise ValueError(f"target_ress must be in (0, 1), got {target_ress}")
+
+    W, d = walker.n_walkers, walker.ndim
+    dtype = walker.dtype
+    lows = jnp.asarray([float(bounds[k][0]) for k in spec_keys], dtype)
+    highs = jnp.asarray([float(bounds[k][1]) for k in spec_keys], dtype)
+    if not bool(jnp.all(highs > lows)):
+        raise ValueError("smc_sample: every bound must have high > low")
+
+    # beta = 0 population: exact draws from the uniform-in-box prior.
+    key = jax.random.PRNGKey(seed)
+    key, k0 = jax.random.split(key)
+    pos = lows + (highs - lows) * jax.random.uniform(k0, (W, d), dtype)
+    walker.state = dataclasses.replace(walker.state, position=pos)
+    walker.state = dataclasses.replace(
+        walker.state, logprob=walker._eval_batch(pos))
+
+    runner = walker._runner(with_history=False)
+    data = walker._posterior_data()
+    chunk = walker.config.chunk_size
+    n_chunks = max(1, -(-n_move // chunk))
+
+    beta = 0.0
+    log_z = 0.0
+    betas, accs = [0.0], []
+    for _ in range(max_stages):
+        lp = np.asarray(walker.state.logprob, np.float64)
+        new_beta = _next_beta(lp, beta, target_ress)
+        dbeta = new_beta - beta
+
+        # Evidence increment + normalized resampling weights.
+        shifted = dbeta * (lp - lp.max())
+        w = np.exp(shifted)
+        log_z += math.log(w.mean()) + dbeta * lp.max()
+        w /= w.sum()
+
+        # Systematic resampling (host draws the offset, device gathers).
+        key, k_u = jax.random.split(key)
+        u = float(jax.random.uniform(k_u, ()))
+        idx = np.searchsorted(np.cumsum(w), (u + np.arange(W)) / W)
+        idx = np.minimum(idx, W - 1)
+        st = walker.state
+        walker.state = dataclasses.replace(
+            st,
+            position=st.position[idx],
+            logprob=st.logprob[idx],
+        )
+
+        # Diversify: MCMC move steps held at T = 1/beta via the runtime
+        # temperature override (see kernel.resolve_temp).
+        temp_override = 1.0 / new_beta
+        out = None
+        for _ in range(n_chunks):
+            walker.state, out = runner(
+                walker.state, True, True, temp_override, data)
+        beta = new_beta
+        betas.append(beta)
+        accs.append(float(out["accept_rate"]))
+        if beta >= 1.0:
+            break
+    else:
+        raise RuntimeError(
+            f"smc_sample: beta reached only {beta:.4f} in {max_stages} "
+            f"stages; raise max_stages or target_ress")
+
+    return SMCResult(log_z=float(log_z), betas=np.asarray(betas),
+                     acceptance=np.asarray(accs), n_stages=len(accs))
