@@ -42,12 +42,19 @@ __all__ = ["SMCResult", "smc_sample"]
 
 @dataclasses.dataclass(frozen=True)
 class SMCResult:
-    """Realized SMC run: evidence, schedule, and per-stage health."""
+    """Realized SMC run: evidence, schedule, and per-stage health.
+
+    For batched/grouped fits ``log_z_per_group`` holds each dataset's own
+    evidence (the groups are independent fits, so ``log_z`` is their sum
+    — the joint evidence) and the ladder is shared, chosen as the most
+    conservative group's ``dbeta`` each stage.
+    """
 
     log_z: float
     betas: np.ndarray          # realized ladder, 0 -> 1 inclusive
     acceptance: np.ndarray     # move acceptance per stage
     n_stages: int
+    log_z_per_group: np.ndarray | None = None
 
     def __repr__(self):
         return (f"SMCResult(log_z={self.log_z:.4f}, n_stages={self.n_stages}, "
@@ -106,6 +113,19 @@ def smc_sample(walker, bounds, n_move: int = 400, target_ress: float = 0.5,
     if not bool(jnp.all(highs > lows)):
         raise ValueError("smc_sample: every bound must have high > low")
 
+    # Grouped (batched) fits: independent particle populations, one per
+    # contiguous walker block.  Requires the regular block layout (the
+    # one BatchedFit builds).
+    G = getattr(walker, "n_groups", 1) or 1
+    if G > 1:
+        gids = np.asarray(walker.group_ids)
+        B = W // G
+        if not np.array_equal(gids, np.repeat(np.arange(G), B)):
+            raise ValueError("smc_sample: grouped fits need contiguous "
+                             "equal-size walker blocks per group")
+    else:
+        B = W
+
     # beta = 0 population: exact draws from the uniform-in-box prior.
     key = jax.random.PRNGKey(seed)
     key, k0 = jax.random.split(key)
@@ -120,24 +140,27 @@ def smc_sample(walker, bounds, n_move: int = 400, target_ress: float = 0.5,
     n_chunks = max(1, -(-n_move // chunk))
 
     beta = 0.0
-    log_z = 0.0
+    log_z = np.zeros(G)
     betas, accs = [0.0], []
     for _ in range(max_stages):
-        lp = np.asarray(walker.state.logprob, np.float64)
-        new_beta = _next_beta(lp, beta, target_ress)
+        lp_g = np.asarray(walker.state.logprob, np.float64).reshape(G, B)
+        # Shared ladder: every group must keep its weight-ESS healthy, so
+        # the stage takes the most conservative group's dbeta.
+        new_beta = min(_next_beta(lp_g[g], beta, target_ress) for g in range(G))
         dbeta = new_beta - beta
 
-        # Evidence increment + normalized resampling weights.
-        shifted = dbeta * (lp - lp.max())
-        w = np.exp(shifted)
-        log_z += math.log(w.mean()) + dbeta * lp.max()
-        w /= w.sum()
-
-        # Systematic resampling (host draws the offset, device gathers).
+        # Per-group evidence increments + within-block systematic resample.
         key, k_u = jax.random.split(key)
-        u = float(jax.random.uniform(k_u, ()))
-        idx = np.searchsorted(np.cumsum(w), (u + np.arange(W)) / W)
-        idx = np.minimum(idx, W - 1)
+        u = np.asarray(jax.random.uniform(k_u, (G,)), np.float64)
+        idx = np.empty((G, B), np.int64)
+        for g in range(G):
+            shifted = dbeta * (lp_g[g] - lp_g[g].max())
+            w = np.exp(shifted)
+            log_z[g] += math.log(w.mean()) + dbeta * lp_g[g].max()
+            w /= w.sum()
+            local = np.searchsorted(np.cumsum(w), (u[g] + np.arange(B)) / B)
+            idx[g] = np.minimum(local, B - 1) + g * B
+        idx = idx.reshape(-1)
         st = walker.state
         walker.state = dataclasses.replace(
             st,
@@ -162,5 +185,6 @@ def smc_sample(walker, bounds, n_move: int = 400, target_ress: float = 0.5,
             f"smc_sample: beta reached only {beta:.4f} in {max_stages} "
             f"stages; raise max_stages or target_ress")
 
-    return SMCResult(log_z=float(log_z), betas=np.asarray(betas),
-                     acceptance=np.asarray(accs), n_stages=len(accs))
+    return SMCResult(log_z=float(log_z.sum()), betas=np.asarray(betas),
+                     acceptance=np.asarray(accs), n_stages=len(accs),
+                     log_z_per_group=log_z.copy() if G > 1 else None)

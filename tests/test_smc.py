@@ -68,6 +68,34 @@ def test_smc_preserves_multimodal_mass():
     assert res.log_z == pytest.approx(-math.log(20.0), abs=0.3), res
 
 
+def test_smc_batched_per_dataset_evidence():
+    """Grouped fits: each dataset's block is its own particle population
+    with its own evidence; narrower-peak data must score lower log Z."""
+    from lisp_mcmc_tpu.models import gaussian_peak
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(-4.0, 4.0, 64)
+
+    def spec(scale):
+        y = np.asarray(gaussian_peak(x, {"scale": scale, "x0": 0.4,
+                                         "sigma": 1.0, "bg0": 0.1}))
+        return x, y + 0.02 * rng.standard_normal(64)
+
+    bounds = {"scale": (0.1, 4.0), "x0": (-3.0, 3.0),
+              "sigma": (0.3, 3.0), "bg0": (-1.0, 1.0)}
+    fit = mfit.BatchedFit(gaussian_peak, [spec(2.0), spec(1.0)],
+                          {"scale": 1.0, "x0": 0.3, "sigma": 1.0, "bg0": 0.1},
+                          data_error=0.02, walkers_per_dataset=256, seed=0,
+                          log_prior=make_bounds_prior(bounds))
+    res = fit.smc_sample(bounds, n_move=200, seed=2)
+    assert res.log_z_per_group is not None and len(res.log_z_per_group) == 2
+    assert res.log_z == pytest.approx(res.log_z_per_group.sum())
+    # Both datasets fit their own truth: per-dataset bests recovered.
+    best = fit.best_params_per_dataset()
+    assert best[0]["scale"] == pytest.approx(2.0, abs=0.1)
+    assert best[1]["scale"] == pytest.approx(1.0, abs=0.1)
+
+
 def test_smc_validates_inputs():
     bounds = {"p0": (-1.0, 1.0)}
 
