@@ -74,7 +74,7 @@ class EvidenceResult:
 
 def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
                  t_max: float = 1e5, burn: float = 0.5,
-                 n_error_batches: int = 8) -> EvidenceResult:
+                 n_error_batches: int = 8, bounds=None) -> EvidenceResult:
     """Estimate ``log Z`` for the walker's posterior (see module docs).
 
     Runs :meth:`Walker.tempered_steps` with history (mutating the walker:
@@ -83,11 +83,42 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
     reduces the per-rung log-posterior history.  ``burn`` discards the
     leading fraction of the history (per-rung proposal adaptation +
     ladder equilibration).  ``t_max`` sets ``beta_min = 1/t_max``.
+
+    ``bounds`` (``{param: (low, high)}``, every parameter): re-draw the
+    starting ensemble uniform in the prior box.  Seeding is a real
+    tradeoff on STIFF posteriors, measured on a 6-param spectrum fit
+    whose Laplace/SMC anchors sit at ~2952-2954: fit-seeded (default)
+    biases Z HIGH (+4 here, with a deceptively small Monte-Carlo
+    ``error`` — hot rungs haven't diffused to full prior breadth, and
+    the quoted error cannot see that); prior-seeded converges from
+    below but needs enough steps for the hot rungs to FIND the mode
+    (2949.7 +- 1.1 at n_steps=30000, W=2048; garbage +- thousands at
+    12000).  A large ``log_z_ti`` gap flags exactly this.  For stiff
+    posteriors prefer :meth:`Walker.smc_sample`, whose adaptive
+    schedule handles both ends by construction (measured within ~1.5
+    of the Laplace anchor where the ladder variants spread +-4).
     """
     if not 2 <= rungs <= walker.n_walkers:
         raise ValueError(f"rungs must be in [2, n_walkers], got {rungs}")
     if not 0.0 <= burn < 1.0:
         raise ValueError(f"burn must be in [0, 1), got {burn}")
+    if bounds is not None:
+        import dataclasses as _dc
+
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        spec_keys = list(walker.spec.keys)
+        missing = [k for k in spec_keys if k not in bounds]
+        if missing:
+            raise ValueError(f"log_evidence: bounds missing for {missing}")
+        lows = _jnp.asarray([float(bounds[k][0]) for k in spec_keys], walker.dtype)
+        highs = _jnp.asarray([float(bounds[k][1]) for k in spec_keys], walker.dtype)
+        pos = lows + (highs - lows) * _jax.random.uniform(
+            _jax.random.PRNGKey(walker.n_walkers), (walker.n_walkers, walker.ndim),
+            walker.dtype)
+        walker.state = _dc.replace(walker.state, position=pos)
+        walker.state = _dc.replace(walker.state, logprob=walker._eval_batch(pos))
 
     walker.tempered_steps(n_steps, rungs=rungs, t_max=float(t_max),
                           collect_history=True)

@@ -64,9 +64,21 @@ def test_bayes_factor_prefers_narrower_box():
     assert err < 0.2
 
 
+def test_log_evidence_prior_seeded():
+    """bounds= re-draws the start uniform in the box; on an easy target
+    the estimate still matches the analytic value."""
+    d, sigma, a = 1, 0.5, 2.0
+    w = _gaussian_walker(d, sigma, a, seed=7)
+    bounds = {"p0": (-a, a)}
+    res = w.log_evidence(n_steps=12000, rungs=8, t_max=1e4, bounds=bounds)
+    assert res.log_z == pytest.approx(-math.log(2 * a), abs=0.3), res
+
+
 def test_log_evidence_validates_args():
     w = _gaussian_walker(1, 0.5, 2.0, n_walkers=32)
     with pytest.raises(ValueError):
         w.log_evidence(rungs=1)
     with pytest.raises(ValueError):
         w.log_evidence(burn=1.0)
+    with pytest.raises(ValueError, match="missing"):
+        w.log_evidence(rungs=8, bounds={})
