@@ -124,7 +124,15 @@ def _evaluate(expr: str, params: Mapping):
         return f"_p_{key}"
 
     substituted = re.sub(r":([A-Za-z_][A-Za-z0-9_]*)", sub, expr)
-    return eval(substituted, {"__builtins__": {}}, {**_MATH_NS, **names})
+    try:
+        return eval(substituted, {"__builtins__": {}}, {**_MATH_NS, **names})
+    except NameError as e:
+        # The sandbox (empty builtins + math whitelist) denies everything
+        # else; surface it as the same error family as unknown :params
+        # rather than a raw NameError from inside eval.
+        raise ValueError(
+            f"unknown name in expression {expr!r}: {e}; available: "
+            f"math functions and :{', :'.join(params)}") from None
 
 
 def eval_expression(expr: str, params: Mapping) -> float:
