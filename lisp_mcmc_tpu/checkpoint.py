@@ -35,7 +35,8 @@ from .likelihoods import (
 )
 from .priors import log_prior_flat
 
-__all__ = ["walker_save", "walker_load", "walker_set_save", "walker_set_load"]
+__all__ = ["walker_save", "walker_load", "walker_set_save", "walker_set_load",
+           "batched_save", "batched_load"]
 
 FORMAT_VERSION = 1
 
@@ -50,6 +51,10 @@ PRIOR_REGISTRY: dict[str, Callable] = {
     "log_prior_flat": log_prior_flat,
 }
 
+# Named `extra=` hooks of make_bounds_prior, for reconstructing bounds
+# priors from their serialized recipe.
+PRIOR_EXTRA_REGISTRY: dict[str, Callable] = {}
+
 
 def _register_domain_priors():
     """Late registration avoids a circular import with the nv module."""
@@ -57,8 +62,49 @@ def _register_domain_priors():
         from . import nv
 
         PRIOR_REGISTRY.setdefault("log_prior_nv", nv.log_prior_nv)
-    except ImportError:  # pragma: no cover
+        PRIOR_EXTRA_REGISTRY.setdefault("_nv_constraints", nv._nv_constraints)
+    except (ImportError, AttributeError):  # pragma: no cover
         pass
+
+
+def _prior_meta(prior) -> dict:
+    """Serializable recipe for a prior: bounds-table closures carry their
+    own bounds + the extra hook's NAME; everything else is a bare name."""
+    bounds = getattr(prior, "_bounds", None)
+    if bounds is not None:
+        extra = getattr(prior, "_extra", None)
+        return {
+            "prior": "bounds_prior",
+            "prior_bounds": {k: [float(v[0]), float(v[1])]
+                             for k, v in bounds.items()},
+            "prior_extra": _fn_name(extra) if extra is not None else None,
+        }
+    return {"prior": _fn_name(prior)}
+
+
+def _resolve_prior(meta: dict, supplied, quiet: bool):
+    """Prior from a ``_prior_meta`` dict: explicit > recipe > registry."""
+    if supplied is not None:
+        return supplied
+    if meta.get("prior") == "bounds_prior" and "prior_bounds" in meta:
+        from .priors import make_bounds_prior
+
+        bounds = {k: tuple(v) for k, v in meta["prior_bounds"].items()}
+        extra_name = meta.get("prior_extra")
+        if extra_name is None:
+            return make_bounds_prior(bounds)
+        extra = PRIOR_EXTRA_REGISTRY.get(extra_name)
+        if extra is not None:
+            return make_bounds_prior(bounds, extra=extra)
+        if not quiet:
+            print(f"walker_load: cannot resolve bounds-prior extra hook "
+                  f"{extra_name!r}; pass the prior explicitly via log_prior")
+        return None
+    fn = PRIOR_REGISTRY.get(meta["prior"])
+    if fn is None and not quiet:
+        print(f"walker_load: cannot resolve log_prior {meta['prior']!r}; "
+              f"pass it explicitly via the log_prior argument")
+    return fn
 
 
 def _fn_name(fn) -> str:
@@ -82,6 +128,38 @@ def walker_save(walker, path: str, take: int | None = None) -> None:
             "the wrong posterior.  Recreate such fits from their pipeline "
             "inputs instead."
         )
+
+    arrays = _dump_state(walker, take)
+    for i, t in enumerate(walker.terms):
+        arrays[f"term{i}_x"] = np.asarray(t.dataset.x)
+        arrays[f"term{i}_y"] = np.asarray(t.dataset.y)
+        arrays[f"term{i}_sigma"] = np.asarray(t.dataset.sigma)
+        arrays[f"term{i}_mask"] = np.asarray(t.dataset.mask)
+
+    header = {
+        "format_version": FORMAT_VERSION,
+        "param_keys": list(walker.spec.keys),
+        "n_walkers": walker.n_walkers,
+        "prng_impl": str(jax.random.key_impl(walker.state.key)),
+        "dtype": np.dtype(walker.dtype).name,
+        "config": dataclasses.asdict(walker.config),
+        "terms": [
+            {
+                "function": _fn_name(t.fn),
+                "likelihood": _fn_name(t.likelihood),
+                "n": t.dataset.n,
+                **_prior_meta(t.prior),
+            }
+            for t in walker.terms
+        ],
+    }
+    arrays["header"] = np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def _dump_state(walker, take):
+    """Every chain array + histories, shared by both save formats."""
+    import jax
 
     state = walker.state
     arrays = {
@@ -110,31 +188,123 @@ def walker_save(walker, path: str, take: int | None = None) -> None:
     arrays["lpmean_trace"] = (
         np.concatenate(walker._lpmean_trace) if walker._lpmean_trace else np.empty(0)
     )
-    for i, t in enumerate(walker.terms):
-        arrays[f"term{i}_x"] = np.asarray(t.dataset.x)
-        arrays[f"term{i}_y"] = np.asarray(t.dataset.y)
-        arrays[f"term{i}_sigma"] = np.asarray(t.dataset.sigma)
-        arrays[f"term{i}_mask"] = np.asarray(t.dataset.mask)
+    return arrays
 
+
+def _restore_state(walker, arrays, header, dtype):
+    """Install saved chain arrays + histories onto a constructed fit."""
+    import jax
+
+    prng_impl = header.get("prng_impl", "threefry2x32")
+    walker.state = WalkerState(
+        key=jax.random.wrap_key_data(jnp.asarray(arrays["key"]), impl=prng_impl),
+        position=jnp.asarray(arrays["position"], dtype),
+        logprob=jnp.asarray(arrays["logprob"], dtype),
+        best_position=jnp.asarray(arrays["best_position"], dtype),
+        best_logprob=jnp.asarray(arrays["best_logprob"], dtype),
+        l_matrix=jnp.asarray(arrays["l_matrix"], dtype),
+        m_sum=jnp.asarray(arrays["m_sum"], dtype),
+        m_outer=jnp.asarray(arrays["m_outer"], dtype),
+        m_count=jnp.asarray(arrays["m_count"], dtype),
+        age=jnp.asarray(arrays["age"], jnp.int32),
+        anneal_step=jnp.asarray(arrays.get("anneal_step", 0), jnp.int32),
+    )
+    walker._hist_positions = (
+        [arrays["history_positions"]] if arrays["history_positions"].size else []
+    )
+    walker._hist_logprobs = (
+        [arrays["history_logprobs"]] if arrays["history_logprobs"].size else []
+    )
+    walker._accept_log = list(arrays["accept_log"])
+    lpmax = arrays.get("lpmax_trace", np.empty(0))
+    lpmean = arrays.get("lpmean_trace", np.empty(0))
+    walker._lpmax_trace = [lpmax] if lpmax.size else []
+    walker._lpmean_trace = [lpmean] if lpmean.size else []
+    return walker
+
+
+def batched_save(fit, path: str, take: int | None = None) -> None:
+    """Save a :class:`~lisp_mcmc_tpu.batched.BatchedFit` to ``path``.
+
+    The batch is reconstructible from its inputs (one registry model, the
+    stacked datasets, the block layout), so the format stores those plus
+    every chain array — the same names-not-closures contract as
+    :func:`walker_save`.  A non-registry prior must be re-supplied to
+    :func:`batched_load` (the reference's walker-load contract).
+    """
+    data = fit._custom_data
+    if data is None or not hasattr(fit, "walkers_per_dataset"):
+        raise ValueError("batched_save: not a BatchedFit; use walker_save")
+    inv_sigma = np.asarray(data["inv_sigma"], np.float64)
+    arrays = _dump_state(fit, take)
+    arrays["batch_x"] = np.asarray(data["x"], np.float64)
+    arrays["batch_y"] = np.asarray(data["y"], np.float64)
+    arrays["batch_err"] = np.where(inv_sigma > 0, 1.0 / np.where(inv_sigma > 0, inv_sigma, 1.0), 0.0)
+    term = fit.terms[0]
     header = {
         "format_version": FORMAT_VERSION,
-        "param_keys": list(walker.spec.keys),
-        "n_walkers": walker.n_walkers,
-        "prng_impl": str(jax.random.key_impl(state.key)),
-        "dtype": np.dtype(walker.dtype).name,
-        "config": dataclasses.asdict(walker.config),
-        "terms": [
-            {
-                "function": _fn_name(t.fn),
-                "likelihood": _fn_name(t.likelihood),
-                "prior": _fn_name(t.prior),
-                "n": t.dataset.n,
-            }
-            for t in walker.terms
-        ],
+        "kind": "batched",
+        "param_keys": list(fit.spec.keys),
+        "n_walkers": fit.n_walkers,
+        "n_datasets": int(fit.n_datasets),
+        "walkers_per_dataset": int(fit.walkers_per_dataset),
+        "prng_impl": str(__import__("jax").random.key_impl(fit.state.key)),
+        "dtype": np.dtype(fit.dtype).name,
+        "config": dataclasses.asdict(fit.config),
+        "function": _fn_name(term.fn),
+        **_prior_meta(term.prior),
     }
     arrays["header"] = np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
+
+
+def batched_load(path: str, *, function=None, log_prior=None, quiet: bool = False):
+    """Load a :func:`batched_save` checkpoint into a resumable BatchedFit.
+
+    Names resolve like :func:`walker_load` (explicit callable > registry >
+    printed recommendations + None).
+    """
+    from .batched import BatchedFit
+    from .models import MODEL_REGISTRY
+
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    header = json.loads(bytes(arrays.pop("header")).decode())
+    if header.get("kind") != "batched":
+        raise ValueError("batched_load: not a batched checkpoint; use walker_load")
+    if header["format_version"] > FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {header['format_version']} is newer than supported")
+
+    _register_domain_priors()
+    fns = _resolve([header["function"]], function, MODEL_REGISTRY, "function", quiet)
+    prior = _resolve_prior(header, log_prior, quiet)
+    if fns is None or prior is None:
+        if not quiet:
+            print("*Recommendations*")
+            print(f"function: {header['function']}")
+            print(f"log_prior: {header['prior']}")
+        return None
+
+    dtype = jnp.dtype(header["dtype"])
+    keys = header["param_keys"]
+    S, B = header["n_datasets"], header["walkers_per_dataset"]
+    x, y, err = arrays["batch_x"], arrays["batch_y"], arrays["batch_err"]
+    # Any valid guess works — the saved state replaces it — so use each
+    # block's best walker.
+    best_lp = arrays["best_logprob"].reshape(S, B)
+    best_pos = arrays["best_position"].reshape(S, B, -1)
+    guesses = [
+        dict(zip(keys, best_pos[g, int(np.argmax(best_lp[g]))]))
+        for g in range(S)
+    ]
+    fit = BatchedFit(
+        fns[0], [(x[g], y[g]) for g in range(S)], guesses,
+        data_error=[err[g] for g in range(S)],
+        log_prior=None if header["prior"] == "log_prior_flat" else prior,
+        walkers_per_dataset=B, dtype=dtype,
+        config=FitConfig(**header["config"]),
+    )
+    return _restore_state(fit, arrays, header, dtype)
 
 
 def _resolve(names, supplied, registry, kind, quiet):
@@ -182,7 +352,11 @@ def walker_load(path: str, *, function=None, log_likelihood=None, log_prior=None
     _register_domain_priors()
     functions = _resolve(fn_names, function, MODEL_REGISTRY, "function", quiet)
     likelihoods = _resolve(ll_names, log_likelihood, LIKELIHOOD_REGISTRY, "log_likelihood", quiet)
-    priors = _resolve(lp_names, log_prior, PRIOR_REGISTRY, "log_prior", quiet)
+    supplied = (log_prior if isinstance(log_prior, (list, tuple))
+                else [log_prior] * len(term_meta))
+    priors = [_resolve_prior(t, s, quiet) for t, s in zip(term_meta, supplied)]
+    if any(p is None for p in priors):
+        priors = None
     if functions is None or likelihoods is None or priors is None:
         if not quiet:
             print("*Recommendations*")
@@ -222,33 +396,7 @@ def walker_load(path: str, *, function=None, log_likelihood=None, log_prior=None
     import jax
 
     walker._log_post_one = walker._build_log_posterior()
-    # Old checkpoints (format 1 without prng_impl) hold raw threefry words.
-    prng_impl = header.get("prng_impl", "threefry2x32")
-    walker.state = WalkerState(
-        key=jax.random.wrap_key_data(jnp.asarray(arrays["key"]), impl=prng_impl),
-        position=jnp.asarray(arrays["position"], dtype),
-        logprob=jnp.asarray(arrays["logprob"], dtype),
-        best_position=jnp.asarray(arrays["best_position"], dtype),
-        best_logprob=jnp.asarray(arrays["best_logprob"], dtype),
-        l_matrix=jnp.asarray(arrays["l_matrix"], dtype),
-        m_sum=jnp.asarray(arrays["m_sum"], dtype),
-        m_outer=jnp.asarray(arrays["m_outer"], dtype),
-        m_count=jnp.asarray(arrays["m_count"], dtype),
-        age=jnp.asarray(arrays["age"], jnp.int32),
-        anneal_step=jnp.asarray(arrays.get("anneal_step", 0), jnp.int32),
-    )
-    walker._hist_positions = (
-        [arrays["history_positions"]] if arrays["history_positions"].size else []
-    )
-    walker._hist_logprobs = (
-        [arrays["history_logprobs"]] if arrays["history_logprobs"].size else []
-    )
-    walker._accept_log = list(arrays["accept_log"])
-    lpmax = arrays.get("lpmax_trace", np.empty(0))
-    lpmean = arrays.get("lpmean_trace", np.empty(0))
-    walker._lpmax_trace = [lpmax] if lpmax.size else []
-    walker._lpmean_trace = [lpmean] if lpmean.size else []
-    return walker
+    return _restore_state(walker, arrays, header, dtype)
 
 
 def walker_set_save(walker_set: Sequence, path_prefix: str, take: int | None = None) -> None:

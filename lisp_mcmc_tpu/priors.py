@@ -92,6 +92,12 @@ def make_bounds_prior(bounds: Mapping[str, tuple], extra: Callable | None = None
             total = total + extra(params, penalties, dataset)
         return total
 
+    # Checkpointability: the closure carries its own recipe, so
+    # checkpoint.py can serialize the bounds table (+ the extra's NAME,
+    # resolved from a registry on load) instead of refusing closures.
+    prior._bounds = dict(bounds)
+    prior._extra = extra
+    prior.__name__ = "bounds_prior"
     return prior
 
 

@@ -59,6 +59,72 @@ def test_loaded_walker_is_resumable(tmp_path):
     assert loaded.most_likely_params()["m"] == pytest.approx(2.0, abs=0.1)
 
 
+def test_batched_save_load_roundtrip_and_resume(tmp_path):
+    from lisp_mcmc_tpu.checkpoint import batched_load, batched_save
+
+    x = np.linspace(0.0, 10.0, 30)
+    datasets = [(x, 2.0 * x + 1.0), (x, 3.0 * x - 1.0)]
+    fit = mfit.BatchedFit(line, datasets, {"m": 1.0, "b": 0.5},
+                          data_error=0.1, walkers_per_dataset=16, seed=0)
+    fit.adaptive_steps(800, auto=None)
+    path = str(tmp_path / "batched.npz")
+    batched_save(fit, path)
+    loaded = batched_load(path)
+    assert type(loaded).__name__ == "BatchedFit"
+    np.testing.assert_allclose(
+        np.asarray(loaded.state.position), np.asarray(fit.state.position)
+    )
+    for a, b in zip(fit.best_params_per_dataset(),
+                    loaded.best_params_per_dataset()):
+        assert a == pytest.approx(b)
+    assert loaded.config == fit.config
+    # Resumable, per-dataset adaptation intact.
+    loaded.adaptive_steps(400, auto=None)
+    best = loaded.best_params_per_dataset()
+    assert best[0]["m"] == pytest.approx(2.0, abs=0.05)
+    assert best[1]["m"] == pytest.approx(3.0, abs=0.05)
+    # walker_save still refuses grouped fits (wrong format)...
+    with pytest.raises(ValueError, match="checkpoint format does not capture"):
+        walker_save(fit, str(tmp_path / "nope.npz"))
+    # ...and batched_load rejects a plain-walker file.
+    plain = _fitted_walker(n_steps=600)
+    walker_save(plain, str(tmp_path / "plain.npz"))
+    with pytest.raises(ValueError, match="not a batched checkpoint"):
+        batched_load(str(tmp_path / "plain.npz"))
+
+
+def test_batched_nv_checkpoint_reconstructs_prior(tmp_path):
+    """The NV pipeline's data-scaled bounds prior serializes as its
+    recipe (bounds table + extra-hook name) and reconstructs exactly."""
+    from lisp_mcmc_tpu import nv
+    from lisp_mcmc_tpu.checkpoint import batched_load, batched_save
+    from lisp_mcmc_tpu.models import double_lorentzian_bg
+
+    rng = np.random.default_rng(0)
+    freqs = np.linspace(2840.0, 2900.0, 128)
+
+    def spec(d1, d2):
+        c = double_lorentzian_bg(freqs, {"scale1": 1e-5, "scale2": 1e-5,
+                                         "mu1": d1, "mu2": d2,
+                                         "sigma": 10.0, "bg0": 1e-4})
+        return freqs, np.asarray(c) + 2e-7 * rng.standard_normal(128)
+
+    fit = nv.BatchedNVFit([spec(2858, 2876), spec(2862, 2874)],
+                          walkers_per_spectrum=32, seed=0)
+    fit.adaptive_steps(1200, auto=None)
+    path = str(tmp_path / "nv.npz")
+    batched_save(fit, path)
+    loaded = batched_load(path)
+    assert loaded is not None
+    # Reconstructed posterior (incl. the physics constraints) evaluates
+    # identically on the saved positions.
+    np.testing.assert_allclose(
+        np.asarray(loaded.state.logprob),
+        np.asarray(loaded._eval_batch(loaded.state.position)),
+        atol=1e-6,
+    )
+
+
 def test_load_without_functions_prints_recommendations(tmp_path, capsys):
     w = _fitted_walker(n_steps=400)
     # Make the model unresolvable by renaming (simulates a custom closure).
