@@ -964,6 +964,8 @@ class Walker:
         if rounds <= 0:
             raise ValueError(f"rounds must be positive, got {rounds}")
         for _ in range(rounds):
+            if control.stop_requested():
+                break  # estop: completed rounds already improved the state
             self._optimize_round(n_steps, learning_rate)
 
     def _optimize_round(self, n_steps: int, learning_rate: float):

@@ -139,10 +139,20 @@ def smc_sample(walker, bounds, n_move: int = 400, target_ress: float = 0.5,
     chunk = walker.config.chunk_size
     n_chunks = max(1, -(-n_move // chunk))
 
+    from . import control
+
     beta = 0.0
     log_z = np.zeros(G)
     betas, accs = [0.0], []
     for _ in range(max_stages):
+        if control.stop_requested():
+            # estop (mfit-walker-estop parity): stop at a stage boundary;
+            # the partial result is still a valid SMC run up to `beta`,
+            # but log_z only covers [0, beta] — raise rather than return
+            # a silently-truncated evidence.
+            raise RuntimeError(
+                f"smc_sample: emergency stop at beta={beta:.4f}; "
+                f"partial evidence discarded")
         lp_g = np.asarray(walker.state.logprob, np.float64).reshape(G, B)
         # Shared ladder: every group must keep its weight-ESS healthy, so
         # the stage takes the most conservative group's dbeta.
