@@ -247,6 +247,7 @@ def batched_save(fit, path: str, take: int | None = None) -> None:
         "param_keys": list(fit.spec.keys),
         "n_walkers": fit.n_walkers,
         "n_datasets": int(fit.n_datasets),
+        "n_points": int(fit.terms[0].dataset.n),
         "walkers_per_dataset": int(fit.walkers_per_dataset),
         "prng_impl": str(__import__("jax").random.key_impl(fit.state.key)),
         "dtype": np.dtype(fit.dtype).name,
@@ -288,7 +289,14 @@ def batched_load(path: str, *, function=None, log_prior=None, quiet: bool = Fals
     dtype = jnp.dtype(header["dtype"])
     keys = header["param_keys"]
     S, B = header["n_datasets"], header["walkers_per_dataset"]
-    x, y, err = arrays["batch_x"], arrays["batch_y"], arrays["batch_err"]
+    # The saved arrays are lane-padded (P = multiple of 128) with err = 0
+    # on the pad rows; feeding those to BatchedFit as real data would
+    # rebuild them as zero-error points (inf inv_sigma -> NaN posterior).
+    # Slice back to the true length and let Dataset.create re-pad.
+    n = header["n_points"]
+    x = arrays["batch_x"][:, :n]
+    y = arrays["batch_y"][:, :n]
+    err = arrays["batch_err"][:, :n]
     # Any valid guess works — the saved state replaces it — so use each
     # block's best walker.
     best_lp = arrays["best_logprob"].reshape(S, B)
@@ -311,6 +319,10 @@ def _resolve(names, supplied, registry, kind, quiet):
     """Resolve saved names to callables: explicit > registry > None."""
     if supplied is not None:
         supplied = supplied if isinstance(supplied, (list, tuple)) else [supplied] * len(names)
+        if len(supplied) != len(names):
+            raise ValueError(
+                f"{kind}: {len(supplied)} callables supplied for "
+                f"{len(names)} saved terms")
         return list(supplied)
     resolved = []
     for name in names:
@@ -354,6 +366,10 @@ def walker_load(path: str, *, function=None, log_likelihood=None, log_prior=None
     likelihoods = _resolve(ll_names, log_likelihood, LIKELIHOOD_REGISTRY, "log_likelihood", quiet)
     supplied = (log_prior if isinstance(log_prior, (list, tuple))
                 else [log_prior] * len(term_meta))
+    if len(supplied) != len(term_meta):
+        raise ValueError(
+            f"log_prior: {len(supplied)} callables supplied for "
+            f"{len(term_meta)} saved terms")
     priors = [_resolve_prior(t, s, quiet) for t, s in zip(term_meta, supplied)]
     if any(p is None for p in priors):
         priors = None
@@ -393,8 +409,6 @@ def walker_load(path: str, *, function=None, log_likelihood=None, log_prior=None
     walker.aux = None
     walker.group_ids = None
     walker.n_groups = int(np.asarray(arrays["l_matrix"]).shape[0])
-    import jax
-
     walker._log_post_one = walker._build_log_posterior()
     return _restore_state(walker, arrays, header, dtype)
 
@@ -406,7 +420,15 @@ def walker_set_save(walker_set: Sequence, path_prefix: str, take: int | None = N
 
 
 def walker_set_load(paths: Sequence[str], **kwargs):
-    """Load a set of fits (``walker-set-load``, mcmc-fitting.lisp:1013-1027)."""
+    """Load a set of fits (``walker-set-load``, mcmc-fitting.lisp:1013-1027).
+
+    Returns ``None`` (after the usual recommendations) if ANY member fails
+    to resolve — a set with silent ``None`` holes would defer the failure
+    to an unrelated AttributeError on first use.
+    """
     from .walker_set import WalkerSet
 
-    return WalkerSet(walker_load(p, **kwargs) for p in paths)
+    loaded = [walker_load(p, **kwargs) for p in paths]
+    if any(w is None for w in loaded):
+        return None
+    return WalkerSet(loaded)

@@ -74,7 +74,8 @@ class EvidenceResult:
 
 def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
                  t_max: float = 1e5, burn: float = 0.5,
-                 n_error_batches: int = 8, bounds=None) -> EvidenceResult:
+                 n_error_batches: int = 8, bounds=None,
+                 seed: int = 0) -> EvidenceResult:
     """Estimate ``log Z`` for the walker's posterior (see module docs).
 
     Runs :meth:`Walker.tempered_steps` with history (mutating the walker:
@@ -103,27 +104,23 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
     if not 0.0 <= burn < 1.0:
         raise ValueError(f"burn must be in [0, 1), got {burn}")
     if bounds is not None:
-        import dataclasses as _dc
+        from .smc import seed_prior_box
 
-        import jax as _jax
-        import jax.numpy as _jnp
-
-        spec_keys = list(walker.spec.keys)
-        missing = [k for k in spec_keys if k not in bounds]
-        if missing:
-            raise ValueError(f"log_evidence: bounds missing for {missing}")
-        lows = _jnp.asarray([float(bounds[k][0]) for k in spec_keys], walker.dtype)
-        highs = _jnp.asarray([float(bounds[k][1]) for k in spec_keys], walker.dtype)
-        pos = lows + (highs - lows) * _jax.random.uniform(
-            _jax.random.PRNGKey(walker.n_walkers), (walker.n_walkers, walker.ndim),
-            walker.dtype)
-        walker.state = _dc.replace(walker.state, position=pos)
-        walker.state = _dc.replace(walker.state, logprob=walker._eval_batch(pos))
+        try:
+            seed_prior_box(walker, bounds, seed=seed)
+        except ValueError as e:
+            raise ValueError(f"log_evidence: {e}") from None
 
     walker.tempered_steps(n_steps, rungs=rungs, t_max=float(t_max),
                           collect_history=True)
     _, lp = walker._history(None)                       # (T, W)
     lp = np.asarray(lp, np.float64)
+    # Only the rows THIS tempered run produced are ladder samples — any
+    # earlier history holds untempered chains whose blocks would be
+    # misread as hot rungs (history eviction only drops from the front,
+    # so the run's rows are exactly the trailing n_steps/thin).
+    own_rows = max(1, n_steps // max(1, walker.config.thin))
+    lp = lp[-min(own_rows, lp.shape[0]):]
     lp = lp[int(lp.shape[0] * burn):]
     if lp.shape[0] < 2:
         raise ValueError("history too short after burn; raise n_steps")

@@ -37,7 +37,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["SMCResult", "smc_sample"]
+__all__ = ["SMCResult", "smc_sample", "seed_prior_box"]
+
+
+def seed_prior_box(walker, bounds, seed: int = 0):
+    """Re-draw the walker ensemble uniform in the ``bounds`` box.
+
+    Shared beta=0 initialization for :func:`smc_sample` and
+    :func:`lisp_mcmc_tpu.evidence.log_evidence`: validates the box (every
+    parameter present, ``high > low``), replaces positions with exact
+    prior draws, and recomputes ``logprob``.  Returns the per-parameter
+    ``(lows, highs)`` arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    spec_keys = list(walker.spec.keys)
+    missing = [k for k in spec_keys if k not in bounds]
+    if missing:
+        raise ValueError(f"bounds required for every parameter; missing {missing}")
+    dtype = walker.dtype
+    lows = jnp.asarray([float(bounds[k][0]) for k in spec_keys], dtype)
+    highs = jnp.asarray([float(bounds[k][1]) for k in spec_keys], dtype)
+    if not bool(jnp.all(highs > lows)):
+        raise ValueError("every bound must have high > low")
+    k0 = jax.random.PRNGKey(seed)
+    pos = lows + (highs - lows) * jax.random.uniform(
+        k0, (walker.n_walkers, walker.ndim), dtype)
+    walker.state = dataclasses.replace(walker.state, position=pos)
+    walker.state = dataclasses.replace(
+        walker.state, logprob=walker._eval_batch(pos))
+    return lows, highs
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,20 +128,10 @@ def smc_sample(walker, bounds, n_move: int = 400, target_ress: float = 0.5,
     sharpens.  Raises if the schedule fails to reach ``beta = 1`` within
     ``max_stages``.
     """
-    spec_keys = list(walker.spec.keys)
-    missing = [k for k in spec_keys if k not in bounds]
-    if missing:
-        raise ValueError(f"smc_sample: bounds required for every parameter; "
-                         f"missing {missing}")
     if not 0.0 < target_ress < 1.0:
         raise ValueError(f"target_ress must be in (0, 1), got {target_ress}")
 
-    W, d = walker.n_walkers, walker.ndim
-    dtype = walker.dtype
-    lows = jnp.asarray([float(bounds[k][0]) for k in spec_keys], dtype)
-    highs = jnp.asarray([float(bounds[k][1]) for k in spec_keys], dtype)
-    if not bool(jnp.all(highs > lows)):
-        raise ValueError("smc_sample: every bound must have high > low")
+    W = walker.n_walkers
 
     # Grouped (batched) fits: independent particle populations, one per
     # contiguous walker block.  Requires the regular block layout (the
@@ -127,12 +147,8 @@ def smc_sample(walker, bounds, n_move: int = 400, target_ress: float = 0.5,
         B = W
 
     # beta = 0 population: exact draws from the uniform-in-box prior.
-    key = jax.random.PRNGKey(seed)
-    key, k0 = jax.random.split(key)
-    pos = lows + (highs - lows) * jax.random.uniform(k0, (W, d), dtype)
-    walker.state = dataclasses.replace(walker.state, position=pos)
-    walker.state = dataclasses.replace(
-        walker.state, logprob=walker._eval_batch(pos))
+    seed_prior_box(walker, bounds, seed=seed)
+    key = jax.random.PRNGKey(seed + 1)
 
     runner = walker._runner(with_history=False)
     data = walker._posterior_data()

@@ -74,6 +74,17 @@ def test_log_evidence_prior_seeded():
     assert res.log_z == pytest.approx(-math.log(2 * a), abs=0.3), res
 
 
+def test_log_evidence_ignores_prior_history():
+    """History from earlier untempered runs must not be misread as
+    ladder rungs (regression: stale cold-chain rows inflated log Z)."""
+    d, sigma, a = 1, 0.5, 2.0
+    w = _gaussian_walker(d, sigma, a, seed=9)
+    # Accumulate substantial untempered history first.
+    w.adaptive_steps(8000, temperature=1.0, auto=None)
+    res = w.log_evidence(n_steps=12000, rungs=8, t_max=1e4)
+    assert res.log_z == pytest.approx(-math.log(2 * a), abs=0.3), res
+
+
 def test_log_evidence_validates_args():
     w = _gaussian_walker(1, 0.5, 2.0, n_walkers=32)
     with pytest.raises(ValueError):

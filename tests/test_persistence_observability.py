@@ -83,6 +83,13 @@ def test_batched_save_load_roundtrip_and_resume(tmp_path):
     best = loaded.best_params_per_dataset()
     assert best[0]["m"] == pytest.approx(2.0, abs=0.05)
     assert best[1]["m"] == pytest.approx(3.0, abs=0.05)
+    # Pad-length regression: datasets of length 30 are lane-padded to 128
+    # on device; the reload must slice the padding off before rebuilding
+    # (zero-error pad rows made the posterior NaN and froze the chain).
+    lp_re = np.asarray(loaded._eval_batch(loaded.state.position))
+    np.testing.assert_allclose(lp_re, np.asarray(loaded.state.logprob), atol=1e-9)
+    assert loaded.acceptance() > 0.0
+
     # walker_save still refuses grouped fits (wrong format)...
     with pytest.raises(ValueError, match="checkpoint format does not capture"):
         walker_save(fit, str(tmp_path / "nope.npz"))

