@@ -119,7 +119,7 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
     # earlier history holds untempered chains whose blocks would be
     # misread as hot rungs (history eviction only drops from the front,
     # so the run's rows are exactly the trailing n_steps/thin).
-    own_rows = max(1, n_steps // max(1, walker.config.thin))
+    own_rows = max(1, n_steps // walker._thin)
     lp = lp[-min(own_rows, lp.shape[0]):]
     lp = lp[int(lp.shape[0] * burn):]
     if lp.shape[0] < 2:

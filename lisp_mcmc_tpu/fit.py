@@ -342,9 +342,17 @@ class Walker:
     def age(self) -> int:
         return int(self.state.age)
 
+    @property
+    def _thin(self) -> int:
+        """History thinning as the kernel actually applies it
+        (kernel.py clamps to ``min(thin, chunk_size)``); every host-side
+        steps<->rows conversion must use this, not raw ``config.thin``,
+        or lengths desynchronize 5x at thin=1000/chunk=200."""
+        return max(1, min(self.config.thin, self.config.chunk_size))
+
     def __len__(self) -> int:
         """Retained history length in steps (walker-length analogue)."""
-        return sum(h.shape[0] for h in self._hist_positions) * self.config.thin
+        return sum(h.shape[0] for h in self._hist_positions) * self._thin
 
     def adaptive_steps(self, n: int | None = None, *, temperature: float | None = None,
                        auto: str | None = "default", collect_history: bool = True,
@@ -503,7 +511,7 @@ class Walker:
             self._trim_history()
 
     def _trim_history(self):
-        max_entries = max(1, self.config.max_history // self.config.thin)
+        max_entries = max(1, self.config.max_history // self._thin)
         total = sum(h.shape[0] for h in self._hist_positions)
         while total > max_entries and len(self._hist_positions) > 1:
             total -= self._hist_positions.pop(0).shape[0]
@@ -541,7 +549,7 @@ class Walker:
             if not self._hist_positions:
                 return False
             pos, _ = self._history(max(settle, 1000))  # (T, W, d) numpy
-            if pos.shape[0] * max(1, self.config.thin) < settle:
+            if pos.shape[0] * self._thin < settle:
                 return False
             return float(np.max(_split_rhat_host(pos))) < 1.01
         if cfg.auto == "slope-settle":
@@ -769,7 +777,7 @@ class Walker:
             pos = np.concatenate(self._hist_positions, axis=0)
             lp = np.concatenate(self._hist_logprobs, axis=0)
         if take is not None:
-            k = max(1, int(take) // max(1, self.config.thin))
+            k = max(1, int(take) // self._thin)
             pos, lp = pos[-k:], lp[-k:]
         return pos, lp
 
@@ -1059,7 +1067,7 @@ class Walker:
         """Drop the oldest ``burn_number`` steps (``:burn-walks``, 566-567)."""
         if not self._hist_positions:
             return  # nothing retained; don't store _history()'s synthetic fallback
-        k = burn_number // max(1, self.config.thin)
+        k = burn_number // self._thin
         pos, lp = self._history()
         pos, lp = pos[k:], lp[k:]
         self._hist_positions = [pos] if pos.size else []
@@ -1069,7 +1077,7 @@ class Walker:
         """Keep only the newest ``keep_number`` steps (``:keep-walks``, 568-569)."""
         if not self._hist_positions:
             return  # nothing retained; don't store _history()'s synthetic fallback
-        k = max(1, keep_number // max(1, self.config.thin))
+        k = max(1, keep_number // self._thin)
         pos, lp = self._history()
         self._hist_positions = [pos[-k:]]
         self._hist_logprobs = [lp[-k:]]
@@ -1085,21 +1093,24 @@ class Walker:
             logprobs = np.repeat(logprobs[:, None], self.n_walkers, axis=1)
         self._hist_positions.append(positions)
         self._hist_logprobs.append(logprobs)
-        flat_best = logprobs.max()
-        if flat_best > float(jnp.max(self.state.best_logprob)):
-            t, w = np.unravel_index(np.argmax(logprobs), logprobs.shape)
-            best_pos = jnp.asarray(positions[t, w], self.dtype)
-            state = self.state
-            better = flat_best > np.asarray(state.best_logprob)
-            new_best_pos = jnp.where(
-                jnp.asarray(better)[:, None], best_pos, state.best_position
-            )
-            new_best_lp = jnp.maximum(
-                state.best_logprob, jnp.asarray(flat_best, self.dtype)
-            )
-            self.state = dataclasses.replace(
-                self.state, best_position=new_best_pos, best_logprob=new_best_lp
-            )
+        # PER-WALKER best refresh: each walker may only adopt its OWN
+        # column's maximum (a global argmax would hand every improved
+        # walker the same position — in grouped fits, a point from a
+        # different spectrum's posterior, contaminating best-value
+        # refreshes and reset_to_most_likely).
+        state = self.state
+        col_best = logprobs.max(axis=0)                          # (W,)
+        col_arg = logprobs.argmax(axis=0)                        # (W,)
+        cand_pos = positions[col_arg, np.arange(positions.shape[1])]  # (W, d)
+        better = jnp.asarray(col_best, self.dtype) > state.best_logprob
+        self.state = dataclasses.replace(
+            state,
+            best_position=jnp.where(better[:, None],
+                                    jnp.asarray(cand_pos, self.dtype),
+                                    state.best_position),
+            best_logprob=jnp.where(better, jnp.asarray(col_best, self.dtype),
+                                   state.best_logprob),
+        )
 
     def delete(self):
         """Free everything (``:delete``, 579-580)."""

@@ -267,7 +267,6 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             batched_logpost = jax.vmap(log_posterior, in_axes=(0, 0))
             eval_lp = lambda pos, data: batched_logpost(pos, aux)
 
-    settle = config.steps_to_settle(ndim)
     chunk = config.chunk_size
     thin = max(1, min(config.thin, chunk))
     grouped = group_ids is not None and n_groups > 1
@@ -287,7 +286,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     if group_ids is not None:
         group_ids = jnp.asarray(group_ids, jnp.int32)
 
-    def seg_sum(x, dims: int):
+    def seg_sum(x):
         """Sum per adaptation group; plain sum when ungrouped (G=1)."""
         if grouped and group_block is not None:
             return jnp.sum(
@@ -436,9 +435,9 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         if accumulate_moments:
             # Accepted-move moments for covariance adaptation, per group.
             delta = step_vec * acc.astype(dtype)
-            m_sum = state.m_sum + seg_sum(delta, 1)
-            m_outer = state.m_outer + seg_sum(delta[:, :, None] * delta[:, None, :], 2)
-            m_count = state.m_count + seg_sum(accf, 0)
+            m_sum = state.m_sum + seg_sum(delta)
+            m_outer = state.m_outer + seg_sum(delta[:, :, None] * delta[:, None, :])
+            m_count = state.m_count + seg_sum(accf)
         else:
             m_sum, m_outer, m_count = state.m_sum, state.m_outer, state.m_count
 
@@ -762,7 +761,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             thresh = jnp.minimum(jnp.max(logprob) - cut, kth)
             keep = logprob >= thresh
         wgt = keep.astype(dtype)
-        counts = jnp.maximum(seg_sum(wgt, 0), 1.0)                 # (G,)
+        counts = jnp.maximum(seg_sum(wgt), 1.0)                 # (G,)
         return wgt, counts
 
     def adapt(state: WalkerState, group_accept, allow_refresh):
@@ -777,6 +776,15 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         # Cholesky of recent-move covariance; "best-value" = 1e-5 x diag of
         # the per-group most-likely parameter magnitudes.
         if config.sampling_optimization == "best-value":
+            if mala or hmc:
+                raise ValueError(
+                    "sampling_optimization='best-value' is the random-walk "
+                    "diagonal-refresh policy (mcmc-fitting.lisp:888-895); the "
+                    "gradient kernels adapt by continuous step-size steering "
+                    "and an absolute-scale refresh was measured to limit-cycle "
+                    "them (see the steering branch below) — use the default "
+                    "'covariance' with kernel='mala'/'hmc'"
+                )
             if grouped and group_block is not None:
                 lp_g = state.best_logprob.reshape(n_groups, group_block)
                 idx = jnp.argmax(lp_g, axis=1)                     # (G,)
@@ -817,20 +825,20 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         # one that matches the population the kernel actually steps.
         if (mala or hmc) and regular:
             wgt, counts = typical_weights(state.logprob)
-            mean = seg_sum(state.position * wgt[:, None], 1) / counts[:, None]
+            mean = seg_sum(state.position * wgt[:, None]) / counts[:, None]
             mean_w = mean[group_ids] if grouped else mean[0]
             centered = (state.position - mean_w) * wgt[:, None]
-            cov = seg_sum(centered[:, :, None] * centered[:, None, :], 2) / counts[:, None, None]
+            cov = seg_sum(centered[:, :, None] * centered[:, None, :]) / counts[:, None, None]
             enough = counts > d
         elif config.covariance_source == "ensemble" or mala or hmc:
             ones = jnp.ones((state.position.shape[0],), dtype)
-            counts = jnp.maximum(seg_sum(ones, 0), 1.0)            # (G,)
-            mean = seg_sum(state.position, 1) / counts[:, None]
+            counts = jnp.maximum(seg_sum(ones), 1.0)            # (G,)
+            mean = seg_sum(state.position) / counts[:, None]
             if grouped:
                 centered = state.position - mean[group_ids]
             else:
                 centered = state.position - mean[0]
-            cov = seg_sum(centered[:, :, None] * centered[:, None, :], 2) / counts[:, None, None]
+            cov = seg_sum(centered[:, :, None] * centered[:, None, :]) / counts[:, None, None]
             enough = counts > d
         else:
             cov = jax.vmap(moments_covariance)(state.m_sum, state.m_outer, state.m_count)
@@ -924,7 +932,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         trajectory rejects.  This move fixes the population itself,
         exactly: propose ``y ~ q``, a multivariate Student-t(nu=2) with
         mean/scale fitted per group on the ``typical_weights`` walker set
-        (chi^2-typical window with a top-quartile floor — see that helper
+        (chi^2-typical window with a top-K floor — see that helper
         for the measured failure modes of both a wider window and the
         unfloored one), accepted with the independence-sampler ratio
 
@@ -948,10 +956,10 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         inv_t = (1.0 / temp).astype(dtype)
 
         wgt, counts = typical_weights(state.logprob)
-        mean = seg_sum(state.position * wgt[:, None], 1) / counts[:, None]
+        mean = seg_sum(state.position * wgt[:, None]) / counts[:, None]
         mean_w = mean[group_ids] if grouped else mean[0]
         centered = (state.position - mean_w) * wgt[:, None]
-        cov = seg_sum(centered[:, :, None] * centered[:, None, :], 2) / counts[:, None, None]
+        cov = seg_sum(centered[:, :, None] * centered[:, None, :]) / counts[:, None, None]
         # 1.3x overdispersed so q covers the target's shoulders.
         chol, ok = cholesky_clamped(1.69 * cov)
         ok = ok & (counts > ndim)                                  # (G,)
@@ -1058,8 +1066,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     def _finish(state, accept_counts, trace, adapt_enabled, allow_refresh):
         dtype = state.position.dtype
         ones = jnp.ones_like(accept_counts)
-        group_total = jnp.maximum(seg_sum(ones, 0) * chunk, 1.0)   # (G,)
-        group_accept = seg_sum(accept_counts, 0) / group_total     # (G,)
+        group_total = jnp.maximum(seg_sum(ones) * chunk, 1.0)   # (G,)
+        group_accept = seg_sum(accept_counts) / group_total     # (G,)
         if stretch:
             # Affine invariance: nothing to adapt.  Clear any moments
             # carried in from an earlier rwm phase so a later refresh

@@ -282,3 +282,53 @@ def test_nan_posterior_rejected_not_propagated():
     w.adaptive_steps(1000, auto=None)
     assert np.isfinite(np.asarray(w.state.logprob)).all()
     assert w.check_for_nonfinite() is None
+
+
+def test_add_steps_best_is_per_walker():
+    """add_steps may only update each walker's best from its OWN column
+    (regression: a global argmax handed every improved walker the same
+    position — cross-spectrum contamination in grouped fits)."""
+    w = mfit.walker_create(
+        function=line, data=([0.0, 1.0], [0.0, 2.0]),
+        params={"m": 2.0, "b": 0.0}, data_error=0.5, n_walkers=2, seed=0)
+    base = np.asarray(w.state.best_logprob)
+    pos = np.zeros((1, 2, 2))
+    pos[0, 0] = [5.0, 5.0]     # walker 0's entry
+    pos[0, 1] = [7.0, 7.0]     # walker 1's entry (the global best)
+    lps = np.asarray([[base[0] + 1.0, base[1] + 2.0]])
+    w.add_steps(pos, lps)
+    best_pos = np.asarray(w.state.best_position)
+    np.testing.assert_allclose(best_pos[0], [5.0, 5.0])
+    np.testing.assert_allclose(best_pos[1], [7.0, 7.0])
+    np.testing.assert_allclose(np.asarray(w.state.best_logprob), lps[0])
+    # A worse row must not regress anyone.
+    w.add_steps(np.ones((1, 2, 2)), lps - 100.0)
+    np.testing.assert_allclose(np.asarray(w.state.best_position)[0], [5.0, 5.0])
+
+
+def test_best_value_refresh_rejects_gradient_kernels():
+    """sampling_optimization='best-value' is the rwm diagonal-refresh
+    policy; combined with mala/hmc it reinstated the measured
+    absolute-scale limit cycle, so it must refuse at build time."""
+    from lisp_mcmc_tpu.kernel import FitConfig
+
+    with pytest.raises(ValueError, match="best-value"):
+        w = mfit.walker_create(
+            function=line, data=([0.0, 1.0], [0.0, 2.0]),
+            params={"m": 2.0, "b": 0.0}, data_error=0.5, n_walkers=8, seed=0,
+            config=FitConfig(kernel="mala", sampling_optimization="best-value"))
+        w.adaptive_steps(200, auto=None)
+
+
+def test_history_accounting_with_large_thin():
+    """thin > chunk_size clamps to one row per chunk on device; the host
+    steps<->rows conversions must use the same resolved thin
+    (regression: len() overcounted 5x at thin=1000/chunk=200)."""
+    from lisp_mcmc_tpu.kernel import FitConfig
+
+    w = mfit.walker_create(
+        function=line, data=([0.0, 1.0], [0.0, 2.0]),
+        params={"m": 2.0, "b": 0.0}, data_error=0.5, n_walkers=8, seed=0,
+        config=FitConfig(thin=1000))
+    w.adaptive_steps(1000, auto=None)   # 5 chunks -> 5 rows at thin=200
+    assert len(w) == 1000
