@@ -74,19 +74,38 @@ def main():
     print(f"reloaded fit best lp: {reloaded.most_likely_step()[0]:.3f}")
 
     # -- global two-dataset fit with shared params (test.lisp:52-78) -----
-    y2 = np.asarray(mfit.create_walker_data(table, 1, 8)[1])
+    # The reference shares linewidth/x0/mix between the two columns and
+    # gives the second dataset its OWN amplitude/background (scale2,
+    # bg02, bg12 via the lorder-mixed-bg2 wrapper, test.lisp:54-55).
+    def lorder_mixed_bg2(x_, p):
+        return lorder_mixed_bg(x_, {
+            "scale": p["scale2"], "linewidth": p["linewidth"],
+            "x0": p["x0"], "mix": p["mix"],
+            "bg0": p["bg02"], "bg1": p["bg12"],
+        })
+
+    x2, y2 = mfit.create_walker_data(table, 1, 5)
     global_fit = mfit.mcmc_fit(
-        function=[lorder_mixed_bg, lorder_mixed_bg],
-        data=[(x, y), (x, y2)],
-        params={"scale": 1e-5, "linewidth": 7, "x0": 2200, "mix": 0.9,
-                "bg0": 1e-7, "bg1": 1e-9},  # all shared across datasets
-        data_error=[1e-7, float(np.std(y2[:30]))],
-        n_steps=20000,
+        function=[lorder_mixed_bg, lorder_mixed_bg2],
+        data=[(x, y), (x2, y2)],
+        params={"scale": 1e-6, "linewidth": 100, "x0": 2700, "mix": 0.1,
+                "bg0": 1e-7, "bg1": 1e-10,                   # dataset 1 own
+                "scale2": 1e-8, "bg02": 1e-7, "bg12": 1e-10},  # dataset 2 own
+        data_error=[1e-7, 1e-7],
+        n_steps=30000,
         n_walkers=1024,
     )
-    print("global fit shared params:", {
-        k: round(float(v), 4) for k, v in global_fit.most_likely_params().items()
-    })
+    print(f"global fit after anneal: lp = {global_fit.most_likely_step()[0]:.1f}")
+    # The 9-parameter joint posterior anneals into the right basin but
+    # needs gradient polish to reach the optimum (the reference ran
+    # 100k steps here; multi-start Adam gets there in a fraction).
+    global_fit.optimize(400, rounds=4)
+    best = global_fit.most_likely_params()
+    print("global fit shared params:",
+          {k: round(float(best[k]), 4) for k in ("linewidth", "x0", "mix")})
+    # (The lorder lineshape is sign-symmetric in linewidth with a
+    # compensating mix flip, so mirror labelings are equivalent fits.)
+    print(f"global fit after polish: lp = {global_fit.most_likely_step()[0]:.1f}")
     print(f"figures in {out}")
 
 
