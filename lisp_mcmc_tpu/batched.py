@@ -155,6 +155,21 @@ class BatchedFit(Walker):
             return [np.ones(n) for _ in range(S)]
         if np.isscalar(data_error):
             return [np.full(n, float(data_error)) for _ in range(S)]
+        try:
+            arr = np.asarray(data_error, np.float64)
+        except (ValueError, TypeError):
+            arr = None  # ragged per-dataset list (mixed scalars/arrays)
+        if arr is not None and arr.ndim == 1 and arr.shape[0] == n:
+            # One shared per-POINT error array (the single-fit API's
+            # natural shape).  Without this branch its elements would be
+            # misread as per-DATASET scalars.  When n == S the two
+            # readings collide — demand an explicit list of S entries.
+            if n == S:
+                raise ValueError(
+                    f"data_error of length {n} is ambiguous with "
+                    f"{S} datasets of {n} points; pass a list of "
+                    f"per-dataset entries")
+            return [arr.copy() for _ in range(S)]
         out = []
         for e in data_error:
             e = np.asarray(e, np.float64)

@@ -56,7 +56,12 @@ _SEXP_OPS = {
 _MATH_NS = {
     "exp": np.exp, "log": np.log, "sqrt": np.sqrt, "sin": np.sin,
     "cos": np.cos, "tan": np.tan, "floor": np.floor, "ceil": np.ceil,
-    "abs": np.abs, "min": np.minimum, "max": np.maximum,
+    "abs": np.abs,
+    # Variadic reductions, NOT the raw binary ufuncs: np.minimum(a, b, c)
+    # treats c as the ufunc `out` argument — silently overwriting it on
+    # arrays, TypeError on scalars.
+    "min": lambda *a: functools.reduce(np.minimum, a),
+    "max": lambda *a: functools.reduce(np.maximum, a),
     "pi": np.pi, "e": np.e,
 }
 
@@ -99,6 +104,12 @@ def _eval_sexp(node, params: Mapping):
             return np.asarray(params[key], dtype=np.float64)
         try:
             return float(node)
+        except ValueError:
+            pass
+        try:
+            # Common Lisp double-float literals (1d-5, 4.4D-5) — the
+            # reference's own expressions use the d exponent marker.
+            return float(node.replace("d", "e").replace("D", "E"))
         except ValueError:
             raise ValueError(f"unknown atom {node!r}") from None
     return float(node)

@@ -137,7 +137,14 @@ def nv_data_std_dev(y) -> float:
     (``nv-data-std-dev``, nv-specific.lisp:36-41)."""
     y = np.asarray(y, dtype=np.float64)
     k = max(1, len(y) // 10)
-    return float(min(np.std(y[:k]), np.std(y[-k:])))
+    sd = float(min(np.std(y[:k]), np.std(y[-k:])))
+    if sd > 0.0:
+        return sd
+    # A constant decile (clipped/quantized baseline, noiseless synthetic
+    # data) would give sigma = 0 -> inf inv_sigma -> non-finite posterior
+    # and a silently frozen fit; floor at a tiny fraction of the signal.
+    contrast = float(y.max() - y.min())
+    return 1e-6 * contrast if contrast > 0.0 else 1e-12
 
 
 def guess_nv_params(y) -> dict:

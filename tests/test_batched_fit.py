@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 import lisp_mcmc_tpu as mfit
-from lisp_mcmc_tpu.models import exponential_decay
+from lisp_mcmc_tpu.models import exponential_decay, line
 
 
 def _decays(rng, taus, n=96):
@@ -68,3 +68,22 @@ def test_batched_fit_validations(rng):
     with pytest.raises(ValueError, match="same-length"):
         mfit.BatchedFit(exponential_decay, ragged,
                         {"scale": 1.0, "tau": 1.0, "bg0": 0.1})
+
+
+def test_batched_shared_per_point_error_array():
+    """One (n,)-length per-point error array is shared across datasets,
+    not misread as per-dataset scalars (regression)."""
+    x = np.linspace(0.0, 10.0, 40)
+    datasets = [(x, 2.0 * x + 1.0), (x, 3.0 * x - 1.0)]
+    err = np.full(40, 0.1)
+    fit = mfit.BatchedFit(line, datasets, {"m": 1.0, "b": 0.5},
+                          data_error=err, walkers_per_dataset=8, seed=0)
+    fit.adaptive_steps(600, auto=None)
+    best = fit.best_params_per_dataset()
+    assert best[0]["m"] == pytest.approx(2.0, abs=0.1)
+    assert best[1]["m"] == pytest.approx(3.0, abs=0.1)
+    # Ambiguous n == S case demands an explicit list.
+    two = [(x[:2], x[:2]), (x[:2], x[:2])]
+    with pytest.raises(ValueError, match="ambiguous"):
+        mfit.BatchedFit(line, two, {"m": 1.0, "b": 0.5},
+                        data_error=np.array([0.1, 0.2]), walkers_per_dataset=4)

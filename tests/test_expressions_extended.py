@@ -46,3 +46,30 @@ def test_adaptive_steps_l_matrix_seed(fitted):
     # the reference's l-matrix kwarg (mcmc-fitting.lisp:862)
     fitted.adaptive_steps(400, auto=None, l_matrix=0.01 * np.eye(2))
     assert np.isfinite(np.asarray(fitted.state.l_matrix)).all()
+
+
+def test_python_min_max_variadic_not_ufunc_out():
+    """min/max in the Python path must be variadic reductions: the raw
+    binary ufunc treats a third argument as `out`, silently overwriting
+    it on arrays and raising TypeError on scalars (regression)."""
+    from lisp_mcmc_tpu.expressions import eval_expression
+
+    assert eval_expression("min(:a, :b, :c)", {"a": 3.0, "b": 1.0, "c": 2.0}) == 1.0
+    assert eval_expression("max(:a, :b, :c)", {"a": 3.0, "b": 1.0, "c": 2.0}) == 3.0
+    # Array path: the third argument must survive untouched.
+    import numpy as np
+    from lisp_mcmc_tpu.expressions import _evaluate
+    c = np.array([5.0, 5.0])
+    out = _evaluate("min(:a, :b, :c)", {"a": np.array([3.0, 0.5]),
+                                        "b": np.array([1.0, 2.0]), "c": c})
+    np.testing.assert_allclose(out, [1.0, 0.5])
+    np.testing.assert_allclose(c, [5.0, 5.0])
+
+
+def test_sexp_accepts_lisp_double_float_literals():
+    """Expressions copied from the reference use the d exponent marker
+    (4.4d-5, nv-specific.lisp style)."""
+    from lisp_mcmc_tpu.expressions import eval_expression
+
+    assert eval_expression("(/ :a 4.4d-5)", {"a": 4.4e-5}) == 1.0
+    assert eval_expression("(* 1D2 2)", {}) == 200.0

@@ -122,3 +122,15 @@ def test_export_scan_grid(tmp_path):
     content = open(path).read()
     # blank line after each completed row (nv-specific.lisp:93-94)
     assert "0.0 0.0 1.0\n1.0 0.0 2.0\n\n" in content
+
+
+def test_nv_noise_estimate_floors_constant_deciles():
+    """A clipped/constant baseline decile must not produce sigma=0
+    (inf inv_sigma -> non-finite posterior, silently frozen fit)."""
+    from lisp_mcmc_tpu.nv import nv_data_std_dev
+
+    y = np.concatenate([np.full(20, 1.0), np.linspace(1.0, 0.5, 100),
+                        np.full(20, 0.5)])
+    sd = nv_data_std_dev(y)
+    assert sd > 0.0
+    assert nv_data_std_dev(np.zeros(50)) > 0.0
