@@ -96,6 +96,14 @@ class Dataset:
             sigma = np.full((n,), float(sigma))
         elif sigma.shape != (n,):
             raise ValueError(f"sigma shape {sigma.shape} != y shape {(n,)}")
+        if not np.all(sigma > 0):
+            # A zero/negative error (lab-export sentinel rows) would give
+            # inf inv_sigma and a -inf/NaN posterior that silently never
+            # accepts; fail loudly here, once, instead of per-caller.
+            bad = int(np.argmin(sigma))
+            raise ValueError(
+                f"data_error must be positive everywhere; got "
+                f"{sigma[bad]} at point {bad}")
         p = pad_to(n, pad_multiple)
         pad = [(0, p - n)] + [(0, 0)] * (x.ndim - 1)
         xp = np.pad(x, pad, mode="edge")

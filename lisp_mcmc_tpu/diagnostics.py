@@ -18,7 +18,7 @@ import numpy as np
 from .ops.reductions import effective_sample_size, split_rhat
 
 __all__ = ["metrics", "ess_per_param", "ess_from_history", "rhat_per_param",
-           "summary", "trace_profile"]
+           "rhat_from_history", "summary", "trace_profile"]
 
 
 def trace_profile(log_dir: str = "/tmp/lisp_mcmc_tpu_trace"):
@@ -59,10 +59,15 @@ def ess_from_history(positions, keys) -> dict[str, float]:
 def rhat_per_param(walker, take: int | None = None) -> dict[str, float]:
     """Split R-hat per parameter across the walker ensemble."""
     pos, _ = walker._history(take)
-    out = {}
-    for i, k in enumerate(walker.spec.keys):
-        out[k] = float(split_rhat(jnp.asarray(pos[:, :, i])))
-    return out
+    return rhat_from_history(pos, walker.spec.keys)
+
+
+def rhat_from_history(positions, keys) -> dict[str, float]:
+    """Split R-hat per parameter from an already-fetched (T, W, d) history."""
+    positions = jnp.asarray(positions)
+    return {
+        k: float(split_rhat(positions[:, :, i])) for i, k in enumerate(keys)
+    }
 
 
 def metrics(walker, take: int | None = None, elapsed_seconds: float | None = None) -> dict[str, Any]:
@@ -73,8 +78,12 @@ def metrics(walker, take: int | None = None, elapsed_seconds: float | None = Non
     provided.
     """
     lp_best, best = walker.most_likely_step()
-    _, lp = walker._history(take)
-    ess = ess_per_param(walker, take)
+    # One history fetch for everything below: _history concatenates the
+    # whole retained (T, W, d) chunk list per call, which for a long run
+    # is gigabytes of memory traffic — lp, ESS, and R-hat share it.
+    pos, lp = walker._history(take)
+    pos = jnp.asarray(pos)
+    ess = ess_from_history(pos, walker.spec.keys)
     out = {
         "age": walker.age,
         "n_walkers": walker.n_walkers,
@@ -88,7 +97,7 @@ def metrics(walker, take: int | None = None, elapsed_seconds: float | None = Non
         },
         "ess": ess,
         "min_ess": min(ess.values()) if ess else 0.0,
-        "rhat": rhat_per_param(walker, take),
+        "rhat": rhat_from_history(pos, walker.spec.keys),
     }
     if elapsed_seconds:
         out["chain_steps_per_sec"] = walker.age * walker.n_walkers / elapsed_seconds

@@ -77,7 +77,10 @@ def _split_rhat_host(pos: np.ndarray) -> np.ndarray:
     w = chain_vars.mean(axis=0)                       # (d,)
     b = n * chain_means.var(axis=0, ddof=1)
     var_plus = (n - 1) / n * w + b / n
-    return np.sqrt(var_plus / np.where(w > 0, w, 1.0))
+    # Frozen ensemble reads NOT-converged, matching the device split_rhat
+    # (ops/reductions.py) — see the relative-guard comment there.
+    ok = w > 1e-12 * var_plus
+    return np.where(ok, np.sqrt(var_plus / np.where(ok, w, 1.0)), np.inf)
 
 
 def _nonzero_scales(vec):
@@ -293,6 +296,22 @@ class Walker:
         )
         if fused is None:
             return None
+        # Equivalence probe at the CURRENT ensemble: the kernel evaluates
+        # priors with dataset=None, and a prior that silently branches on
+        # None (instead of raising) traces cleanly yet computes a
+        # different posterior than the XLA path — build-time shape
+        # tracing cannot see that.  One concrete comparison can.
+        ref = np.asarray(self._eval_batch(self.state.position), np.float64)
+        got = np.asarray(fused(self.state.position), np.float64)
+        finite = np.isfinite(ref) & np.isfinite(got)
+        scale = np.maximum(np.abs(ref[finite]), 1.0)
+        if finite.any() and np.max(np.abs(ref[finite] - got[finite]) / scale) > 1e-4:
+            raise ValueError(
+                "posterior_impl='pallas': the fused kernel disagrees with "
+                "the XLA posterior at the current ensemble (a prior that "
+                "reads its dataset argument cannot be fused — it is "
+                "evaluated with dataset=None in-kernel); use the default "
+                "XLA path for this fit")
         # Kernel protocol is (positions, data); the pallas call bakes its
         # data at build time, so the runtime argument is ignored.
         return lambda positions, data: fused(positions)

@@ -132,8 +132,14 @@ def read_file_data(path: str, delim=None, pages: bool = False):
     def to_columns(rows):
         if not rows:
             return []
-        ncols = min(len(r) for r in rows)
-        arr = np.asarray([r[:ncols] for r in rows], dtype=np.float64)
+        # Keep the file's MODAL row width and drop ragged rows: slicing
+        # everything to the minimum width silently deleted a whole
+        # column when one row was missing a trailing field.
+        from collections import Counter
+
+        ncols = Counter(len(r) for r in rows).most_common(1)[0][0]
+        kept = [r[:ncols] for r in rows if len(r) >= ncols]
+        arr = np.asarray(kept, dtype=np.float64)
         return [arr[:, j] for j in range(ncols)]
 
     if pages:

@@ -84,9 +84,11 @@ def sample_covariance(samples, weights=None):
     w = weights[..., None]
     count = jnp.maximum(jnp.sum(weights, axis=-1), 1.0)
     mean = jnp.sum(samples * w, axis=-2, keepdims=True) / count[..., None, None]
-    centered = (samples - mean) * w
-    # centered already carries one factor of w per row; for 0/1 masks w*w == w.
-    return jnp.einsum("...mi,...mj->...ij", centered, centered) / count[..., None, None]
+    centered = samples - mean
+    # One factor of w total (sum w (x-mu)(x-mu)^T / sum w): weighting BOTH
+    # einsum operands squared the weights — invisible for 0/1 masks,
+    # silently wrong for fractional weights.
+    return jnp.einsum("...mi,...mj->...ij", centered * w, centered) / count[..., None, None]
 
 
 def moments_covariance(m_sum, m_outer, m_count):

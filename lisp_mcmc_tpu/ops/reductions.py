@@ -78,4 +78,12 @@ def split_rhat(chains):
     w = jnp.mean(chain_vars)
     b = n * jnp.var(chain_means, ddof=1)
     var_plus = (n - 1) / n * w + b / n
-    return jnp.sqrt(var_plus / jnp.where(w > 0, w, 1.0))
+    # A frozen ensemble (every chain ~zero variance) must read as
+    # NOT-converged: w = 0 with any between-chain spread would otherwise
+    # return sqrt(b/n) in raw parameter units — tiny spreads pass the
+    # rhat < 1.01 auto-stop on a run that never moved.  The guard is
+    # RELATIVE (w vs var_plus) because identical-sample chains still
+    # carry ~1-ulp variance from mean rounding; w below 1e-12 of the
+    # pooled variance means rhat > 1e6 regardless, so inf is monotone.
+    ok = w > 1e-12 * var_plus
+    return jnp.where(ok, jnp.sqrt(var_plus / jnp.where(ok, w, 1.0)), jnp.inf)

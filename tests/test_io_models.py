@@ -139,3 +139,13 @@ def test_gaussian_peak():
 
     p = {"scale": 2.0, "x0": 1.0, "sigma": 0.5}
     assert float(gaussian_peak(jnp.asarray([1.0]), p)[0]) == pytest.approx(2.0)
+
+
+def test_ragged_row_drops_row_not_column(tmp_path):
+    """One short row must not silently delete a whole column for the
+    entire file (regression: min-width slicing)."""
+    p = tmp_path / "ragged.txt"
+    p.write_text("1\t2\t3\n4\t5\t6\n7\t8\n9\t10\t11\n")
+    cols = read_file_data(str(p))
+    assert len(cols) == 3
+    np.testing.assert_allclose(cols[2], [3.0, 6.0, 11.0])

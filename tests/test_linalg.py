@@ -118,3 +118,25 @@ def test_covariant_sample_distribution():
 
 def test_haario_scale():
     assert haario_scale(6) == pytest.approx(2.38**2 / 6)
+
+
+def test_sample_covariance_fractional_weights():
+    """General weights carry ONE factor of w (sum w outer / sum w);
+    weighting both einsum operands silently squared them (regression:
+    uniform w=0.5 halved the covariance)."""
+    rng = np.random.default_rng(0)
+    s = rng.standard_normal((200, 3))
+    full = np.asarray(sample_covariance(jnp.asarray(s)))
+    half = np.asarray(sample_covariance(jnp.asarray(s),
+                                        weights=jnp.full(200, 0.5)))
+    np.testing.assert_allclose(half, full, rtol=1e-12)
+
+
+def test_split_rhat_frozen_ensemble_not_converged():
+    """Chains constant in time (zero within-chain variance) must read as
+    NOT converged (inf), not sqrt(b/n) in raw parameter units."""
+    from lisp_mcmc_tpu.ops.reductions import split_rhat
+
+    rng = np.random.default_rng(1)
+    frozen = np.repeat(rng.standard_normal((1, 16)), 12, axis=0)
+    assert float(split_rhat(jnp.asarray(frozen))) == float("inf")

@@ -274,3 +274,14 @@ def test_expression_rejects_unknown():
         eval_expression("(frobnicate :a)", {"a": 1.0})
     with pytest.raises(KeyError):
         eval_expression(":missing + 1", {"a": 1.0})
+
+
+def test_dataset_rejects_nonpositive_sigma():
+    """A zero/negative per-point error would give inf inv_sigma and a
+    silently never-accepting posterior; Dataset.create fails loudly."""
+    from lisp_mcmc_tpu.data import Dataset
+
+    x = np.arange(10.0)
+    err = np.where(np.arange(10) == 3, 0.0, 0.1)
+    with pytest.raises(ValueError, match="positive"):
+        Dataset.create(x, x, err)
