@@ -49,8 +49,16 @@ def interruptible():
 
     def handler(signum, frame):
         if stop_requested():
-            previous(signum, frame) if callable(previous) else None
-            raise KeyboardInterrupt
+            # Second Ctrl-C: hand control back to the embedding app's
+            # handler (restoring it first keeps its contract — including
+            # an explicit SIG_IGN — rather than raising over it).
+            signal.signal(signal.SIGINT, previous)
+            if previous is signal.SIG_IGN:
+                return  # the embedding app deliberately ignores SIGINT
+            if callable(previous):
+                previous(signum, frame)
+                return
+            raise KeyboardInterrupt  # SIG_DFL / None
         request_stop()
 
     signal.signal(signal.SIGINT, handler)

@@ -47,7 +47,7 @@ def initialize_distributed(**kwargs) -> int:
     slices with no further code changes (GSPMD inserts them).  Idempotent:
     a second call is a no-op.
     """
-    if not jax._src.distributed.global_state.client:  # not yet initialized
+    if not jax.distributed.is_initialized():
         try:
             jax.distributed.initialize(**kwargs)
         except (ValueError, RuntimeError):

@@ -52,10 +52,24 @@ __all__ = [
 _LAST_FIGURE_PATH: list[str] = []
 
 
+def _subsample_walkers(data, max_lines: int = 64):
+    """At most ``max_lines`` walker columns per trace plot: matplotlib
+    builds one Line2D per column, and 65k of them hang the host for
+    minutes — the line COUNT, not the alpha, is what blows up."""
+    if data.shape[1] <= max_lines:
+        return data
+    idx = np.linspace(0, data.shape[1] - 1, max_lines).astype(int)
+    return data[:, idx]
+
+
 def _save(fig, filename):
     if filename:
         fig.savefig(filename, dpi=120, bbox_inches="tight")
         _LAST_FIGURE_PATH.append(filename)
+        # pyplot registers every figure globally; without closing, batch
+        # loops (heatmap scans, per-fit residual plots) leak one multi-MB
+        # figure per call and matplotlib warns at 20.
+        plt.close(fig)
     return fig
 
 
@@ -71,7 +85,11 @@ def _fit_envelope(walker, term_index: int, take: int | None, grid_points: int,
     pos, lp = walker._history(take)
     flat_pos = pos.reshape(-1, walker.ndim)
     flat_lp = lp.reshape(-1)
-    keep = max(1, int(len(flat_lp) * envelope_fraction))
+    # Cap the evaluated sample count: `take` counts STEPS, so T*W samples
+    # at ensemble scale (W=65536, take=1000 -> 43M vectors -> a ~300 GB
+    # (keep, grid) device array).  20k top samples bound the envelope to
+    # a few MB while keeping it far denser than the reference's.
+    keep = min(max(1, int(len(flat_lp) * envelope_fraction)), 20_000)
     top = np.argsort(flat_lp)[-keep:]
     top_params = jnp.asarray(flat_pos[top], walker.dtype)
 
@@ -149,6 +167,7 @@ def caterpillar_plots(walker, take: int | None = None, walker_index: int | None 
     for i, key in enumerate(walker.spec.keys):
         ax = axes[i // ncols][i % ncols]
         data = pos[:, :, i] if walker_index is None else pos[:, [walker_index], i]
+        data = _subsample_walkers(data)
         ax.plot(data, lw=0.4, alpha=min(1.0, 4.0 / data.shape[1]))
         ax.set_ylabel(key)
     for j in range(d, nrows * ncols):
@@ -161,7 +180,7 @@ def likelihood_plot(walker, take: int | None = None, filename: str | None = None
     """Log-likelihood trace (``walker-liklihood-plot``, 1313-1320)."""
     _, lp = walker._history(take)
     fig, ax = plt.subplots(figsize=(8, 4))
-    ax.plot(lp, lw=0.4, alpha=min(1.0, 4.0 / lp.shape[1]))
+    ax.plot(_subsample_walkers(lp), lw=0.4, alpha=min(1.0, 4.0 / lp.shape[1]))
     ax.plot(lp.max(axis=1), "k-", lw=1.2, label="max over walkers")
     ax.set_xlabel("retained step")
     ax.set_ylabel("log posterior")
@@ -222,6 +241,9 @@ def param_histogram(walker, key: str, take: int | None = None, bins: int | None 
 def plot_set_param(walker_set, key: str, filename: str | None = None):
     """One fitted parameter across a set of fits
     (``walker-set-plot-param``, mcmc-fitting.lisp:1035-1036)."""
+    from .params import _norm_key
+
+    key = _norm_key(key)
     values = [w.most_likely_params()[key] for w in walker_set]
     fig, ax = plt.subplots(figsize=(7, 4))
     ax.plot(values, "ko-", ms=4, lw=0.8)
