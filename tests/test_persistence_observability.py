@@ -229,3 +229,20 @@ def test_envelope_contains_best_fit(tmp_path):
     w = _fitted_walker()
     grid, y_best, y_lo, y_hi = plotting._fit_envelope(w, 0, 1000, 200, 0.66)
     assert (y_lo <= y_best + 1e-9).all() and (y_best <= y_hi + 1e-9).all()
+
+
+def test_plots_close_figures_and_subsample(tmp_path):
+    """Saved figures must not accumulate in pyplot's global registry
+    (batch loops leaked one figure per call), and trace plots cap the
+    Line2D count regardless of ensemble size."""
+    import matplotlib.pyplot as plt
+
+    from lisp_mcmc_tpu import plotting
+
+    w = _fitted_walker(n_steps=800)
+    before = len(plt.get_fignums())
+    for i in range(22):
+        plotting.likelihood_plot(w, filename=str(tmp_path / f"lp{i}.png"))
+    assert len(plt.get_fignums()) == before
+    data = np.zeros((10, 500))
+    assert plotting._subsample_walkers(data).shape[1] <= 64
