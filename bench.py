@@ -8,8 +8,14 @@ the same fit as a vmapped walker ensemble on the TPU and reports aggregate
 chain-steps/sec (walkers x steps / wall time), with the full adaptation
 path (annealing, acceptance-band L updates, pooled covariance) enabled.
 
+BASELINE.md's metric is the PAIR (chain-steps/sec, ESS/sec), so the JSON
+line carries both: a short thinned-history phase runs at the converged
+state, the autocorrelation reduction happens ON DEVICE, and only d
+scalars cross the host boundary.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "chain-steps/sec", "vs_baseline": N/15800}
+  {"metric": ..., "value": N, "unit": "chain-steps/sec",
+   "vs_baseline": N/15800, "ess_per_sec": N, "mfu_pct": N}
 """
 
 import argparse
@@ -89,36 +95,52 @@ def main():
             f"best={float(jnp.max(state.best_logprob)):.2f} dtype={walker.dtype}",
             file=sys.stderr,
         )
-        # ESS/sec (the second metric of BASELINE.md's pair): collect a
-        # short thinned history at the converged state, reduce ON DEVICE,
-        # and extrapolate — only d scalars cross the host boundary.
-        from lisp_mcmc_tpu.diagnostics import ess_from_history
 
-        walker.state = state
-        hist_runner = walker._runner(with_history=True)
-        walker.state, _ = hist_runner(walker.state, True, True, False, data)  # compile warmup
-        jax.block_until_ready(walker.state.position)
-        t1 = time.perf_counter()
-        hist_chunks = 10
-        device_hist = []
-        for _ in range(hist_chunks):
-            walker.state, h = hist_runner(walker.state, True, True, False, data)
-            device_hist.append(h["positions"])          # stays on device
-        positions = jnp.concatenate(device_hist, axis=0)
-        jax.block_until_ready(positions)
-        hist_elapsed = time.perf_counter() - t1
-        ess = ess_from_history(positions, walker.spec.keys)
+    # ESS/sec (the second metric of BASELINE.md's pair): collect a short
+    # thinned history at the converged state, reduce ON DEVICE, and
+    # extrapolate — only d scalars cross the host boundary.
+    from lisp_mcmc_tpu.diagnostics import ess_from_history
+
+    walker.state = state
+    hist_runner = walker._runner(with_history=True)
+    walker.state, _ = hist_runner(walker.state, True, True, False, data)  # compile warmup
+    jax.block_until_ready(walker.state.position)
+    t1 = time.perf_counter()
+    hist_chunks = 10
+    device_hist = []
+    for _ in range(hist_chunks):
+        walker.state, h = hist_runner(walker.state, True, True, False, data)
+        device_hist.append(h["positions"])          # stays on device
+    positions = jnp.concatenate(device_hist, axis=0)
+    jax.block_until_ready(positions)
+    hist_elapsed = time.perf_counter() - t1
+    ess = ess_from_history(positions, walker.spec.keys)
+    min_ess = min(ess.values())
+    ess_per_sec = min_ess / hist_elapsed
+    if args.verbose:
         print(
-            f"# min-ESS={min(ess.values()):.0f} over {hist_chunks * chunk} steps "
-            f"-> {min(ess.values()) / hist_elapsed:.0f} ESS/sec",
+            f"# min-ESS={min_ess:.0f} over {hist_chunks * chunk} steps "
+            f"-> {ess_per_sec:.0f} ESS/sec",
             file=sys.stderr,
         )
+
+    # MFU vs the roofline ceiling (DESIGN.md "Roofline" section): the
+    # workload is VPU/transcendental-bound, so "model flop utilization"
+    # here is achieved-likelihood-FLOPs / VPU peak.  N_pts * ~40 flop/pt
+    # per posterior eval, one eval per chain-step.
+    n_pts = x.shape[-1] if hasattr(x, "shape") else 334
+    flops_per_step = n_pts * 40.0
+    vpu_peak = 0.9e12  # v5e VPU f32 peak ~0.9 TFLOP/s (see DESIGN.md roofline)
+    mfu_pct = 100.0 * steps_per_sec * flops_per_step / vpu_peak
 
     print(json.dumps({
         "metric": "adaptive-MH chain-steps/sec, 6-param lorder-mixed-bg fit, 334-pt dataset",
         "value": round(steps_per_sec, 1),
         "unit": "chain-steps/sec",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+        "ess_per_sec": round(ess_per_sec, 1),
+        "min_ess": round(min_ess, 1),
+        "mfu_pct": round(mfu_pct, 2),
     }))
 
 

@@ -29,6 +29,14 @@ Quick start (the test.lisp journey):
 """
 
 from .batched import BatchedFit
+from .checkpoint import (
+    batched_load,
+    batched_save,
+    walker_load,
+    walker_save,
+    walker_set_load,
+    walker_set_save,
+)
 from .control import clear_stop, estop, request_stop, stop_requested
 from .data import Dataset, clean_data, clean_data_error, create_walker_data
 from .evidence import EvidenceResult, log_bayes_factor, log_evidence
@@ -128,6 +136,12 @@ __all__ = [
     "request_stop",
     "stop_requested",
     "temperature_schedule",
+    "batched_load",
+    "batched_save",
+    "walker_load",
+    "walker_save",
+    "walker_set_load",
+    "walker_set_save",
     "walker_create",
     "walker_with_expression",
 ]

@@ -119,15 +119,16 @@ def walker_save(walker, path: str, take: int | None = None) -> None:
     """
     import jax
 
-    if (getattr(walker, "_custom_log_post", None) is not None
-            or walker.aux is not None or walker.group_ids is not None):
+    if hasattr(walker, "walkers_per_dataset"):
         raise ValueError(
-            "walker_save: this walker has a custom log-posterior / per-walker "
-            "aux data / adaptation groups (e.g. BatchedNVFit), which this "
-            "checkpoint format does not capture — a reload would silently fit "
-            "the wrong posterior.  Recreate such fits from their pipeline "
-            "inputs instead."
+            "walker_save: this is a BatchedFit/BatchedNVFit — use "
+            "batched_save, which captures the stacked datasets and block "
+            "layout this format does not."
         )
+    if (getattr(walker, "_custom_log_post", None) is not None
+            or getattr(walker, "_custom_batched", None) is not None
+            or walker.aux is not None or walker.group_ids is not None):
+        return _custom_save(walker, path, take)
 
     arrays = _dump_state(walker, take)
     for i, t in enumerate(walker.terms):
@@ -155,6 +156,108 @@ def walker_save(walker, path: str, take: int | None = None) -> None:
     }
     arrays["header"] = np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
+
+
+def _custom_save(walker, path: str, take) -> None:
+    """Names+arrays escape hatch for custom-posterior walkers.
+
+    The reference's (commented) design saved function *names* and made the
+    user re-supply the callables at load, printing recommendations
+    otherwise (mcmc-fitting.lisp:996-997).  Same contract here: every
+    chain array, the param keys/config, group_ids, and — when they are
+    plain array pytrees — aux and posterior_data are stored; the
+    posterior callable itself is never serialized and must be passed to
+    :func:`walker_load` as ``log_posterior=`` (and/or
+    ``batched_log_posterior=``).
+    """
+    import jax
+
+    arrays = _dump_state(walker, take)
+    pdata = walker._custom_data
+    pdata_saved = False
+    if isinstance(pdata, dict) and all(
+            isinstance(k, str) and not hasattr(v, "__call__") for k, v in pdata.items()):
+        try:
+            for k, v in pdata.items():
+                arrays[f"pdata_{k}"] = np.asarray(v)
+            pdata_saved = True
+        except (TypeError, ValueError):
+            pdata_saved = False
+    aux_saved = False
+    if walker.aux is not None:
+        try:
+            arrays["aux"] = np.asarray(walker.aux)
+            aux_saved = True
+        except (TypeError, ValueError):
+            aux_saved = False
+    if walker.group_ids is not None:
+        arrays["group_ids"] = np.asarray(walker.group_ids)
+
+    header = {
+        "format_version": FORMAT_VERSION,
+        "kind": "custom",
+        "param_keys": list(walker.spec.keys),
+        "n_walkers": walker.n_walkers,
+        "n_groups": int(walker.n_groups),
+        "prng_impl": str(jax.random.key_impl(walker.state.key)),
+        "dtype": np.dtype(walker.dtype).name,
+        "config": dataclasses.asdict(walker.config),
+        "log_posterior": (_fn_name(walker._custom_log_post)
+                          if walker._custom_log_post is not None else None),
+        "batched_log_posterior": (_fn_name(walker._custom_batched)
+                                  if walker._custom_batched is not None else None),
+        "posterior_data_saved": pdata_saved,
+        "aux_saved": aux_saved,
+        "had_aux": walker.aux is not None,
+    }
+    arrays["header"] = np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def _custom_load(arrays, header, *, log_posterior=None, batched_log_posterior=None,
+                 posterior_data=None, aux=None, quiet=False):
+    """Load a ``kind=custom`` checkpoint; demands the callables back."""
+    from .fit import Walker
+    from .params import ParamSpec
+
+    need_batched = header.get("batched_log_posterior") is not None
+    have_fn = (log_posterior is not None
+               or (need_batched and batched_log_posterior is not None))
+    if not have_fn or (header.get("had_aux") and not header.get("aux_saved")
+                       and aux is None):
+        if not quiet:
+            print("*Recommendations*")
+            print(f"log_posterior: {header.get('log_posterior')}")
+            if need_batched:
+                print(f"batched_log_posterior: {header.get('batched_log_posterior')}")
+            if header.get("had_aux") and not header.get("aux_saved"):
+                print("aux: (not serializable; re-supply the aux pytree)")
+        return None
+
+    dtype = jnp.dtype(header["dtype"])
+    if posterior_data is None:
+        pdata = {k[len("pdata_"):]: jnp.asarray(v)
+                 for k, v in arrays.items() if k.startswith("pdata_")}
+        posterior_data = pdata if pdata else None
+    if aux is None and header.get("aux_saved"):
+        aux = jnp.asarray(arrays["aux"])
+
+    walker = Walker.__new__(Walker)
+    walker.terms = []
+    walker.spec = ParamSpec(tuple(header["param_keys"]))
+    walker.config = FitConfig(**header["config"])
+    walker.dtype = dtype
+    walker.n_walkers = header["n_walkers"]
+    walker._runner_cache = {}
+    walker._custom_log_post = log_posterior
+    walker._custom_data = posterior_data
+    walker._custom_batched = batched_log_posterior
+    walker.aux = aux
+    walker.group_ids = (jnp.asarray(arrays["group_ids"], jnp.int32)
+                        if "group_ids" in arrays else None)
+    walker.n_groups = int(header.get("n_groups", 1))
+    walker._log_post_one = walker._build_log_posterior()
+    return _restore_state(walker, arrays, header, dtype)
 
 
 def _dump_state(walker, take):
@@ -244,6 +347,11 @@ def batched_save(fit, path: str, take: int | None = None) -> None:
     header = {
         "format_version": FORMAT_VERSION,
         "kind": "batched",
+        # Concrete class so load restores the subclass surface
+        # (n_spectra, field_offsets, ...).  BatchedNVFit carries no state
+        # beyond BatchedFit — its __init__ only derives constructor
+        # arguments — so recording the name suffices.
+        "subclass": type(fit).__name__,
         "param_keys": list(fit.spec.keys),
         "n_walkers": fit.n_walkers,
         "n_datasets": int(fit.n_datasets),
@@ -312,6 +420,14 @@ def batched_load(path: str, *, function=None, log_prior=None, quiet: bool = Fals
         walkers_per_dataset=B, dtype=dtype,
         config=FitConfig(**header["config"]),
     )
+    if header.get("subclass") == "BatchedNVFit":
+        # Rebind to the saved subclass: BatchedNVFit holds no state of
+        # its own (only derived properties over BatchedFit state), so
+        # this restores n_spectra/field_offsets/best_params_per_spectrum
+        # without re-running its guess/noise/prior derivations.
+        from .nv import BatchedNVFit
+
+        fit.__class__ = BatchedNVFit
     return _restore_state(fit, arrays, header, dtype)
 
 
@@ -337,7 +453,8 @@ def _resolve(names, supplied, registry, kind, quiet):
 
 
 def walker_load(path: str, *, function=None, log_likelihood=None, log_prior=None,
-                quiet: bool = False):
+                log_posterior=None, batched_log_posterior=None,
+                posterior_data=None, aux=None, quiet: bool = False):
     """Load a fit (``walker-load``, mcmc-fitting.lisp:987-1001).
 
     Without callables, function/likelihood/prior names are resolved from
@@ -345,6 +462,11 @@ def walker_load(path: str, *, function=None, log_likelihood=None, log_prior=None
     None, exactly the reference's contract (997).  With callables (or
     fully-resolvable names), returns a reconstructed, resumable
     :class:`~lisp_mcmc_tpu.fit.Walker`.
+
+    Custom-posterior checkpoints (written by :func:`walker_save` for
+    walkers built with ``log_posterior=``/``batched_log_posterior=``)
+    demand those callables back here — arrays round-trip, closures never
+    serialize (the reference's own contract, mcmc-fitting.lisp:996-997).
     """
     from .fit import Walker, _Term
     from .models import MODEL_REGISTRY
@@ -355,6 +477,10 @@ def walker_load(path: str, *, function=None, log_likelihood=None, log_prior=None
     header = json.loads(bytes(arrays.pop("header")).decode())
     if header["format_version"] > FORMAT_VERSION:
         raise ValueError(f"checkpoint format {header['format_version']} is newer than supported")
+    if header.get("kind") == "custom":
+        return _custom_load(arrays, header, log_posterior=log_posterior,
+                            batched_log_posterior=batched_log_posterior,
+                            posterior_data=posterior_data, aux=aux, quiet=quiet)
 
     term_meta = header["terms"]
     fn_names = [t["function"] for t in term_meta]

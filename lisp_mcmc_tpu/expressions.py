@@ -10,8 +10,10 @@ Two input syntaxes are accepted:
   - Lisp-style s-expressions, e.g. ``"(/ (- :mu2 :mu1) 2 2.8)"`` — parsed
     and evaluated by a small safe interpreter (no ``eval``);
   - Python expressions with ``:name`` parameter references, e.g.
-    ``":linewidth / :x0"`` — evaluated with an empty builtins namespace and
-    a numpy-math whitelist.
+    ``":linewidth / :x0"`` — parsed with ``ast`` and interpreted by a
+    node-type-whitelist evaluator (no ``eval`` anywhere: arithmetic,
+    comparisons, numeric literals, and whitelisted math calls only; no
+    attribute access, so sandbox escapes are structurally impossible).
 
 Both evaluators are numpy-vectorized, so the same expression evaluates at
 a point (``walker_with_expression``) or over the whole retained posterior
@@ -21,7 +23,9 @@ capability the single-point reference verb could not offer).
 
 from __future__ import annotations
 
+import ast
 import functools
+import operator
 import re
 from typing import Mapping
 
@@ -135,15 +139,78 @@ def _evaluate(expr: str, params: Mapping):
         return f"_p_{key}"
 
     substituted = re.sub(r":([A-Za-z_][A-Za-z0-9_]*)", sub, expr)
+    return _eval_python_ast(substituted, expr, {**_MATH_NS, **names}, params)
+
+
+# AST-whitelist evaluator for the Python-expression path.  Not ``eval``:
+# only arithmetic nodes, numeric constants, whitelisted names, and calls
+# to whitelisted math functions are interpreted — in particular there is
+# no Attribute node, so ``"().__class__.__bases__..."``-style sandbox
+# escapes are structurally impossible (they raise ValueError at parse
+# walk time).
+_BINOPS = {
+    ast.Add: operator.add, ast.Sub: operator.sub, ast.Mult: operator.mul,
+    ast.Div: operator.truediv, ast.Pow: operator.pow, ast.Mod: operator.mod,
+    ast.FloorDiv: operator.floordiv,
+}
+_UNARYOPS = {ast.USub: operator.neg, ast.UAdd: operator.pos}
+_CMPOPS = {
+    ast.Lt: operator.lt, ast.LtE: operator.le, ast.Gt: operator.gt,
+    ast.GtE: operator.ge, ast.Eq: operator.eq, ast.NotEq: operator.ne,
+}
+
+
+def _eval_python_ast(source: str, original: str, namespace: Mapping,
+                     params: Mapping):
     try:
-        return eval(substituted, {"__builtins__": {}}, {**_MATH_NS, **names})
-    except NameError as e:
-        # The sandbox (empty builtins + math whitelist) denies everything
-        # else; surface it as the same error family as unknown :params
-        # rather than a raw NameError from inside eval.
+        tree = ast.parse(source, mode="eval")
+    except SyntaxError as e:
+        raise ValueError(f"invalid expression {original!r}: {e}") from None
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant):
+            if isinstance(node.value, (int, float)) and not isinstance(node.value, bool):
+                return node.value
+            raise ValueError(
+                f"non-numeric constant {node.value!r} in expression {original!r}")
+        if isinstance(node, ast.Name):
+            if node.id in namespace:
+                return namespace[node.id]
+            raise ValueError(
+                f"unknown name {node.id!r} in expression {original!r}; "
+                f"available: math functions and :{', :'.join(params)}")
+        if isinstance(node, ast.BinOp) and type(node.op) in _BINOPS:
+            return _BINOPS[type(node.op)](ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp) and type(node.op) in _UNARYOPS:
+            return _UNARYOPS[type(node.op)](ev(node.operand))
+        if isinstance(node, ast.Compare):
+            left = ev(node.left)
+            out = True
+            for op, comp in zip(node.ops, node.comparators):
+                if type(op) not in _CMPOPS:
+                    raise ValueError(
+                        f"unsupported comparison in expression {original!r}")
+                right = ev(comp)
+                out = np.logical_and(out, _CMPOPS[type(op)](left, right))
+                left = right
+            return out
+        if isinstance(node, ast.Call):
+            if node.keywords or not isinstance(node.func, ast.Name):
+                raise ValueError(
+                    f"unsupported call in expression {original!r}")
+            fn = node.func.id
+            if fn not in _MATH_NS or not callable(_MATH_NS[fn]):
+                raise ValueError(
+                    f"unknown function {fn!r} in expression {original!r}")
+            return _MATH_NS[fn](*[ev(a) for a in node.args])
         raise ValueError(
-            f"unknown name in expression {expr!r}: {e}; available: "
-            f"math functions and :{', :'.join(params)}") from None
+            f"unsupported syntax ({type(node).__name__}) in expression "
+            f"{original!r}: only arithmetic, comparisons, numeric literals, "
+            f"and whitelisted math functions are allowed")
+
+    return ev(tree)
 
 
 def eval_expression(expr: str, params: Mapping) -> float:

@@ -525,12 +525,37 @@ class Walker:
             del self._lpmean_trace[:-max_trace_chunks]
             del self._accept_log[:-max_trace_chunks]
         if collect_history and "positions" in out:
-            self._hist_positions.append(np.asarray(out["positions"]))
-            self._hist_logprobs.append(np.asarray(out["logprobs"]))
+            pos, lp = out["positions"], out["logprobs"]
+            idx = self._history_walker_idx()
+            if idx is not None:
+                # Slice ON DEVICE before the (slow-tunnel) host transfer:
+                # full (K, 131072, d) chunks are ~9.4 GB/run at defaults;
+                # the subsample keeps diagnostics sound and the host alive.
+                pos = jnp.take(pos, idx, axis=1)
+                lp = jnp.take(lp, idx, axis=1)
+            self._hist_positions.append(np.asarray(pos))
+            self._hist_logprobs.append(np.asarray(lp))
             self._trim_history()
+
+    def _history_walker_idx(self):
+        """Evenly-spaced walker subsample for host history retention, or
+        None when every walker's trace is kept (W <= history_walkers)."""
+        k = self.config.history_walkers
+        if not k or self.n_walkers <= k:
+            return None
+        cached = getattr(self, "_hist_idx", None)
+        if cached is None or cached[0] != (k, self.n_walkers):
+            self._hist_idx = ((k, self.n_walkers), jnp.asarray(
+                np.linspace(0, self.n_walkers - 1, k).astype(np.int32)))
+        return self._hist_idx[1]
 
     def _trim_history(self):
         max_entries = max(1, self.config.max_history // self._thin)
+        # Byte cap (VERDICT r1 #4): positions + logprobs per retained row.
+        first = self._hist_positions[0]
+        row_bytes = (first.shape[1] * (first.shape[2] + 1)) * first.dtype.itemsize
+        max_entries = min(max_entries,
+                          max(1, self.config.max_history_bytes // row_bytes))
         total = sum(h.shape[0] for h in self._hist_positions)
         while total > max_entries and len(self._hist_positions) > 1:
             total -= self._hist_positions.pop(0).shape[0]

@@ -70,6 +70,15 @@ class FitConfig:
     accept_high: float = 0.4
     scale_down: float = 0.1              # L rescale factors (940-942)
     scale_up: float = 1.9
+    refresh_damping: float = 1.0         # rwm band-adaptation damping gamma in (0, 1]:
+                                         # in-band refresh becomes the blend
+                                         # (1-g)*L + g*candidate and out-of-band rescales
+                                         # become scale^g.  1.0 = the reference's exact
+                                         # hard jump/rescale (929-942), bit-identical.
+                                         # At high d the hard policy limit-cycles
+                                         # (~6-chunk acceptance cycles 0.3->0.96->0.3
+                                         # measured at d=48, DESIGN.md "high-d rwm");
+                                         # g~0.25 settles monotonically into the band.
     temp_period: int = 5000              # annealing divisor (878)
     settle_multiplier: int = 10          # steps-to-settle = 10*max(50, d) (873)
     settle_floor: int = 50
@@ -96,9 +105,10 @@ class FitConfig:
     rescue: bool = True                  # gradient kernels: independence-MH regeneration
                                          # round at chunk boundaries (teleports walkers
                                          # frozen by huge gradients back into the typical
-                                         # set; exact pi-invariant move, ~1 extra
-                                         # posterior eval per chunk).  No-op for rwm/
-                                         # stretch, whose stragglers mix on their own.
+                                         # set; adaptive move with O(1/W) invariance
+                                         # error — see independence_rescue docstring —
+                                         # ~1 extra posterior eval per chunk).  No-op for
+                                         # rwm/stretch, whose stragglers mix on their own.
     tempering_rungs: int = 0             # >1 = parallel tempering SEARCH phase (new):
                                          # walker blocks hold a geometric T-ladder from 1
                                          # to `temperature`, replica swaps at chunk ends;
@@ -111,6 +121,17 @@ class FitConfig:
                                          # one chunk a large sample; the reference's
                                          # single-chain cadence is 2*settle, 929-931)
     max_history: int = 30000             # max-walker-length analogue (923-927)
+    max_history_bytes: int = 2 << 30     # hard byte cap on host history (positions +
+                                         # logprobs); rows are dropped oldest-first once
+                                         # either cap is hit.  2 GiB default keeps the
+                                         # README quickstart at W=131072 host-safe.
+    history_walkers: int = 4096          # keep host history for at most this many
+                                         # walkers (evenly-spaced subsample, sliced ON
+                                         # DEVICE before transfer); 0 = all walkers.
+                                         # Full state stays on device regardless —
+                                         # best-step, covariance, and acceptance use
+                                         # every walker; only the retained trace is
+                                         # subsampled.
     thin: int = 10                       # history thinning (device->host traffic)
     greedy: bool = False                 # pretend-take-step accept rule (1117)
     pooled_covariance: bool = True       # pool moments across the full ensemble
@@ -801,11 +822,14 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             refresh_ok = jnp.broadcast_to(jnp.asarray(allow_refresh), (n_groups,))
             in_band = (accept_low < group_accept) & (group_accept < accept_high)
             too_low = group_accept <= accept_low
-            l_refreshed = jnp.where(refresh_ok[:, None, None], candidate, state.l_matrix)
+            g = float(config.refresh_damping)  # same damping as the
+            # covariance branch; g = 1 is the reference's hard policy.
+            blended = (1.0 - g) * state.l_matrix + g * candidate if g < 1.0 else candidate
+            l_refreshed = jnp.where(refresh_ok[:, None, None], blended, state.l_matrix)
             l_rescaled = jnp.where(
                 too_low[:, None, None],
-                config.scale_down * state.l_matrix,
-                config.scale_up * state.l_matrix,
+                (config.scale_down ** g) * state.l_matrix,
+                (config.scale_up ** g) * state.l_matrix,
             )
             new_l = jnp.where(in_band[:, None, None], l_refreshed, l_rescaled)
             return dataclasses.replace(state, l_matrix=new_l.astype(dtype))
@@ -897,11 +921,18 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             )
             return dataclasses.replace(state, l_matrix=new_l.astype(dtype))
 
-        l_refreshed = jnp.where(refresh_ok[:, None, None], candidate, state.l_matrix)
+        # Damped update (refresh_damping < 1): blend toward the candidate
+        # instead of jumping, and soften the rescale factors to scale^g.
+        # The blend of two lower-triangular factors stays lower-triangular
+        # with nonnegative diagonal, so it is a valid proposal L.  g = 1
+        # reproduces the reference's hard policy exactly (929-942).
+        g = float(config.refresh_damping)
+        blended = (1.0 - g) * state.l_matrix + g * candidate if g < 1.0 else candidate
+        l_refreshed = jnp.where(refresh_ok[:, None, None], blended, state.l_matrix)
         l_rescaled = jnp.where(
             too_low[:, None, None],
-            config.scale_down * state.l_matrix,
-            config.scale_up * state.l_matrix,
+            (config.scale_down ** g) * state.l_matrix,
+            (config.scale_up ** g) * state.l_matrix,
         )
         new_l = jnp.where(in_band[:, None, None], l_refreshed, l_rescaled)
 
@@ -946,9 +977,17 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         the t the same point costs only ~((nu+d)/2) log|z_x|^2 and the
         posterior term dominates, so stragglers teleport with
         probability ~1 while healthy walkers move only when the
-        posterior ratio allows.  A valid pi-invariant kernel composed
-        with the main one — one extra posterior evaluation per walker
-        per chunk (~0.5% cost).
+        posterior ratio allows.  One extra posterior evaluation per
+        walker per chunk (~0.5% cost).
+
+        Invariance caveat: q is refit from the CURRENT ensemble
+        (including the walkers being updated), so like the L adaptation
+        this is adaptive MCMC with an O(1/W) invariance error — not an
+        exactly pi-invariant move — and it keeps running during
+        sampling phases.  At ensemble scale (W >= 1e4) the error is far
+        below Monte-Carlo noise; for a strictly non-adaptive sampling
+        phase set ``config.rescue = False`` (or fit at smaller W with
+        rwm/stretch, which never engage the rescue).
         """
         dtype = state.position.dtype
         key, k_z, k_v, k_u = jax.random.split(state.key, 4)

@@ -27,7 +27,23 @@ import numpy as np
 
 import matplotlib
 
-matplotlib.use("Agg")
+
+def _is_headless() -> bool:
+    """Force Agg only when there is genuinely no display to draw on.
+
+    The reference's primary workflow pops live gnuplot qt windows
+    (mcmc-fitting.lisp:1259-1268); a user with a working GUI backend must
+    keep it.  Respect an explicit MPLBACKEND, and any X/Wayland display.
+    """
+    if os.environ.get("MPLBACKEND"):
+        return False
+    if os.name == "nt" or os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY"):
+        return False
+    return True
+
+
+if _is_headless():
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 import jax  # noqa: E402
@@ -62,14 +78,22 @@ def _subsample_walkers(data, max_lines: int = 64):
     return data[:, idx]
 
 
-def _save(fig, filename):
+def _save(fig, filename, close: bool | None = None):
+    """Save (when ``filename`` given) and maybe close.
+
+    ``close=None`` closes only on non-interactive backends: pyplot
+    registers every figure globally, so batch loops (heatmap scans,
+    per-fit residual plots) leak one multi-MB figure per call — but on a
+    GUI backend the caller may still want to ``fig.show()`` or annotate,
+    so the figure is returned open there.
+    """
     if filename:
         fig.savefig(filename, dpi=120, bbox_inches="tight")
         _LAST_FIGURE_PATH.append(filename)
-        # pyplot registers every figure globally; without closing, batch
-        # loops (heatmap scans, per-fit residual plots) leak one multi-MB
-        # figure per call and matplotlib warns at 20.
-        plt.close(fig)
+        if close is None:
+            close = not matplotlib.is_interactive() and matplotlib.get_backend().lower() == "agg"
+        if close:
+            plt.close(fig)
     return fig
 
 
@@ -180,7 +204,10 @@ def likelihood_plot(walker, take: int | None = None, filename: str | None = None
     """Log-likelihood trace (``walker-liklihood-plot``, 1313-1320)."""
     _, lp = walker._history(take)
     fig, ax = plt.subplots(figsize=(8, 4))
-    ax.plot(_subsample_walkers(lp), lw=0.4, alpha=min(1.0, 4.0 / lp.shape[1]))
+    lp_drawn = _subsample_walkers(lp)
+    # alpha from the DRAWN column count, not the full W — with large
+    # ensembles the 64 subsampled traces would get alpha 4/W and vanish.
+    ax.plot(lp_drawn, lw=0.4, alpha=min(1.0, 4.0 / lp_drawn.shape[1]))
     ax.plot(lp.max(axis=1), "k-", lw=1.2, label="max over walkers")
     ax.set_xlabel("retained step")
     ax.set_ylabel("log posterior")

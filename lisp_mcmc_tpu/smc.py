@@ -65,8 +65,15 @@ def seed_prior_box(walker, bounds, seed: int = 0):
     pos = lows + (highs - lows) * jax.random.uniform(
         k0, (walker.n_walkers, walker.ndim), dtype)
     walker.state = dataclasses.replace(walker.state, position=pos)
+    lp = walker._eval_batch(pos)
+    # The ensemble is replaced wholesale: retained history/accept traces
+    # and best-step now describe a DIFFERENT (pre-SMC) run, and leaving
+    # them would make steps()/diagnostics silently report stale samples
+    # as posterior draws.  Drop them and restart best tracking at the
+    # fresh draws.
+    walker.reset()
     walker.state = dataclasses.replace(
-        walker.state, logprob=walker._eval_batch(pos))
+        walker.state, logprob=lp, best_position=pos, best_logprob=lp)
     return lows, highs
 
 

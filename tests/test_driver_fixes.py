@@ -169,7 +169,7 @@ def test_checkpoint_refuses_batched_fits(tmp_path):
             + rng.normal(0, 4e-7, 128)
         spectra.append((x, y))
     fit = nv.BatchedNVFit(spectra, walkers_per_spectrum=8, seed=0)
-    with pytest.raises(ValueError, match="custom log-posterior"):
+    with pytest.raises(ValueError, match="use batched_save"):
         walker_save(fit, str(tmp_path / "batched.npz"))
 
 

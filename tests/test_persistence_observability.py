@@ -90,8 +90,8 @@ def test_batched_save_load_roundtrip_and_resume(tmp_path):
     np.testing.assert_allclose(lp_re, np.asarray(loaded.state.logprob), atol=1e-9)
     assert loaded.acceptance() > 0.0
 
-    # walker_save still refuses grouped fits (wrong format)...
-    with pytest.raises(ValueError, match="checkpoint format does not capture"):
+    # walker_save still refuses batched fits (wrong format)...
+    with pytest.raises(ValueError, match="use batched_save"):
         walker_save(fit, str(tmp_path / "nope.npz"))
     # ...and batched_load rejects a plain-walker file.
     plain = _fitted_walker(n_steps=600)
