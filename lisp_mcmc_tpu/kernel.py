@@ -1197,20 +1197,45 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
         if mala or hmc:
             carry0 = _mala_carry(state, zero_counts, force_cold, data)
-            (state, accept_counts, _, _), (trace, positions, logprobs) = lax.scan(
-                one_step_hist, carry0, jnp.arange(chunk)
-            )
         else:
-            (state, accept_counts, _), (trace, positions, logprobs) = lax.scan(
-                one_step_hist, (state, zero_counts, force_cold), jnp.arange(chunk)
-            )
+            carry0 = (state, zero_counts, force_cold)
+
+        if chunk % thin == 0 and thin > 1:
+            # Nested scans: inner `thin` steps emit no ys, the outer scan
+            # records only the block-final position — the stacked device
+            # history is (chunk/thin, W, d) instead of (chunk, W, d)
+            # before slicing (629 MB -> 63 MB at the W=131072 defaults).
+            def inner(carry, i):
+                return step(carry, i, data)
+
+            def outer(carry, k):
+                carry, trace_blk = lax.scan(
+                    inner, carry, k * thin + jnp.arange(thin))
+                st = carry[0]
+                return carry, (trace_blk, st.position, st.logprob)
+
+            carry, (trace_blocks, positions, logprobs) = lax.scan(
+                outer, carry0, jnp.arange(chunk // thin))
+            # (K, thin, ...) -> (chunk, ...) per-step traces for _finish.
+            trace = jax.tree_util.tree_map(
+                lambda a: a.reshape((chunk,) + a.shape[2:]), trace_blocks)
+        else:
+            carry, (trace, all_positions, all_logprobs) = lax.scan(
+                one_step_hist, carry0, jnp.arange(chunk))
+            positions = all_positions[thin - 1 :: thin]
+            logprobs = all_logprobs[thin - 1 :: thin]
+
+        if mala or hmc:
+            state, accept_counts = carry[0], carry[1]
+        else:
+            state, accept_counts, _ = carry
         state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
         if tempered:
             state = replica_swap(state, force_cold)
         if rescue_on:
             state = independence_rescue(state, force_cold, data)
-        out["positions"] = positions[thin - 1 :: thin]      # (chunk//thin, W, d)
-        out["logprobs"] = logprobs[thin - 1 :: thin]        # (chunk//thin, W)
+        out["positions"] = positions                        # (chunk//thin, W, d)
+        out["logprobs"] = logprobs                          # (chunk//thin, W)
         return state, out
 
     return run, run_with_history
