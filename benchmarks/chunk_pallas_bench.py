@@ -57,6 +57,8 @@ def main():
     jax.block_until_ready(state.position)
     xla_t = (time.perf_counter() - t0) / CH
     xla_sps = chunk * W / xla_t
+    print(json.dumps({"xla_chunk_seconds": xla_t,
+                      "xla_steps_per_sec": xla_sps}), flush=True)
 
     # ---------------- Pallas whole-chunk
     for bw in (int(os.environ.get("BENCH_PALLAS_BLOCK", 1024)),):
@@ -77,7 +79,12 @@ def main():
 
         pos, lp = st.position, st.logprob
         best, blp = st.best_position, st.best_logprob
-        for i in range(3):
+        t0 = time.perf_counter()
+        pos, lp, best, blp, acc = pstep(pos, lp, best, blp, 0)
+        jax.block_until_ready(pos)
+        print(json.dumps({"pallas_compile_plus_first_chunk_s":
+                          time.perf_counter() - t0}), flush=True)
+        for i in range(1, 3):
             pos, lp, best, blp, acc = pstep(pos, lp, best, blp, i)
         jax.block_until_ready(pos)
         t0 = time.perf_counter()

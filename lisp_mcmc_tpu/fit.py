@@ -326,11 +326,25 @@ class Walker:
             cfg = dataclasses.replace(cfg, n_steps=0)
         cache_key = (cfg, with_history)
         if cache_key not in self._runner_cache:
+            pallas_chunk = None
+            if (cfg.posterior_impl == "pallas_chunk" and not with_history
+                    and getattr(self, "mesh", None) is None
+                    and self.aux is None and self.group_ids is None
+                    and self._custom_log_post is None):
+                # Whole-chunk-in-VMEM stepping (ops/chunk_pallas.py);
+                # history chunks and out-of-scope fits keep the XLA scan.
+                from .ops.chunk_pallas import build_chunk_pallas
+
+                pallas_chunk = build_chunk_pallas(
+                    self.terms, self.spec, cfg, self.n_walkers, self.dtype,
+                    interpret=(jax.default_backend() != "tpu"),
+                )
             run, run_hist = build_chunk_runner(
                 self._log_post_one, self.spec.ndim, cfg,
                 group_ids=self.group_ids, n_groups=self.n_groups, aux=self.aux,
                 batched_posterior=self._batched_posterior(),
                 takes_data=True,
+                pallas_chunk=pallas_chunk,
             )
             fn = run_hist if with_history else run
             jitted = jax.jit(fn)

@@ -137,7 +137,11 @@ class FitConfig:
     pooled_covariance: bool = True       # pool moments across the full ensemble
     covariance_source: str = "moves"     # "moves" (reference policy) | "ensemble"
     jitter: float = 0.0                  # optional diagonal jitter on refresh
-    posterior_impl: str = "auto"         # "auto" | "xla" | "pallas" (fused kernel)
+    posterior_impl: str = "auto"         # "auto" | "xla" | "pallas" (fused posterior
+                                         # kernel) | "pallas_chunk" (whole-chunk-in-VMEM
+                                         # stepping, ops/chunk_pallas.py; non-history
+                                         # chunks of ungrouped f32 rwm fits only —
+                                         # everything else falls back to the XLA scan)
     prng_impl: str = "rbg"               # "rbg" (TPU-fast) | "threefry2x32"
 
     def steps_to_settle(self, ndim: int) -> int:
@@ -240,7 +244,8 @@ def resolve_accept_band(config: FitConfig) -> tuple[float, float]:
 def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                        group_ids=None, n_groups: int = 1, aux=None,
                        batched_posterior: Callable | None = None,
-                       takes_data: bool = False):
+                       takes_data: bool = False,
+                       pallas_chunk: Callable | None = None):
     """Compile the chunked MH scan for a given posterior.
 
     ``log_posterior`` evaluates ONE walker and is vmapped here over the
@@ -1152,6 +1157,40 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         915-917) without recompiling.  ``data`` is the posterior's dataset
         pytree when built with ``takes_data`` (a scan constant, not carried).
         """
+        if pallas_chunk is not None:
+            # Whole-chunk-in-VMEM stepping (ops/chunk_pallas.py): the
+            # inner 200 steps run as one Pallas kernel; adaptation and
+            # the trace contract stay on the XLA side via _finish.  The
+            # in-kernel RNG stream replaces jax.random for the chunk; a
+            # fresh per-chunk seed derives from the carried key so chunks
+            # stay independent and resumable.
+            dtype = state.position.dtype
+            key, sub = jax.random.split(state.key)
+            seed = jax.random.key_data(sub).reshape(-1)[-1].astype(jnp.int32)
+            res = pallas_chunk(
+                state.position, state.logprob, state.best_position,
+                state.best_logprob, state.l_matrix[0],
+                state.anneal_step, jnp.asarray(force_cold, jnp.float32), seed)
+            state = WalkerState(
+                key=key,
+                position=res["position"].astype(dtype),
+                logprob=res["logprob"].astype(dtype),
+                best_position=res["best_position"].astype(dtype),
+                best_logprob=res["best_logprob"].astype(dtype),
+                l_matrix=state.l_matrix,
+                m_sum=state.m_sum + res["m_sum"][None].astype(dtype),
+                m_outer=state.m_outer + res["m_outer"][None].astype(dtype),
+                m_count=state.m_count + res["m_count"][None].astype(dtype),
+                age=state.age + chunk,
+                anneal_step=state.anneal_step + chunk,
+            )
+            trace = {
+                "logprob_max": res["trace_max"].astype(dtype),
+                "logprob_mean": res["trace_mean"].astype(dtype),
+                "logprob_min": res["trace_min"].astype(dtype),
+            }
+            return _finish(state, res["accept_counts"].astype(dtype),
+                           trace, adapt_enabled, allow_refresh)
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
         if mala or hmc:
             grad_step = one_step_mala if mala else one_step_hmc

