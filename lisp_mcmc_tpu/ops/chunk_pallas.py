@@ -20,9 +20,16 @@ XLA path (in-kernel hardware PRNG vs jax.random), so the kernel is
 validated statistically (Gaussian-target moments, acceptance behavior),
 not bitwise — see tests/test_chunk_pallas.py.
 
-Benchmark verdict: see DESIGN.md "Roofline" — measured against the XLA
-scan on TPU v5e at the flagship bench shape, with the carry-traffic
-share of chunk time quantified there.
+Benchmark verdict: see DESIGN.md "Roofline" — measured 1.107x the XLA
+scan on TPU v5e at the flagship bench shape (340.5M vs 307.6M
+steps/sec), with the carry-traffic share of chunk time quantified there.
+
+Operational caveat (axon remote-TPU environments): after a process that
+executed this kernel exits, the remote executor has been observed to
+wedge for the NEXT client (all execution hangs until a remote watchdog
+recovers, ~30-60 min).  On such tunneled backends prefer the default
+XLA path for long unattended runs; this kernel is the measured-evidence
+artifact and an opt-in for locally-attached TPUs.
 """
 
 from __future__ import annotations
