@@ -38,7 +38,12 @@ from .priors import log_prior_flat
 __all__ = ["walker_save", "walker_load", "walker_set_save", "walker_set_load",
            "batched_save", "batched_load"]
 
-FORMAT_VERSION = 1
+# v2 (round 2): FitConfig gained refresh_damping / max_history_bytes /
+# history_walkers, headers gained kind="custom" and "subclass" — older
+# readers must refuse cleanly at the version gate rather than crash in
+# FitConfig(**config).  v1 files still load (missing keys take dataclass
+# defaults).
+FORMAT_VERSION = 2
 
 LIKELIHOOD_REGISTRY: dict[str, Callable] = {
     "log_likelihood_normal": log_likelihood_normal,
@@ -178,11 +183,14 @@ def _custom_save(walker, path: str, take) -> None:
     if isinstance(pdata, dict) and all(
             isinstance(k, str) and not hasattr(v, "__call__") for k, v in pdata.items()):
         try:
-            for k, v in pdata.items():
-                arrays[f"pdata_{k}"] = np.asarray(v)
-            pdata_saved = True
+            staged = {f"pdata_{k}": np.asarray(v) for k, v in pdata.items()}
         except (TypeError, ValueError):
-            pdata_saved = False
+            staged = None  # stage-then-commit: no partial pdata_* entries
+        if staged is not None and all(a.dtype != object for a in staged.values()):
+            # object arrays would savez as pickles that np.load refuses
+            # to read back (allow_pickle=False) — an unloadable "success"
+            arrays.update(staged)
+            pdata_saved = True
     aux_saved = False
     if walker.aux is not None:
         try:
@@ -207,6 +215,7 @@ def _custom_save(walker, path: str, take) -> None:
         "batched_log_posterior": (_fn_name(walker._custom_batched)
                                   if walker._custom_batched is not None else None),
         "posterior_data_saved": pdata_saved,
+        "had_posterior_data": pdata is not None,
         "aux_saved": aux_saved,
         "had_aux": walker.aux is not None,
     }
@@ -223,14 +232,21 @@ def _custom_load(arrays, header, *, log_posterior=None, batched_log_posterior=No
     need_batched = header.get("batched_log_posterior") is not None
     have_fn = (log_posterior is not None
                or (need_batched and batched_log_posterior is not None))
-    if not have_fn or (header.get("had_aux") and not header.get("aux_saved")
-                       and aux is None):
+    need_pdata = (header.get("had_posterior_data")
+                  and not header.get("posterior_data_saved")
+                  and posterior_data is None)
+    need_aux = (header.get("had_aux") and not header.get("aux_saved")
+                and aux is None)
+    if not have_fn or need_aux or need_pdata:
         if not quiet:
             print("*Recommendations*")
             print(f"log_posterior: {header.get('log_posterior')}")
             if need_batched:
                 print(f"batched_log_posterior: {header.get('batched_log_posterior')}")
-            if header.get("had_aux") and not header.get("aux_saved"):
+            if need_pdata:
+                print("posterior_data: (not serializable; re-supply the "
+                      "dataset pytree)")
+            if need_aux:
                 print("aux: (not serializable; re-supply the aux pytree)")
         return None
 

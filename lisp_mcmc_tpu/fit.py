@@ -287,6 +287,24 @@ class Walker:
             # GSPMD-partitionable along the chain axis without a shard_map
             # wrapper (the per-chip batch is the un-sharded case anyway).
             return None
+        fused = self._fused_posterior_probed("pallas")
+        if fused is None:
+            return None
+        # Kernel protocol is (positions, data); the pallas call bakes its
+        # data at build time, so the runtime argument is ignored.
+        return lambda positions, data: fused(positions)
+
+    def _fused_posterior_probed(self, impl_name: str):
+        """Build the fused Pallas posterior, verified against XLA.
+
+        Equivalence probe at the CURRENT ensemble: the kernel evaluates
+        priors with dataset=None, and a prior that silently branches on
+        None (instead of raising) traces cleanly yet computes a
+        different posterior than the XLA path — build-time shape
+        tracing cannot see that.  One concrete comparison can.  Returns
+        None when the terms are not fusable; raises when the fused
+        kernel disagrees (the user explicitly opted in, so fail loudly).
+        """
         on_tpu = jax.default_backend() == "tpu"
         from .ops.loglik_pallas import build_fused_posterior
 
@@ -296,25 +314,18 @@ class Walker:
         )
         if fused is None:
             return None
-        # Equivalence probe at the CURRENT ensemble: the kernel evaluates
-        # priors with dataset=None, and a prior that silently branches on
-        # None (instead of raising) traces cleanly yet computes a
-        # different posterior than the XLA path — build-time shape
-        # tracing cannot see that.  One concrete comparison can.
         ref = np.asarray(self._eval_batch(self.state.position), np.float64)
         got = np.asarray(fused(self.state.position), np.float64)
         finite = np.isfinite(ref) & np.isfinite(got)
         scale = np.maximum(np.abs(ref[finite]), 1.0)
         if finite.any() and np.max(np.abs(ref[finite] - got[finite]) / scale) > 1e-4:
             raise ValueError(
-                "posterior_impl='pallas': the fused kernel disagrees with "
-                "the XLA posterior at the current ensemble (a prior that "
-                "reads its dataset argument cannot be fused — it is "
+                f"posterior_impl='{impl_name}': the fused kernel disagrees "
+                "with the XLA posterior at the current ensemble (a prior "
+                "that reads its dataset argument cannot be fused — it is "
                 "evaluated with dataset=None in-kernel); use the default "
                 "XLA path for this fit")
-        # Kernel protocol is (positions, data); the pallas call bakes its
-        # data at build time, so the runtime argument is ignored.
-        return lambda positions, data: fused(positions)
+        return fused
 
     def _runner(self, greedy: bool = False, with_history: bool = True):
         cfg = dataclasses.replace(self.config, greedy=greedy)
@@ -330,15 +341,22 @@ class Walker:
             if (cfg.posterior_impl == "pallas_chunk" and not with_history
                     and getattr(self, "mesh", None) is None
                     and self.aux is None and self.group_ids is None
-                    and self._custom_log_post is None):
+                    and self._custom_log_post is None
+                    and self._custom_batched is None):
                 # Whole-chunk-in-VMEM stepping (ops/chunk_pallas.py);
                 # history chunks and out-of-scope fits keep the XLA scan.
-                from .ops.chunk_pallas import build_chunk_pallas
+                # The chunk kernel shares the fused kernel's eval
+                # semantics (priors see dataset=None), so gate it on the
+                # same numeric equivalence probe: a dataset-reading
+                # prior fails loudly here, never silently in-kernel.
+                if self._fused_posterior_probed("pallas_chunk") is not None:
+                    from .ops.chunk_pallas import build_chunk_pallas
 
-                pallas_chunk = build_chunk_pallas(
-                    self.terms, self.spec, cfg, self.n_walkers, self.dtype,
-                    interpret=(jax.default_backend() != "tpu"),
-                )
+                    pallas_chunk = build_chunk_pallas(
+                        self.terms, self.spec, cfg, self.n_walkers,
+                        self.dtype,
+                        interpret=(jax.default_backend() != "tpu"),
+                    )
             run, run_hist = build_chunk_runner(
                 self._log_post_one, self.spec.ndim, cfg,
                 group_ids=self.group_ids, n_groups=self.n_groups, aux=self.aux,

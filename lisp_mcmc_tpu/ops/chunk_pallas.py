@@ -42,7 +42,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .loglik_pallas import _likelihood_kind, fusable_terms, pick_block
+from .loglik_pallas import (_CUTOFF_DEFAULT, fusable_terms, pick_block,
+                            prepare_fused_terms)
 
 __all__ = ["build_chunk_pallas"]
 
@@ -59,20 +60,24 @@ def _uniform_from_bits(bits):
     return jnp.maximum(f, jnp.float32(1.1754944e-38))
 
 
-def _hash_bits(shape, counter_base):
-    """Counter-based uint32 stream (double murmur3-finalizer rounds).
+def _hash_bits(shape, key1, key2):
+    """Keyed counter hash (two murmur3-finalizer rounds), uint32.
 
     Portable across TPU Mosaic and interpret mode (pure integer jnp ops;
-    the hardware PRNG primitive has no CPU lowering).  Each element's
-    counter is ``counter_base + linear index``; distinct (seed, pid,
-    step, draw) tuples get disjoint counter ranges from the caller.
-    Two finalizer rounds with distinct constants decorrelate adjacent
-    counters far below anything an MCMC accept test can see
-    (tests/test_chunk_pallas.py checks moments + lag correlation).
+    the hardware PRNG primitive has no CPU lowering).  The element's
+    linear index is XOR-mixed with two key words — (seed, block) and
+    (step, draw) material — BETWEEN the finalizer rounds, so distinct
+    keys select independent permutations of the index space.  Additive
+    counter offsets (the previous scheme) shift ranges within one shared
+    2^32 counter space, where consecutive chunk seeds and large blocks
+    can overlap and replay bits; keyed permutations cannot overlap
+    without a full hash collision.  Two rounds with distinct constants
+    decorrelate adjacent indices far below anything an MCMC accept test
+    can see (tests/test_chunk_pallas.py checks moments + lag correlation).
     """
     r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    x = counter_base + r * jnp.uint32(shape[1]) + c
+    x = r * jnp.uint32(shape[1]) + c
 
     def fin(x, m1, m2):
         x = x ^ (x >> 16)
@@ -82,8 +87,8 @@ def _hash_bits(shape, counter_base):
         x = x ^ (x >> 16)
         return x
 
-    x = fin(x, 0x7FEB352D, 0x846CA68B)
-    x = fin(x, 0x85EBCA6B, 0xC2B2AE35)
+    x = fin(x ^ key1, 0x7FEB352D, 0x846CA68B)
+    x = fin(x ^ key2, 0x85EBCA6B, 0xC2B2AE35)
     return x
 
 
@@ -118,30 +123,7 @@ def build_chunk_pallas(terms, spec, config, n_walkers: int, dtype,
     # loglik_pallas for the layout rationale).  The scalar normalization
     # constant is EXCLUDED inside the kernel (it cancels in the MH
     # ratio); the wrapper shifts logprob in and out.
-    term_inputs: list[tuple] = []
-    term_meta: list[tuple] = []
-    scalar_const = jnp.asarray(0.0, jnp.float32)
-    for t in terms:
-        kind = _likelihood_kind(t.likelihood)
-        ds = t.dataset
-        x = jnp.asarray(ds.x, jnp.float32)[:, None]
-        y = jnp.asarray(ds.y, jnp.float32)[:, None]
-        if kind == "normal":
-            inv_sigma = jnp.asarray(ds.inv_sigma, jnp.float32)[:, None]
-            scalar_const = scalar_const + jnp.asarray(ds.log_norm_const, jnp.float32)
-            term_inputs.append((x, y, inv_sigma))
-            term_meta.append((kind, t.fn, t.prior, 3))
-        elif kind == "normal_cutoff":
-            inv_sigma = jnp.asarray(ds.inv_sigma, jnp.float32)[:, None]
-            c_pt = jnp.asarray(ds.log_norm_const_point, jnp.float32)[:, None]
-            mask = jnp.asarray(ds.mask, jnp.float32)[:, None]
-            term_inputs.append((x, y, inv_sigma, c_pt, mask))
-            term_meta.append((kind, t.fn, t.prior, 5))
-        else:  # poisson
-            mask = jnp.asarray(ds.mask, jnp.float32)[:, None]
-            scalar_const = scalar_const - jnp.sum(jnp.asarray(ds.log_fact_y, jnp.float32))
-            term_inputs.append((x, y, mask))
-            term_meta.append((kind, t.fn, t.prior, 3))
+    term_inputs, term_meta, scalar_const = prepare_fused_terms(terms, jnp.float32)
     flat_inputs = [a for tup in term_inputs for a in tup]
     n_data_refs = len(flat_inputs)
 
@@ -168,7 +150,7 @@ def build_chunk_pallas(terms, spec, config, n_walkers: int, dtype,
                 total += -0.5 * jnp.sum(z * z, axis=0, keepdims=True)
             elif kind == "normal_cutoff":
                 z = (y - mu) * block[2][:]
-                lp = jnp.maximum(-5000.0, block[3][:] - 0.5 * z * z)
+                lp = jnp.maximum(_CUTOFF_DEFAULT, block[3][:] - 0.5 * z * z)
                 total += jnp.sum(lp * block[4][:], axis=0, keepdims=True)
             else:
                 mask = block[2][:]
@@ -188,10 +170,11 @@ def build_chunk_pallas(terms, spec, config, n_walkers: int, dtype,
          msum_out, mouter_out, trace_out) = refs[n_data_refs:]
 
         pid = pl.program_id(0)
-        # Per-(seed, block) counter stream; each step consumes 4 draw
-        # slots of d*wb counters (z1, z2, accept-u, spare).
-        stream0 = (seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-                   + jnp.uint32(pid).astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+        # Per-(seed, block) hash key word; the per-(step, draw) word is
+        # built inside the loop.  Small (seed, pid) deltas cannot alias:
+        # a collision needs dseed*K1 == -dpid*K2 (mod 2^32) with odd K.
+        key_sp = (seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                  + jnp.uint32(pid).astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
 
         pos0 = pos_ref[:]                                 # (d, WB)
         lp0 = lp_ref[:]                                   # (1, WB)
@@ -213,11 +196,12 @@ def build_chunk_pallas(terms, spec, config, n_walkers: int, dtype,
             sched = jnp.where(step_i < ts, sched, jnp.float32(1.0))
             temp = jnp.where(tover > 0, tover, sched)
 
-            # --- proposal: z ~ N(0,1) via Box-Muller on hashed counters
-            draw = stream0 + i.astype(jnp.uint32) * jnp.uint32(4 * d * wb)
-            u1 = _uniform_from_bits(_hash_bits((d, wb), draw))
-            u2 = _uniform_from_bits(
-                _hash_bits((d, wb), draw + jnp.uint32(d * wb)))
+            # --- proposal: z ~ N(0,1) via Box-Muller on keyed hashes;
+            # draw slots 0/1/2 = z1, z2, accept-u
+            key_step = i.astype(jnp.uint32) * jnp.uint32(0xB5297A4D)
+            u1 = _uniform_from_bits(_hash_bits((d, wb), key_sp, key_step))
+            u2 = _uniform_from_bits(_hash_bits(
+                (d, wb), key_sp, key_step + jnp.uint32(0x68E31DA4)))
             z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
                 jnp.float32(2.0 * math.pi) * u2)          # (d, WB)
 
@@ -237,8 +221,8 @@ def build_chunk_pallas(terms, spec, config, n_walkers: int, dtype,
             lp_prop = jnp.where(jnp.isfinite(lp_prop), lp_prop, neg_floor)
 
             # --- MH accept (mcmc-fitting.lisp:1091-1092)
-            log_u = jnp.log(_uniform_from_bits(
-                _hash_bits((1, wb), draw + jnp.uint32(2 * d * wb))))
+            log_u = jnp.log(_uniform_from_bits(_hash_bits(
+                (1, wb), key_sp, key_step + jnp.uint32(2 * 0x68E31DA4))))
             if greedy:
                 accept = lp_prop > lp
             else:
@@ -357,5 +341,26 @@ def build_chunk_pallas(terms, spec, config, n_walkers: int, dtype,
             "trace_mean": jnp.mean(trace_b[:, :, 1], axis=0) + scalar_const,
             "trace_min": jnp.min(trace_b[:, :, 2], axis=0) + scalar_const,
         }
+
+    # Smoke-trace so raising priors/models fall back at build time, not
+    # at first step inside the driver (mirrors build_fused_posterior).
+    # Priors that silently BRANCH on dataset=None trace cleanly; fit.py
+    # additionally gates this kernel on the fused-posterior numeric
+    # equivalence probe to catch those.
+    try:
+        f32, i32 = jnp.float32, jnp.int32
+        jax.eval_shape(
+            run_chunk,
+            jax.ShapeDtypeStruct((n_walkers, d), f32),
+            jax.ShapeDtypeStruct((n_walkers,), f32),
+            jax.ShapeDtypeStruct((n_walkers, d), f32),
+            jax.ShapeDtypeStruct((n_walkers,), f32),
+            jax.ShapeDtypeStruct((d, d), f32),
+            jax.ShapeDtypeStruct((), i32),
+            jax.ShapeDtypeStruct((), f32),
+            jax.ShapeDtypeStruct((), i32),
+        )
+    except Exception:
+        return None
 
     return run_chunk

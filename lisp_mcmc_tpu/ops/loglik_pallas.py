@@ -35,7 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["build_fused_posterior", "fusable_terms", "pick_block"]
+__all__ = ["build_fused_posterior", "fusable_terms", "pick_block",
+           "prepare_fused_terms"]
 
 _CUTOFF_DEFAULT = -5000.0
 
@@ -79,6 +80,41 @@ def pick_block(n_walkers: int, preferred: int = 2048) -> int | None:
     return None
 
 
+def prepare_fused_terms(terms, dtype):
+    """Host-side precomputation shared by the fused kernels.
+
+    Returns ``(term_inputs, term_meta, scalar_const)``: per-term tuples
+    of ``(NP, 1)``-column device arrays, ``(kind, fn, prior, n_inputs)``
+    metadata, and the walker-independent normalization constant (added
+    OUTSIDE the kernels — it cancels in MH ratios).
+    """
+    term_inputs: list[tuple] = []
+    term_meta: list[tuple] = []
+    scalar_const = jnp.asarray(0.0, dtype)
+    for t in terms:
+        kind = _likelihood_kind(t.likelihood)
+        ds = t.dataset
+        x = jnp.asarray(ds.x, dtype)[:, None]
+        y = jnp.asarray(ds.y, dtype)[:, None]
+        if kind == "normal":
+            inv_sigma = jnp.asarray(ds.inv_sigma, dtype)[:, None]
+            scalar_const = scalar_const + jnp.asarray(ds.log_norm_const, dtype)
+            term_inputs.append((x, y, inv_sigma))
+            term_meta.append((kind, t.fn, t.prior, 3))
+        elif kind == "normal_cutoff":
+            inv_sigma = jnp.asarray(ds.inv_sigma, dtype)[:, None]
+            c_pt = jnp.asarray(ds.log_norm_const_point, dtype)[:, None]
+            mask = jnp.asarray(ds.mask, dtype)[:, None]
+            term_inputs.append((x, y, inv_sigma, c_pt, mask))
+            term_meta.append((kind, t.fn, t.prior, 5))
+        else:  # poisson
+            mask = jnp.asarray(ds.mask, dtype)[:, None]
+            scalar_const = scalar_const - jnp.sum(jnp.asarray(ds.log_fact_y, dtype))
+            term_inputs.append((x, y, mask))
+            term_meta.append((kind, t.fn, t.prior, 3))
+    return term_inputs, term_meta, scalar_const
+
+
 def build_fused_posterior(
     terms,
     spec,
@@ -108,31 +144,7 @@ def build_fused_posterior(
 
     # Host-side precomputation of walker-independent dataset terms, laid
     # out as (NP, 1) columns so they broadcast across the walker lanes.
-    term_inputs: list[tuple] = []
-    term_meta: list[tuple] = []    # (kind, fn, prior, n_inputs)
-    scalar_const = jnp.asarray(0.0, dtype)
-    for t in terms:
-        kind = _likelihood_kind(t.likelihood)
-        ds = t.dataset
-        x = jnp.asarray(ds.x, dtype)[:, None]
-        y = jnp.asarray(ds.y, dtype)[:, None]
-        if kind == "normal":
-            inv_sigma = jnp.asarray(ds.inv_sigma, dtype)[:, None]
-            scalar_const = scalar_const + jnp.asarray(ds.log_norm_const, dtype)
-            term_inputs.append((x, y, inv_sigma))
-            term_meta.append((kind, t.fn, t.prior, 3))
-        elif kind == "normal_cutoff":
-            inv_sigma = jnp.asarray(ds.inv_sigma, dtype)[:, None]
-            c_pt = jnp.asarray(ds.log_norm_const_point, dtype)[:, None]
-            mask = jnp.asarray(ds.mask, dtype)[:, None]
-            term_inputs.append((x, y, inv_sigma, c_pt, mask))
-            term_meta.append((kind, t.fn, t.prior, 5))
-        else:  # poisson
-            mask = jnp.asarray(ds.mask, dtype)[:, None]
-            scalar_const = scalar_const - jnp.sum(jnp.asarray(ds.log_fact_y, dtype))
-            term_inputs.append((x, y, mask))
-            term_meta.append((kind, t.fn, t.prior, 3))
-
+    term_inputs, term_meta, scalar_const = prepare_fused_terms(terms, dtype)
     flat_inputs = [a for tup in term_inputs for a in tup]
 
     def kernel(pos_ref, *refs):

@@ -53,7 +53,21 @@ def _coordinator_configured(kwargs) -> bool:
         "COORDINATOR_ADDRESS",
         "MEGASCALE_COORDINATOR_ADDRESS",
     )
-    return any(os.environ.get(k) for k in env_keys)
+    if any(os.environ.get(k) for k in env_keys):
+        return True
+    # Auto-detected cluster launchers: jax.distributed.initialize() with
+    # no kwargs resolves the coordinator from these — a failure there is
+    # still a configured-multi-host failure, not a local run.
+    for k in ("SLURM_JOB_NUM_NODES", "SLURM_STEP_NUM_TASKS",
+              "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+        v = os.environ.get(k)
+        if v is not None:
+            try:
+                if int(v) > 1:
+                    return True
+            except ValueError:
+                pass
+    return False
 
 
 def initialize_distributed(**kwargs) -> int:

@@ -91,7 +91,14 @@ def _save(fig, filename, close: bool | None = None):
         fig.savefig(filename, dpi=120, bbox_inches="tight")
         _LAST_FIGURE_PATH.append(filename)
         if close is None:
-            close = not matplotlib.is_interactive() and matplotlib.get_backend().lower() == "agg"
+            # Close on ANY non-interactive backend (agg, pdf, svg, ...):
+            # batch loops leak a registered figure per call otherwise.
+            # GUI backends keep the figure open for fig.show()/annotation.
+            backend = matplotlib.get_backend().lower()
+            interactive_backends = ("qt", "gtk", "tk", "wx", "macosx", "nbagg",
+                                    "webagg", "ipympl")
+            close = not matplotlib.is_interactive() and not any(
+                b in backend for b in interactive_backends)
         if close:
             plt.close(fig)
     return fig

@@ -43,24 +43,36 @@ def _line_walker(n_walkers=256, seed=0, config=None):
 
 
 def test_hash_rng_quality(f32):
-    """Counter-hash uniforms: moments + adjacent-counter decorrelation."""
-    bits = np.asarray(_hash_bits((64, 4096), jnp.uint32(12345)))
+    """Keyed-hash uniforms: moments + adjacent-index decorrelation."""
+    zero = jnp.uint32(0)
+    bits = np.asarray(_hash_bits((64, 4096), jnp.uint32(12345), zero))
     u = np.asarray(_uniform_from_bits(jnp.asarray(bits))).ravel()
     assert abs(u.mean() - 0.5) < 2e-3
     assert abs(u.std() - 1.0 / np.sqrt(12.0)) < 2e-3
-    # lag-1 correlation along the counter direction
+    # lag-1 correlation along the index direction
     r = np.corrcoef(u[:-1], u[1:])[0, 1]
     assert abs(r) < 5e-3, r
-    # distinct salts give independent streams
+    # distinct key1 words give independent permutations
     u2 = np.asarray(_uniform_from_bits(
-        _hash_bits((64, 4096), jnp.uint32(99999)))).ravel()
+        _hash_bits((64, 4096), jnp.uint32(99999), zero))).ravel()
     assert abs(np.corrcoef(u, u2)[0, 1]) < 5e-3
+    # ... and so do distinct key2 (step/draw) words under the same key1
+    u3 = np.asarray(_uniform_from_bits(
+        _hash_bits((64, 4096), jnp.uint32(12345), jnp.uint32(0x68E31DA4)))).ravel()
+    assert abs(np.corrcoef(u, u3)[0, 1]) < 5e-3
+    # adjacent key1 words (consecutive chunk seeds) must not replay bits:
+    # the old additive-counter scheme failed exactly this
+    u4 = np.asarray(_uniform_from_bits(
+        _hash_bits((64, 4096), jnp.uint32(12346), zero))).ravel()
+    assert abs(np.corrcoef(u, u4)[0, 1]) < 5e-3
+    assert not np.any(u[:1000] == u4[:1000])
 
 
 def test_box_muller_normals(f32):
     """The kernel's normal draw (Box-Muller over hash uniforms)."""
-    u1 = _uniform_from_bits(_hash_bits((128, 2048), jnp.uint32(7)))
-    u2 = _uniform_from_bits(_hash_bits((128, 2048), jnp.uint32(7 + 128 * 2048)))
+    key = jnp.uint32(7)
+    u1 = _uniform_from_bits(_hash_bits((128, 2048), key, jnp.uint32(0)))
+    u2 = _uniform_from_bits(_hash_bits((128, 2048), key, jnp.uint32(0x68E31DA4)))
     z = np.asarray(jnp.sqrt(-2.0 * jnp.log(u1))
                    * jnp.cos(2.0 * np.pi * u2)).ravel()
     assert abs(z.mean()) < 5e-3
