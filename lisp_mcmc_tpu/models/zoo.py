@@ -39,6 +39,10 @@ __all__ = [
     "double_lorentzian_bg",
     "exponential_decay",
     "sinusoid",
+    "damped_sinusoid",
+    "stretched_exponential",
+    "power_law",
+    "pseudo_voigt",
 ]
 
 
@@ -185,3 +189,61 @@ def exponential_decay(x, p):
 def sinusoid(x, p):
     """``scale * sin(2 pi freq x + phase) + bg0``."""
     return p["scale"] * jnp.sin(2.0 * jnp.pi * p["freq"] * x + p["phase"]) + p.get("bg0", 0.0)
+
+
+@register_model
+def damped_sinusoid(x, p):
+    """Exponentially damped oscillation (Rabi/ringdown traces):
+    ``scale * exp(-x / tau) * sin(2 pi freq x + phase) + bg0``."""
+    osc = jnp.sin(2.0 * jnp.pi * p["freq"] * x + p["phase"])
+    return p["scale"] * jnp.exp(-x / p["tau"]) * osc + p.get("bg0", 0.0)
+
+
+@register_model
+def stretched_exponential(x, p):
+    """Kohlrausch stretched exponential (relaxation/decoherence):
+    ``scale * exp(-(x / tau)^beta) + bg0``.
+
+    The power is computed as ``exp(beta * log(x/tau))`` with the x<=0
+    lanes masked to 0 before the log, so a padded/negative grid point
+    yields ``scale + bg0`` (the x->0+ limit) instead of NaN poisoning
+    the whole-ensemble accept comparison (the kernel treats any
+    non-finite posterior as -inf, which would freeze the walker).
+    """
+    r = x / p["tau"]
+    safe = jnp.where(r > 0.0, r, 1.0)
+    pow_ = jnp.exp(p["beta"] * jnp.log(safe))
+    decay = jnp.exp(-jnp.where(r > 0.0, pow_, 0.0))
+    return p["scale"] * decay + p.get("bg0", 0.0)
+
+
+@register_model
+def power_law(x, p):
+    """``scale * x^exponent + bg0`` (x <= 0 lanes evaluate to bg0;
+    same masked-log construction as :func:`stretched_exponential`)."""
+    safe = jnp.where(x > 0.0, x, 1.0)
+    pow_ = jnp.exp(p["exponent"] * jnp.log(safe))
+    return p["scale"] * jnp.where(x > 0.0, pow_, 0.0) + p.get("bg0", 0.0)
+
+
+@register_model
+def pseudo_voigt(x, p):
+    """Pseudo-Voigt peak + linear background (XRD/Raman/PL standard):
+
+        y = scale * [eta * L(u) + (1 - eta) * G(u)] + bg0 + bg1 x
+        L(u) = w^2 / (u^2 + w^2),   G(u) = exp(-ln2 u^2 / w^2),  u = x - x0
+
+    Both components share the half-width ``w`` (the usual single-width
+    pseudo-Voigt approximation, Thompson-Cox-Hastings style); ``eta``
+    interpolates Gaussian (0) -> Lorentzian (1) and is typically given a
+    [0, 1] bounds prior.  One reciprocal + one exp per point.
+    """
+    u = x - p["x0"]
+    w = p["w"]
+    w2 = w * w
+    u2 = u * u
+    lor = w2 / (u2 + w2)
+    gau = jnp.exp(-jnp.log(2.0) * u2 / w2)
+    eta = p["eta"]
+    peak = p["scale"] * (eta * lor + (1.0 - eta) * gau)
+    return peak + p.get("bg0", 0.0) + p.get("bg1", 0.0) * x

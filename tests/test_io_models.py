@@ -6,6 +6,7 @@ import pytest
 from lisp_mcmc_tpu.io import file_specs, get_filename, read_file_data
 from lisp_mcmc_tpu.models import (
     MODEL_REGISTRY,
+    damped_sinusoid,
     double_lorentzian_bg,
     example_line,
     gaussian_peak,
@@ -13,6 +14,9 @@ from lisp_mcmc_tpu.models import (
     line,
     lorder_mixed_bg,
     polynomial,
+    power_law,
+    pseudo_voigt,
+    stretched_exponential,
 )
 
 REFERENCE_DATA = "/root/reference/example-data.xls"
@@ -86,6 +90,10 @@ def test_registry_complete():
         "double_lorentzian_bg",
         "exponential_decay",
         "sinusoid",
+        "damped_sinusoid",
+        "stretched_exponential",
+        "power_law",
+        "pseudo_voigt",
     ):
         assert name in MODEL_REGISTRY
         assert get_model(name) is MODEL_REGISTRY[name]
@@ -139,6 +147,89 @@ def test_gaussian_peak():
 
     p = {"scale": 2.0, "x0": 1.0, "sigma": 0.5}
     assert float(gaussian_peak(jnp.asarray([1.0]), p)[0]) == pytest.approx(2.0)
+
+
+def test_damped_sinusoid_envelope():
+    import jax.numpy as jnp
+
+    p = {"scale": 3.0, "tau": 2.0, "freq": 0.25, "phase": np.pi / 2, "bg0": 1.0}
+    x = np.array([0.0, 2.0, 4.0])
+    y = np.asarray(damped_sinusoid(jnp.asarray(x), p))
+    expected = 3.0 * np.exp(-x / 2.0) * np.sin(2 * np.pi * 0.25 * x + np.pi / 2) + 1.0
+    np.testing.assert_allclose(y, expected, rtol=1e-6)
+
+
+def test_stretched_exponential_matches_and_handles_nonpositive():
+    import jax.numpy as jnp
+
+    p = {"scale": 2.0, "tau": 3.0, "beta": 0.7, "bg0": 0.5}
+    x = np.array([0.5, 3.0, 9.0])
+    y = np.asarray(stretched_exponential(jnp.asarray(x), p))
+    np.testing.assert_allclose(
+        y, 2.0 * np.exp(-((x / 3.0) ** 0.7)) + 0.5, rtol=1e-6)
+    # x<=0 lanes (padding) take the x->0+ limit, never NaN
+    y0 = np.asarray(stretched_exponential(jnp.asarray([-1.0, 0.0]), p))
+    np.testing.assert_allclose(y0, [2.5, 2.5], rtol=1e-6)
+    assert np.all(np.isfinite(y0))
+
+
+def test_power_law_matches_and_handles_nonpositive():
+    import jax.numpy as jnp
+
+    p = {"scale": 2.0, "exponent": -1.5, "bg0": 0.25}
+    x = np.array([1.0, 4.0])
+    y = np.asarray(power_law(jnp.asarray(x), p))
+    np.testing.assert_allclose(y, 2.0 * x ** -1.5 + 0.25, rtol=1e-6)
+    y0 = np.asarray(power_law(jnp.asarray([0.0, -2.0]), p))
+    np.testing.assert_allclose(y0, [0.25, 0.25], rtol=1e-6)
+
+
+def test_pseudo_voigt_limits():
+    import jax.numpy as jnp
+
+    x = np.linspace(-2.0, 2.0, 41)
+    base = {"scale": 5.0, "x0": 0.0, "w": 0.8}
+    # eta=1 is the Lorentzian, eta=0 the Gaussian (ln2-scaled, so both
+    # components share the same half-width at half-maximum).
+    y_l = np.asarray(pseudo_voigt(jnp.asarray(x), {**base, "eta": 1.0}))
+    y_g = np.asarray(pseudo_voigt(jnp.asarray(x), {**base, "eta": 0.0}))
+    np.testing.assert_allclose(y_l, 5.0 * 0.8**2 / (x**2 + 0.8**2), rtol=1e-6)
+    np.testing.assert_allclose(
+        y_g, 5.0 * np.exp(-np.log(2.0) * x**2 / 0.8**2), rtol=1e-6)
+    # both halve at |u| = w
+    for y in (y_l, y_g):
+        i = np.argmin(np.abs(x - 0.8))
+        assert y[i] == pytest.approx(2.5, rel=1e-6)
+    # intermediate eta interpolates
+    y_h = np.asarray(pseudo_voigt(jnp.asarray(x), {**base, "eta": 0.4}))
+    np.testing.assert_allclose(y_h, 0.4 * y_l + 0.6 * y_g, rtol=1e-6)
+
+
+def test_pseudo_voigt_end_to_end_fit():
+    """A small pseudo-Voigt fit recovers the generating parameters
+    (bounds prior keeps eta in [0, 1])."""
+    import jax.numpy as jnp
+
+    import lisp_mcmc_tpu as mfit
+
+    x = np.linspace(-5.0, 5.0, 120)
+    truth = {"scale": 4.0, "x0": 0.6, "w": 1.1, "eta": 0.35, "bg0": 0.2}
+    rng = np.random.default_rng(0)
+    y = np.asarray(pseudo_voigt(jnp.asarray(x), truth)) + 0.02 * rng.standard_normal(x.size)
+    w = mfit.walker_create(
+        function=pseudo_voigt, data=(x, y),
+        params={"scale": 3.0, "x0": 0.2, "w": 1.5, "eta": 0.5, "bg0": 0.1},
+        data_error=0.02, n_walkers=256, seed=0, walker_jitter=0.1,
+        log_prior=mfit.make_bounds_prior({"eta": (0.0, 1.0),
+                                          "w": (0.05, 10.0),
+                                          "scale": (0.0, 100.0)}),
+    )
+    w.adaptive_steps(4000, auto=None, temperature=2.0)
+    best = w.most_likely_params()
+    assert best["x0"] == pytest.approx(0.6, abs=0.05)
+    assert best["w"] == pytest.approx(1.1, abs=0.15)
+    assert best["eta"] == pytest.approx(0.35, abs=0.2)
+    assert best["scale"] == pytest.approx(4.0, abs=0.4)
 
 
 def test_ragged_row_drops_row_not_column(tmp_path):
