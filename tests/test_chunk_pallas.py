@@ -154,6 +154,31 @@ def test_posterior_impl_pallas_chunk_integration(f32):
     assert len(w) > 0
 
 
+def test_pallas_chunk_dataset_reading_prior_fails_loudly(f32):
+    """A prior that silently branches on dataset=None computes a
+    different posterior in-kernel; the fused equivalence probe that
+    gates pallas_chunk must raise, never run the wrong kernel."""
+    import numpy as np
+
+    def sneaky_prior(params, dataset):
+        # Traces cleanly both ways, but shifts the posterior only when
+        # it can see its dataset — exactly what the probe exists for.
+        if dataset is None:
+            return jnp.asarray(0.0)
+        return jnp.asarray(-1000.0) + 0.0 * params["m"]
+
+    x = np.linspace(0.0, 10.0, 50)
+    y = 2.0 * x + 1.0
+    cfg = mfit.FitConfig(posterior_impl="pallas_chunk")
+    w = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 2.0, "b": 1.0},
+        data_error=0.5, n_walkers=256, seed=0, walker_jitter=0.1,
+        log_prior=sneaky_prior, config=cfg)
+    with pytest.raises(ValueError, match="disagrees"):
+        w.adaptive_steps(400, auto=None, temperature=1.0,
+                         collect_history=False)
+
+
 def test_chunk_pallas_scope_gating(f32):
     """Out-of-scope configs return None (callers fall back to XLA)."""
     import dataclasses

@@ -73,6 +73,14 @@ def test_initialize_distributed_raises_on_configured_coordinator(monkeypatch):
     # No coordinator anywhere: local fallback.
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     assert pmesh.initialize_distributed() == len(jax.devices())
+    # Auto-detected cluster launcher (SLURM multi-node): configured.
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "2")
+    with pytest.raises(RuntimeError, match="refusing silent"):
+        pmesh.initialize_distributed()
+    # Single-node SLURM allocation: still a local run.
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "1")
+    assert pmesh.initialize_distributed() == len(jax.devices())
+    monkeypatch.delenv("SLURM_JOB_NUM_NODES", raising=False)
 
 
 # ------------------------------------------------------- custom checkpointing
