@@ -7,7 +7,8 @@ A complete Bayesian analysis on a synthetic two-peak spectrum:
 3. posterior draws — gradient MALA at T=1 (`sampling_steps`)
 4. uncertainty     — ESS/R-hat diagnostics + derived-quantity intervals
 5. model choice    — evidence + Bayes factor between one- and two-peak
-                     models (`log_evidence`, `log_bayes_factor`)
+                     models (`log_evidence`, `log_bayes_factor`), plus
+                     the prior-free predictive view (`diagnostics.waic`)
 
 Run: ``python examples/modern_workflow.py`` (CPU-friendly, ~1-2 min).
 """
@@ -106,6 +107,24 @@ def main():
     print(f"log Z (two-peak, SMC) = {res_smc.log_z:.1f} "
           f"in {res_smc.n_stages} adaptive stages "
           f"(ladder-vs-SMC gap: {abs(res_smc.log_z - res2.log_z):.2f})")
+
+    # The predictive (prior-free) view of the same comparison: WAIC off
+    # posterior histories alone.  The one-peak model also LOSES
+    # predictively here, not just on evidence — both lenses agree.
+    # Both ensembles just ran tempered machinery, which leaves straggler
+    # walkers stranded at hot-phase positions; collapse them before the
+    # cold sampling pass or they dominate p_waic (see diagnostics.waic).
+    w1.reset_to_most_likely()
+    w1.adaptive_steps(4000, temperature=1.0, auto=None)
+    w1.burn_steps(2000)
+    w_smc.reset_to_most_likely()
+    w_smc.adaptive_steps(4000, temperature=1.0, auto=None)
+    w_smc.burn_steps(2000)
+    r2, r1 = diagnostics.waic(w_smc), diagnostics.waic(w1)
+    cmp = diagnostics.waic_compare(r2, r1)
+    print(f"WAIC elpd: two-peak {r2.elpd:.1f} (p={r2.p_waic:.1f})  "
+          f"one-peak {r1.elpd:.1f} (p={r1.p_waic:.1f})  "
+          f"diff {cmp['elpd_diff']:.1f} +- {cmp['se_diff']:.1f}")
 
 
 if __name__ == "__main__":

@@ -1218,6 +1218,11 @@ class Walker:
 
         return plotting.likelihood_plot(self, *args, **kwargs)
 
+    def autocorrelation_plot(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.autocorrelation_plot(self, *args, **kwargs)
+
     def corner_plot(self, *args, **kwargs):
         from . import plotting
 

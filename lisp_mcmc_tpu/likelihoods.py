@@ -47,6 +47,7 @@ __all__ = [
     "log_likelihood_poisson",
     "create_log_likelihood_function",
     "resolve_likelihood",
+    "pointwise_log_likelihood",
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -125,8 +126,45 @@ def create_log_likelihood_function(point_log_likelihood: Callable):
         lp = point_log_likelihood(dataset.y, mu, dataset.sigma)
         return jnp.sum(lp * dataset.mask)
 
+    def _pointwise(fn, params, dataset: Dataset):
+        mu = _model_eval(fn, params, dataset.x)
+        return point_log_likelihood(dataset.y, mu, dataset.sigma) * dataset.mask
+
     likelihood.__name__ = getattr(point_log_likelihood, "__name__", "custom") + "_likelihood"
+    likelihood._pointwise = _pointwise
     return likelihood
+
+
+def pointwise_log_likelihood(likelihood, fn, params, dataset: Dataset):
+    """Per-point log-density vector for one walker (padded lanes -> 0).
+
+    The un-reduced form of the dataset likelihoods above — the raw
+    material for predictive model comparison (``diagnostics.waic``).
+    Library reductions are recognized by identity; likelihoods built by
+    :func:`create_log_likelihood_function` carry their own per-point
+    form.  Summing the result reproduces the reduction exactly (the
+    cached walker-independent constants are included per point).
+    """
+    if likelihood is log_likelihood_normal:
+        mu = _model_eval(fn, params, dataset.x)
+        z = (dataset.y - mu) * dataset.inv_sigma     # inv_sigma is masked
+        return dataset.log_norm_const_point - 0.5 * z * z
+    if likelihood is log_likelihood_normal_cutoff:
+        mu = _model_eval(fn, params, dataset.x)
+        z = (dataset.y - mu) * dataset.inv_sigma
+        lp = jnp.maximum(-5000.0, dataset.log_norm_const_point - 0.5 * z * z)
+        return lp * dataset.mask
+    if likelihood is log_likelihood_poisson:
+        lam = _model_eval(fn, params, dataset.x)
+        return (dataset.y * jnp.log(lam) - lam) * dataset.mask - dataset.log_fact_y
+    pw = getattr(likelihood, "_pointwise", None)
+    if pw is not None:
+        return pw(fn, params, dataset)
+    raise ValueError(
+        "pointwise_log_likelihood: unrecognized likelihood "
+        f"{getattr(likelihood, '__name__', likelihood)!r} — use a library "
+        "reduction or create_log_likelihood_function (custom reductions "
+        "have no recoverable per-point form)")
 
 
 def resolve_likelihood(likelihood, fn, params, dataset: Dataset):

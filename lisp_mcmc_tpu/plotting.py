@@ -56,6 +56,7 @@ __all__ = [
     "plot_residuals",
     "caterpillar_plots",
     "likelihood_plot",
+    "autocorrelation_plot",
     "corner_plot",
     "all_corner_plots",
     "param_histogram",
@@ -219,6 +220,35 @@ def likelihood_plot(walker, take: int | None = None, filename: str | None = None
     ax.set_xlabel("retained step")
     ax.set_ylabel("log posterior")
     ax.legend()
+    return _save(fig, filename)
+
+
+def autocorrelation_plot(walker, name: str | None = None,
+                         take: int | None = None, max_lag: int | None = None,
+                         filename: str | None = None):
+    """Per-parameter autocorrelation of the retained history.
+
+    New diagnostic (no reference analogue — the single chain had only the
+    likelihood trace, 1313): mean normalized autocorrelation across the
+    ensemble per lag, one curve per parameter (or just ``name``), with
+    the ESS each curve implies in the legend.  Lags are in retained
+    history rows (``thin`` kernel steps apart).  The reduction runs on
+    device (ops/reductions.autocorrelation); only (L, d) transfers.
+    """
+    from .ops.reductions import autocorrelation, effective_sample_size
+
+    pos, _ = walker._history(take)
+    keys = [name] if name is not None else list(walker.spec.keys)
+    fig, ax = plt.subplots(figsize=(8, 4))
+    for k in keys:
+        chain = jnp.asarray(pos[:, :, walker.spec.index(k)])  # (T, W)
+        rho = np.asarray(jnp.mean(autocorrelation(chain, max_lag), axis=1))
+        ess = float(effective_sample_size(chain))
+        ax.plot(rho, lw=1.0, label=f"{k} (ESS {ess:.0f})")
+    ax.axhline(0.0, color="k", lw=0.5)
+    ax.set_xlabel("lag (retained rows)")
+    ax.set_ylabel("autocorrelation")
+    ax.legend(fontsize=8)
     return _save(fig, filename)
 
 

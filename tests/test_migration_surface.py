@@ -52,15 +52,15 @@ WALKER_METHODS = [
     "tempered_steps", "optimize", "smc_sample", "log_evidence", "shard",
     # expression + plot verbs
     "with_expression", "plot_data_and_fit", "plot_residuals",
-    "caterpillar_plots", "likelihood_plot", "corner_plot",
-    "all_corner_plots", "param_histogram",
+    "caterpillar_plots", "likelihood_plot", "autocorrelation_plot",
+    "corner_plot", "all_corner_plots", "param_histogram",
 ]
 
 MODULE_NAMES = {
     plotting: ["plot_data_and_fit", "plot_residuals", "caterpillar_plots",
-               "likelihood_plot", "corner_plot", "all_corner_plots",
-               "param_histogram", "show", "heatmap", "plot_file",
-               "plot_set_param"],
+               "likelihood_plot", "autocorrelation_plot", "corner_plot",
+               "all_corner_plots", "param_histogram", "show", "heatmap",
+               "plot_file", "plot_set_param"],
     stats: ["median", "mean", "variance", "credible_interval_95", "iqr",
             "nth_percentile", "standard_deviation",
             "std_from_84th_percentile", "make_histogram",
@@ -74,7 +74,8 @@ MODULE_NAMES = {
          "guess_nv_params", "log_prior_nv", "make_nv_prior",
          "walker_field_offset", "export_scan_grid", "BatchedNVFit"],
     diagnostics: ["summary", "metrics", "trace_profile",
-                  "ess_from_history", "rhat_from_history"],
+                  "ess_from_history", "rhat_from_history",
+                  "waic", "waic_compare", "WAICResult"],
     files: ["file_specs", "get_filename", "read_file_data"],
     linalg: ["sample_covariance", "cholesky_clamped",
              "diagonal_covariance", "haario_scale", "moments_covariance"],

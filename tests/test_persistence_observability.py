@@ -217,8 +217,9 @@ def test_all_plots_render(tmp_path):
         "hist": plotting.param_histogram(w, "m", filename=str(tmp_path / "h.png")),
         "heat": plotting.heatmap([1.0, 2.0, 3.0, 4.0], 2,
                                  filename=str(tmp_path / "heat.png")),
+        "acf": w.autocorrelation_plot(filename=str(tmp_path / "acf.png")),
     }
-    for name in ("fit", "res", "cat", "lik", "c", "grid", "h", "heat"):
+    for name in ("fit", "res", "cat", "lik", "c", "grid", "h", "heat", "acf"):
         matches = [p for p in os.listdir(tmp_path) if p.startswith(name.split(".")[0])]
         assert matches, f"missing plot output for {name}"
     # show() degrades to returning the path when headless.
