@@ -15,10 +15,12 @@ from typing import Any, Mapping
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.reductions import effective_sample_size, split_rhat
+from .ops.reductions import (effective_sample_size, mcse_mean,
+                             rank_normalized_rhat, split_rhat, tail_ess)
 
 __all__ = ["metrics", "ess_per_param", "ess_from_history", "rhat_per_param",
-           "rhat_from_history", "summary", "trace_profile",
+           "rhat_from_history", "rank_rhat_per_param", "tail_ess_per_param",
+           "mcse_per_param", "convergence", "summary", "trace_profile",
            "WAICResult", "waic", "waic_compare",
            "LOOResult", "loo", "loo_compare"]
 
@@ -70,6 +72,80 @@ def rhat_from_history(positions, keys) -> dict[str, float]:
     return {
         k: float(split_rhat(positions[:, :, i])) for i, k in enumerate(keys)
     }
+
+
+def rank_rhat_per_param(walker, take: int | None = None) -> dict[str, tuple[float, float]]:
+    """(bulk, tail) rank-normalized split R-hat per parameter.
+
+    The Vehtari et al. (2021) convergence standard — strictly stronger
+    than :func:`rhat_per_param` (robust to heavy tails; the folded tail
+    statistic catches scale-only disagreement).  Pass when
+    ``max(bulk, tail) < 1.01``.
+    """
+    pos, _ = walker._history(take)
+    pos = jnp.asarray(pos)
+    return {
+        k: tuple(float(v) for v in rank_normalized_rhat(pos[:, :, i]))
+        for i, k in enumerate(walker.spec.keys)
+    }
+
+
+def tail_ess_per_param(walker, take: int | None = None) -> dict[str, float]:
+    """Tail (5%/95% exceedance) effective sample size per parameter.
+
+    Bulk ESS certifies the posterior mean; tail ESS certifies the
+    credible-interval endpoints.  Quote interval bounds only when this
+    is comfortably above ~100.
+    """
+    pos, _ = walker._history(take)
+    pos = jnp.asarray(pos)
+    return {
+        k: float(tail_ess(pos[:, :, i]))
+        for i, k in enumerate(walker.spec.keys)
+    }
+
+
+def mcse_per_param(walker, take: int | None = None) -> dict[str, float]:
+    """Monte Carlo standard error of each parameter's posterior mean."""
+    pos, _ = walker._history(take)
+    pos = jnp.asarray(pos)
+    return {
+        k: float(mcse_mean(pos[:, :, i]))
+        for i, k in enumerate(walker.spec.keys)
+    }
+
+
+def convergence(walker, take: int | None = None,
+                rhat_tol: float = 1.01, min_tail_ess: float = 100.0
+                ) -> dict[str, Any]:
+    """One-call convergence report with a pass/fail verdict.
+
+    Applies the Vehtari et al. (2021) criteria per parameter —
+    rank-normalized bulk AND tail R-hat below ``rhat_tol``, tail ESS
+    above ``min_tail_ess`` — and returns ``{"ok": bool, "failures":
+    [...], "rank_rhat": ..., "tail_ess": ..., "mcse": ...}``.  The
+    single history fetch is shared by all four statistics.
+    """
+    pos, _ = walker._history(take)
+    pos = jnp.asarray(pos)
+    keys = walker.spec.keys
+    out: dict[str, Any] = {"rank_rhat": {}, "tail_ess": {}, "mcse": {}}
+    failures = []
+    for i, k in enumerate(keys):
+        x = pos[:, :, i]
+        bulk, tail = (float(v) for v in rank_normalized_rhat(x))
+        te = float(tail_ess(x))
+        out["rank_rhat"][k] = (bulk, tail)
+        out["tail_ess"][k] = te
+        out["mcse"][k] = float(mcse_mean(x))
+        if max(bulk, tail) >= rhat_tol:
+            failures.append(f"{k}: rank R-hat {max(bulk, tail):.4f} "
+                            f">= {rhat_tol}")
+        if te < min_tail_ess:
+            failures.append(f"{k}: tail ESS {te:.0f} < {min_tail_ess:.0f}")
+    out["ok"] = not failures
+    out["failures"] = failures
+    return out
 
 
 def metrics(walker, take: int | None = None, elapsed_seconds: float | None = None) -> dict[str, Any]:

@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["autocorrelation", "effective_sample_size", "split_rhat"]
+__all__ = ["autocorrelation", "effective_sample_size", "split_rhat",
+           "rank_normalized_rhat", "tail_ess", "mcse_mean"]
 
 
 def autocorrelation(chains, max_lag: int | None = None):
@@ -87,3 +88,74 @@ def split_rhat(chains):
     # pooled variance means rhat > 1e6 regardless, so inf is monotone.
     ok = w > 1e-12 * var_plus
     return jnp.where(ok, jnp.sqrt(var_plus / jnp.where(ok, w, 1.0)), jnp.inf)
+
+
+def _rank_normalize(chains):
+    """Average-rank normal-score transform over all samples jointly.
+
+    Ranks the flattened ``(T, W)`` block (ties get their average rank —
+    essential: ordinal tie-breaking would hand a frozen ensemble's
+    identical values a fake spread of ranks and defeat
+    :func:`split_rhat`'s frozen guard), then maps rank r to
+    z = ndtri((r - 3/8) / (S + 1/4)) — the Blom normal scores used by
+    Vehtari, Gelman, Simpson, Carpenter & Burkner (2021, "Rank-
+    normalization, folding, and localization").  One sort + two
+    searchsorted passes, all on device.
+    """
+    from jax.scipy.special import ndtri
+
+    chains = jnp.asarray(chains)
+    v = chains.reshape(-1)
+    s = jnp.sort(v)
+    lo = jnp.searchsorted(s, v, side="left")
+    hi = jnp.searchsorted(s, v, side="right")
+    r = 0.5 * (lo + hi - 1) + 1.0                  # 1-based average ranks
+    z = ndtri((r - 0.375) / (v.size + 0.25))
+    return z.reshape(chains.shape)
+
+
+def rank_normalized_rhat(chains):
+    """(bulk, tail) rank-normalized split R-hat (Vehtari et al. 2021).
+
+    The modern convergence standard, strictly stronger than classic
+    :func:`split_rhat`: rank normalization makes *bulk* R-hat robust to
+    heavy tails, and running the same statistic on the *folded* draws
+    |x - median| catches chains that agree in location but not scale —
+    invisible to any mean/variance R-hat (between-chain variance of the
+    means is zero there).  Report max(bulk, tail); both < 1.01 is the
+    usual pass bar.  ``chains``: (T, W).
+    """
+    chains = jnp.asarray(chains)
+    bulk = split_rhat(_rank_normalize(chains))
+    folded = jnp.abs(chains - jnp.median(chains))
+    tail = split_rhat(_rank_normalize(folded))
+    return bulk, tail
+
+
+def tail_ess(chains):
+    """Tail effective sample size: min ESS of the 5%/95% exceedance chains.
+
+    Bulk ESS says nothing about how well the chain resolves its extremes
+    (credible-interval endpoints); the Vehtari et al. (2021) tail-ESS is
+    the ESS of the indicator chains I(x <= q05) and I(x >= q95), taking
+    the worse side.  A walker that never visits a tail contributes its
+    frozen-chain floor of 1 via :func:`effective_sample_size`.
+    """
+    chains = jnp.asarray(chains)
+    q05 = jnp.quantile(chains, 0.05)
+    q95 = jnp.quantile(chains, 0.95)
+    lo = effective_sample_size((chains <= q05).astype(chains.dtype))
+    hi = effective_sample_size((chains >= q95).astype(chains.dtype))
+    return jnp.minimum(lo, hi)
+
+
+def mcse_mean(chains):
+    """Monte Carlo standard error of the posterior mean.
+
+    Pooled posterior sd scaled by the autocorrelation-aware sample count:
+    sqrt(var / ESS).  This is the "+-" a mean estimate should be quoted
+    with; it shrinks with more sampling while the posterior sd does not.
+    """
+    chains = jnp.asarray(chains)
+    ess = effective_sample_size(chains)
+    return jnp.sqrt(jnp.var(chains, ddof=1) / jnp.maximum(ess, 1.0))
