@@ -58,6 +58,7 @@ from .likelihoods import (
     log_normal,
     log_poisson,
 )
+from .predictive import PredictiveDraws, posterior_predictive, ppc_pvalue
 from .priors import (
     bound_penalty,
     combine_priors,
@@ -132,6 +133,9 @@ __all__ = [
     "mcmc_fit",
     "partition",
     "prior_bounds",
+    "PredictiveDraws",
+    "posterior_predictive",
+    "ppc_pvalue",
     "read_file_data",
     "request_stop",
     "stop_requested",

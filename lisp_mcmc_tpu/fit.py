@@ -1238,6 +1238,23 @@ class Walker:
 
         return plotting.param_histogram(self, *args, **kwargs)
 
+    def ppc_plot(self, *args, **kwargs):
+        from . import plotting
+
+        return plotting.ppc_plot(self, *args, **kwargs)
+
+    def posterior_predictive(self, *args, **kwargs):
+        """Replicated datasets from the posterior (``predictive`` module)."""
+        from .predictive import posterior_predictive
+
+        return posterior_predictive(self, *args, **kwargs)
+
+    def ppc_pvalue(self, *args, **kwargs):
+        """Posterior predictive p-value for a data statistic."""
+        from .predictive import ppc_pvalue
+
+        return ppc_pvalue(self, *args, **kwargs)
+
     def with_expression(self, expr: str, take: int | None = 1000):
         """Derived quantity at the most-likely params (``walker-with-exp``)."""
         from .expressions import walker_with_expression

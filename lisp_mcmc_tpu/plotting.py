@@ -54,6 +54,7 @@ from .stats import make_histogram  # noqa: E402
 __all__ = [
     "plot_data_and_fit",
     "plot_residuals",
+    "ppc_plot",
     "caterpillar_plots",
     "likelihood_plot",
     "autocorrelation_plot",
@@ -181,6 +182,42 @@ def plot_residuals(walker, term_index: int = 0, filename: str | None = None):
     ax.set_xlabel("x")
     ax.set_ylabel("residual")
     ax.set_title(f"residuals (term {term_index})")
+    return _save(fig, filename)
+
+
+def ppc_plot(walker, term_index: int = 0, take: int | None = None,
+             max_samples: int = 256, seed: int = 0,
+             lo: float = 0.05, hi: float = 0.95,
+             filename: str | None = None):
+    """Posterior predictive check plot: data vs the replicate band.
+
+    Unlike :func:`plot_data_and_fit`'s envelope (mcmc-fitting.lisp:
+    1250-1257 — spread of the *mean curve* only), the band here is the
+    (lo, hi) quantile of full replicated observations y_rep, so the
+    observation noise is in the band: a calibrated fit covers ~90% of
+    its points at the default band, and the title reports the actual
+    coverage next to that target.
+    """
+    from .predictive import posterior_predictive
+
+    d = posterior_predictive(walker, take=take, max_samples=max_samples,
+                             seed=seed)[term_index]
+    x = d.x if d.x.ndim == 1 else d.x[:, 0]
+    order = np.argsort(x)
+    b_lo, b_hi = d.band(lo, hi)
+    med = np.quantile(d.y_rep, 0.5, axis=0)
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.fill_between(x[order], b_lo[order], b_hi[order], color="tab:blue",
+                    alpha=0.25, label=f"{lo:.0%}-{hi:.0%} predictive band")
+    ax.plot(x[order], med[order], "b-", lw=1, label="predictive median")
+    ax.plot(x, d.y_obs, "k.", ms=3, label="data")
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.legend()
+    ax.set_title(f"posterior predictive check (term {term_index}): "
+                 f"coverage {d.coverage(lo, hi):.1%} "
+                 f"vs {hi - lo:.0%} target")
     return _save(fig, filename)
 
 

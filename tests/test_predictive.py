@@ -1,0 +1,132 @@
+"""Posterior predictive sampling and checks (predictive.py, ppc_plot).
+
+The forward complement of WAIC/LOO: replicate datasets from the
+posterior and compare against observed data (coverage, predictive
+p-values).  Calibration tests use well-specified fits (coverage near
+the band's nominal level, p away from 0/1); misspecification tests
+fit with an understated noise model and require the check to fire.
+"""
+
+import numpy as np
+import pytest
+
+import lisp_mcmc_tpu as mfit
+from lisp_mcmc_tpu.models import line
+
+
+def _fit(noise=0.2, data_error=0.2, n_steps=3000, seed=0, n=60):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0.0, 10.0, n)
+    y = 2.0 * x + 1.0 + rng.normal(0, noise, n)
+    w = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 1.5, "b": 0.5},
+        data_error=data_error, n_walkers=16, seed=seed, walker_jitter=0.05,
+    )
+    w.adaptive_steps(n_steps, auto=None)
+    w.burn_steps(len(w) // 2)
+    return w, x, y
+
+
+@pytest.fixture(scope="module")
+def calibrated():
+    return _fit()
+
+
+def test_draw_shapes_and_mean(calibrated):
+    w, x, y = calibrated
+    (d,) = mfit.posterior_predictive(w, max_samples=128)
+    assert d.y_rep.shape == (d.mu.shape[0], x.size)
+    assert d.x.shape == (x.size,)
+    np.testing.assert_allclose(d.y_obs, y)
+    # Replicate mean tracks the true curve.
+    np.testing.assert_allclose(d.y_rep.mean(axis=0), 2.0 * x + 1.0,
+                               atol=0.25)
+    # Replicates carry observation noise: pointwise spread ~ sigma.
+    assert 0.1 < d.y_rep.std(axis=0).mean() < 0.4
+
+
+def test_calibrated_coverage_and_pvalue(calibrated):
+    w, _, _ = calibrated
+    (d,) = mfit.posterior_predictive(w, max_samples=256)
+    assert d.coverage(0.05, 0.95) == pytest.approx(0.9, abs=0.12)
+    res = mfit.ppc_pvalue(w, stat=np.std, draws=[d])
+    assert 0.03 < res["p"] < 0.97
+    assert res["per_term"][0] == res["p"]
+
+
+def test_understated_noise_fails_check():
+    """data_error 4x smaller than the true noise: the predictive band is far
+    too tight — coverage collapses and the std-statistic p-value pins
+    at ~0 (observed scatter exceeds every replicate's)."""
+    w, _, _ = _fit(noise=0.8, data_error=0.2, seed=1)
+    (d,) = mfit.posterior_predictive(w, max_samples=256)
+    assert d.coverage(0.05, 0.95) < 0.75
+    # np.std is trend-dominated here (the 2x slope dwarfs the noise), so
+    # use a roughness statistic that strips the smooth trend.
+    rough = lambda v: float(np.mean(np.abs(np.diff(v))))
+    res = mfit.ppc_pvalue(w, stat=rough, draws=[d])
+    assert res["p"] < 0.05
+
+
+def test_poisson_predictive_counts():
+    rng = np.random.default_rng(2)
+    x = np.linspace(0.0, 10.0, 50)
+    lam = 3.0 * x + 5.0
+    y = rng.poisson(lam).astype(float)
+    w = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 2.0, "b": 3.0},
+        log_likelihood=mfit.log_likelihood_poisson,
+        n_walkers=16, seed=2, walker_jitter=0.05,
+    )
+    w.adaptive_steps(3000, auto=None)
+    w.burn_steps(len(w) // 2)
+    (d,) = w.posterior_predictive(max_samples=128)
+    # Counts: non-negative integers with Poisson-scale spread.
+    assert np.all(d.y_rep >= 0)
+    np.testing.assert_allclose(d.y_rep, np.round(d.y_rep))
+    mid = d.y_rep[:, 25]
+    assert mid.var() == pytest.approx(lam[25], rel=0.6)
+
+
+def test_custom_likelihood_requires_sampler(calibrated):
+    w, x, y = calibrated
+    import jax.numpy as jnp
+
+    custom = mfit.create_log_likelihood_function(
+        lambda y_, mu, s: -0.5 * ((y_ - mu) / s) ** 2)
+    w2 = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 2.0, "b": 1.0},
+        data_error=0.2, log_likelihood=custom, n_walkers=8, seed=3,
+    )
+    w2.adaptive_steps(500, auto=None)
+    with pytest.raises(ValueError, match="no noise model"):
+        mfit.posterior_predictive(w2)
+    # Explicit sampler unblocks it.
+    import jax
+
+    def sampler(key, mu, dataset):
+        return mu + 0.2 * jax.random.normal(key, mu.shape, mu.dtype)
+
+    (d,) = mfit.posterior_predictive(w2, sampler=sampler, max_samples=32)
+    assert d.y_rep.shape[1] == x.size
+
+
+def test_fresh_walker_replicates_from_ensemble():
+    """steps() falls back to the live ensemble when no history was
+    collected, so a fresh walker replicates from its initial positions
+    (prior-predictive-ish) rather than erroring."""
+    x = np.linspace(0, 1, 10)
+    w = mfit.walker_create(function=line, data=(x, 2 * x),
+                           params={"m": 1.0, "b": 0.0}, data_error=0.1,
+                           n_walkers=8, seed=0)
+    (d,) = mfit.posterior_predictive(w)
+    assert d.y_rep.shape == (8, 10)
+
+
+def test_ppc_plot_saves(calibrated, tmp_path):
+    w, _, _ = calibrated
+    path = str(tmp_path / "ppc.png")
+    w.ppc_plot(max_samples=64, filename=path)
+    import os
+
+    assert os.path.getsize(path) > 0
