@@ -276,11 +276,11 @@ class Walker:
             # through the fused kernel fails to linearize, so they keep
             # the XLA path.
             return None
-        if self.config.kernel == "stretch":
+        if self.config.kernel in ("stretch", "demc"):
             # The fused kernel is shape-specialized to the full ensemble;
-            # stretch evaluates half-ensembles, so it keeps the XLA path
-            # (a structured batched posterior still works via the
-            # full-batch fallback inside the kernel).
+            # the red-black kernels evaluate half-ensembles, so they keep
+            # the XLA path (a structured batched posterior still works via
+            # the full-batch fallback inside the kernel).
             return None
         if getattr(self, "mesh", None) is not None:
             # Sharded ensembles keep the XLA path: pallas_call is not
@@ -744,7 +744,11 @@ class Walker:
         effective samples per step (measured; see DESIGN.md).
         ``kernel="stretch"`` selects the affine-invariant ensemble moves
         instead (no gradients needed; robust to strong correlation and
-        scale mismatch without any proposal adaptation).
+        scale mismatch without any proposal adaptation), and
+        ``kernel="demc"`` the differential-evolution moves (same
+        adaptation-free robustness via walker-pair differences, with
+        full-rank step directions that hold up at higher d and a
+        gamma=1 mode-jump move for multimodal posteriors).
         """
         prev_config = self.config
         self.config = dataclasses.replace(self.config, kernel=kernel)

@@ -96,8 +96,25 @@ class FitConfig:
                                          # in L-whitened coordinates, hmc_leapfrog grad
                                          # evals per step — highest ESS per step on smooth
                                          # targets; like mala, best used at temperature=1)
+                                         # | "demc" (differential-evolution ensemble
+                                         # moves, ter Braak 2006 red-black: propose along
+                                         # the difference of two complementary walkers,
+                                         # y = x + gamma (x_a - x_b); like stretch there
+                                         # is no covariance to adapt, but the step
+                                         # DIRECTION is a genuine ensemble-covariance
+                                         # draw, so it holds up at high d where the
+                                         # stretch move's single-line proposals thin out)
     stretch_a: float = 2.0               # stretch-move scale a (z ~ g(z) on [1/a, a]);
                                          # lower toward 1 if acceptance collapses at high d
+    demc_gamma: float = 0.0              # demc base scale; 0 = the 2.38/sqrt(2d)
+                                         # optimal-scaling default (ter Braak 2006)
+    demc_jitter: float = 0.1             # demc per-walker multiplicative scale jitter b:
+                                         # gamma_i = gamma (1 + U(-b, b)) — breaks the
+                                         # fixed-lattice degeneracy of exact gamma
+    demc_jump_prob: float = 0.1          # probability of a gamma=1 "mode jump" step
+                                         # (proposes the full difference vector — lets
+                                         # walkers hop between modes the scaled move
+                                         # cannot reach)
     hmc_leapfrog: int = 8                # leapfrog steps per HMC proposal
     hmc_jitter: bool = True              # jitter trajectory length per step over
                                          # [hmc_leapfrog/2, hmc_leapfrog] (breaks
@@ -330,7 +347,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     # proposal scale.
     tempered = config.tempering_rungs > 1 and not config.greedy
     if tempered:
-        if config.kernel in ("mala", "stretch", "hmc"):
+        if config.kernel in ("mala", "stretch", "hmc", "demc"):
             raise ValueError("parallel tempering is a search phase; use kernel='rwm' "
                              "(sample afterwards with sampling_steps)")
         if group_block is None or n_groups != config.tempering_rungs:
@@ -354,11 +371,19 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     # carries IS the proposal distribution, so there is no L-matrix to
     # adapt and the kernel is invariant to affine reparameterizations.
     stretch = config.kernel == "stretch" and not config.greedy
-    if stretch:
+    # Differential-evolution ensemble moves (ter Braak 2006) share the
+    # stretch kernel's red-black machinery: the active half proposes from
+    # DIFFERENCES of two distinct complementary-half walkers,
+    # y = x + gamma (x_a - x_b), a symmetric proposal (no z-Jacobian)
+    # whose direction distribution IS the ensemble covariance — the
+    # pair-difference trick that makes Haario-style adaptation free.
+    demc = config.kernel == "demc" and not config.greedy
+    if stretch or demc:
         if grouped and group_block is None:
             raise ValueError(
-                "stretch kernel needs contiguous equal-size walker blocks per "
-                "adaptation group (complementary halves must stay within a group)"
+                f"{config.kernel} kernel needs contiguous equal-size walker "
+                "blocks per adaptation group (complementary halves must stay "
+                "within a group)"
             )
 
         def _half_eval(aux_half):
@@ -599,6 +624,94 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                 lp_prop = lp_full[:, :Bh] if lo else lp_full[:, Bh:]
             lp_prop = jnp.where(jnp.isfinite(lp_prop), lp_prop, _neg_floor(dtype))
             log_alpha = (ndim - 1.0) * jnp.log(z) + (lp_prop - lpk) / temp
+            acc = jnp.log(jax.random.uniform(ka, lpk.shape, dtype)) < log_alpha
+            return prop, lp_prop, acc
+
+        x_lo, l_lo = pos[:, :Bh], lp[:, :Bh]
+        x_hi, l_hi = pos[:, Bh:], lp[:, Bh:]
+        p_lo, lp_lo, a_lo = half(k_lo, x_lo, l_lo, x_hi, _eval_lo, True)
+        x_lo_new = jnp.where(a_lo[..., None], p_lo, x_lo)
+        p_hi, lp_hi, a_hi = half(k_hi, x_hi, l_hi, x_lo_new, _eval_hi, False)
+
+        proposal = jnp.concatenate([p_lo, p_hi], axis=1).reshape(W, ndim)
+        lp_prop = jnp.concatenate([lp_lo, lp_hi], axis=1).reshape(W)
+        accept = jnp.concatenate([a_lo, a_hi], axis=1).reshape(W)
+        new_state, accf, out = _apply_step(
+            state, key, proposal, lp_prop, proposal - state.position, accept, False
+        )
+        return (new_state, accept_counts + accf, force_cold), out
+
+    def one_step_demc(carry, i, data=None):
+        """Differential-evolution step (kernel='demc'), red-black.
+
+        Each active-half walker k draws two DISTINCT complementary-half
+        walkers a, b and proposes
+
+            y = x_k + gamma_k (x_a - x_b)
+
+        with gamma_k = gamma (1 + U(-b, b)) and, with probability
+        ``demc_jump_prob``, gamma_k = 1 exactly (the mode-jump move: a
+        full difference vector can carry a walker between modes whose
+        separation matches the ensemble spread).  The difference of two
+        ensemble members is a draw whose covariance is 2 Sigma_ensemble,
+        so gamma = 2.38/sqrt(2d) reproduces Haario optimal scaling with
+        no covariance estimation, no Cholesky, and affine invariance —
+        like stretch, but with full-rank step directions (a stretch
+        proposal moves along ONE line through x_j; at high d that
+        single-direction thinning is what collapses its acceptance).
+        The proposal is symmetric given the (fixed) complementary half,
+        so acceptance is the plain tempered MH ratio; the red-black
+        update order (low half against high, high against UPDATED low)
+        keeps the move exact, as for stretch.
+        """
+        state, accept_counts, force_cold = carry
+        dtype = state.position.dtype
+        key, k_lo, k_hi = jax.random.split(state.key, 3)
+        temp = resolve_temp(force_cold, state, dtype)
+
+        W = state.position.shape[0]
+        if grouped and group_block is not None:
+            G, B = n_groups, group_block
+        else:
+            G, B = 1, W
+        if B % 2:
+            raise ValueError(
+                "demc kernel needs an even number of walkers per group"
+            )
+        Bh = B // 2
+        if Bh < 2:
+            raise ValueError(
+                "demc kernel needs >= 4 walkers per group (two distinct "
+                "complementary donors per proposal)"
+            )
+        pos = state.position.reshape(G, B, ndim)
+        lp = state.logprob.reshape(G, B)
+        gamma0 = config.demc_gamma if config.demc_gamma > 0.0 else (
+            2.38 / math.sqrt(2.0 * ndim))
+
+        def half(k, xk, lpk, comp, eval_fn, lo: bool):
+            kj, kg, kjump, ka = jax.random.split(k, 4)
+            # Two distinct donors: j2 = (j1 + 1 + U[0, Bh-2]) mod Bh.
+            j = jax.random.randint(kj, lpk.shape + (2,), 0,
+                                   jnp.asarray([Bh, Bh - 1]))
+            j1 = j[..., 0]
+            j2 = (j1 + 1 + j[..., 1]) % Bh
+            xa = jnp.take_along_axis(comp, j1[..., None], axis=1)
+            xb = jnp.take_along_axis(comp, j2[..., None], axis=1)
+            b = config.demc_jitter
+            u = jax.random.uniform(kg, lpk.shape, dtype, 1.0 - b, 1.0 + b)
+            jump = jax.random.uniform(kjump, lpk.shape, dtype) < config.demc_jump_prob
+            gamma = jnp.where(jump, jnp.asarray(1.0, dtype), gamma0 * u)
+            prop = xk + gamma[..., None] * (xa - xb)
+            if eval_fn is not None:
+                lp_prop = eval_fn(prop.reshape(-1, ndim), data).reshape(lpk.shape)
+            else:
+                halves = [prop, comp] if lo else [comp, prop]
+                full = jnp.concatenate(halves, axis=1).reshape(-1, ndim)
+                lp_full = batched_posterior(full, data).reshape(G, B)
+                lp_prop = lp_full[:, :Bh] if lo else lp_full[:, Bh:]
+            lp_prop = jnp.where(jnp.isfinite(lp_prop), lp_prop, _neg_floor(dtype))
+            log_alpha = (lp_prop - lpk) / temp
             acc = jnp.log(jax.random.uniform(ka, lpk.shape, dtype)) < log_alpha
             return prop, lp_prop, acc
 
@@ -1112,7 +1225,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         ones = jnp.ones_like(accept_counts)
         group_total = jnp.maximum(seg_sum(ones) * chunk, 1.0)   # (G,)
         group_accept = seg_sum(accept_counts) / group_total     # (G,)
-        if stretch:
+        if stretch or demc:
             # Affine invariance: nothing to adapt.  Clear any moments
             # carried in from an earlier rwm phase so a later refresh
             # never sees stale displacement statistics.
@@ -1199,7 +1312,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                 _mala_carry(state, zero_counts, force_cold, data), jnp.arange(chunk)
             )
         else:
-            plain_step = one_step_stretch if stretch else one_step
+            plain_step = (one_step_stretch if stretch
+                          else one_step_demc if demc else one_step)
             (state, accept_counts, _), trace = lax.scan(
                 lambda carry, i: plain_step(carry, i, data),
                 (state, zero_counts, force_cold), jnp.arange(chunk)
@@ -1226,6 +1340,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             step = one_step_hmc
         elif stretch:
             step = one_step_stretch
+        elif demc:
+            step = one_step_demc
         else:
             step = one_step
 
