@@ -59,6 +59,7 @@ from .likelihoods import (
     log_poisson,
 )
 from .predictive import PredictiveDraws, posterior_predictive, ppc_pvalue
+from .sbc import SBCResult, sbc_check
 from .priors import (
     bound_penalty,
     combine_priors,
@@ -136,6 +137,8 @@ __all__ = [
     "PredictiveDraws",
     "posterior_predictive",
     "ppc_pvalue",
+    "SBCResult",
+    "sbc_check",
     "read_file_data",
     "request_stop",
     "stop_requested",

@@ -62,6 +62,7 @@ __all__ = [
     "all_corner_plots",
     "param_histogram",
     "plot_set_param",
+    "sbc_rank_plot",
     "plot_file",
     "heatmap",
     "show",
@@ -351,6 +352,40 @@ def plot_set_param(walker_set, key: str, filename: str | None = None):
     ax.set_xlabel("fit index")
     ax.set_ylabel(key)
     ax.set_title(f"{key} across {len(values)} fits")
+    return _save(fig, filename)
+
+
+def sbc_rank_plot(result, filename: str | None = None):
+    """Per-parameter SBC rank histograms with the uniform band.
+
+    Read the shapes: ∪ = posterior too narrow, ∩ = too wide, slope =
+    biased; the gray band is the central 99% envelope a calibrated
+    pipeline's bin counts should stay inside (binomial).
+    """
+    from scipy.stats import binom
+
+    keys = result.keys
+    d = len(keys)
+    ncols = min(d, 3)
+    nrows = (d + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 3 * nrows),
+                             squeeze=False)
+    edges = np.linspace(0.0, result.n_draws + 1.0, result.n_bins + 1)
+    n, p = result.n_sims, 1.0 / result.n_bins
+    band_lo, band_hi = binom.ppf([0.005, 0.995], n, p)
+    for j, k in enumerate(keys):
+        ax = axes[j // ncols][j % ncols]
+        ax.axhspan(band_lo, band_hi, color="0.85", zorder=0)
+        ax.axhline(n * p, color="0.5", lw=1, ls="--", zorder=1)
+        ax.hist(result.ranks[:, j] + 0.5, bins=edges, color="tab:blue",
+                alpha=0.8, zorder=2)
+        ax.set_title(f"{k}  (p={result.p_values[k]:.3g})", fontsize=10)
+        ax.set_xlabel("rank of truth")
+    for j in range(d, nrows * ncols):
+        axes[j // ncols][j % ncols].axis("off")
+    fig.suptitle(f"SBC ranks: {result.n_sims} sims x {result.n_draws} draws",
+                 y=1.0)
+    fig.tight_layout()
     return _save(fig, filename)
 
 

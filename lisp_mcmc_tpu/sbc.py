@@ -1,0 +1,181 @@
+"""Simulation-based calibration: validate the whole fitting pipeline.
+
+SBC (Talts, Betancourt, Simpson, Vehtari & Gelman 2018) is the
+end-to-end correctness check for a Bayesian fitting pipeline: draw
+parameters from the prior, simulate datasets from them, fit each
+dataset, and rank the true parameter among the posterior draws.  If the
+sampler targets the right posterior, the ranks are exactly uniform —
+*any* defect (a biased kernel, an unburnt anneal phase, a mis-scaled
+noise model, a prior/simulator mismatch) shows up as non-uniform ranks
+with a characteristic shape (∪ = posterior too narrow, ∩ = too wide,
+a slope = biased).
+
+This is a flagship batched-fit workload: the reference could only fit
+datasets one at a time (dir->nv-walkers, nv-specific.lisp:58-66), so a
+256-simulation calibration study would cost 256 sequential fits; here
+all simulated datasets fit as ONE :class:`~lisp_mcmc_tpu.BatchedFit`
+ensemble — one chunked kernel, per-dataset adaptation groups — so the
+whole study is a single TPU run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SBCResult", "sbc_check"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SBCResult:
+    """Rank statistics from one SBC run.
+
+    ``ranks[i, j]``: rank of simulation i's true parameter j among its
+    ``n_draws`` posterior draws (0..n_draws inclusive — uniform over
+    ``n_draws + 1`` values when the pipeline is calibrated).
+    ``p_values``: per-parameter chi-square uniformity p-value over
+    ``n_bins`` rank bins.  ``ok`` applies the usual alpha=0.01 bar
+    jointly (Bonferroni across parameters).
+    """
+
+    ranks: np.ndarray
+    n_draws: int
+    n_bins: int
+    keys: tuple
+    p_values: dict[str, float]
+    true_params: np.ndarray   # (n_sims, d) the simulated truths
+
+    @property
+    def n_sims(self) -> int:
+        return self.ranks.shape[0]
+
+    def ok(self, alpha: float = 0.01) -> bool:
+        return all(p > alpha / len(self.keys) for p in self.p_values.values())
+
+    def __repr__(self):
+        worst = min(self.p_values, key=self.p_values.get)
+        return (f"SBCResult(n_sims={self.n_sims}, n_draws={self.n_draws}, "
+                f"ok={self.ok()}, worst p: {worst}="
+                f"{self.p_values[worst]:.3g})")
+
+
+def _uniformity_pvalue(ranks_j: np.ndarray, n_draws: int, n_bins: int) -> float:
+    """Chi-square test of rank uniformity over ``n_bins`` equal bins."""
+    from scipy.stats import chi2
+
+    edges = np.linspace(0.0, n_draws + 1.0, n_bins + 1)
+    counts, _ = np.histogram(ranks_j + 0.5, bins=edges)
+    expected = ranks_j.size / n_bins
+    stat = float(np.sum((counts - expected) ** 2 / expected))
+    return float(chi2.sf(stat, n_bins - 1))
+
+
+def sbc_check(
+    function: Callable,
+    bounds: Mapping[str, tuple],
+    x,
+    data_error,
+    *,
+    n_sims: int = 64,
+    walkers_per_dataset: int = 64,
+    n_steps: int = 4000,
+    temperature: float = 2.0,
+    burn_fraction: float = 0.5,
+    n_draws: int = 63,
+    n_bins: int | None = None,
+    seed: int = 0,
+    config=None,
+    simulate: Callable | None = None,
+    fit=None,
+) -> SBCResult:
+    """Run an SBC study of the fitting pipeline for one model.
+
+    Draws ``n_sims`` parameter vectors uniformly from ``bounds`` (the
+    same bounds become the fit's prior via
+    :func:`~lisp_mcmc_tpu.make_bounds_prior` — prior/simulator agreement
+    is what SBC checks *given*, so they must match), simulates Gaussian
+    datasets ``y = f(x, theta) + data_error * N(0, 1)`` on the shared
+    grid ``x``, fits all of them as one :class:`BatchedFit`, and ranks
+    each truth among ``n_draws`` thinned posterior draws from its
+    walker block.
+
+    ``simulate(rng, mu) -> y`` overrides the Gaussian observation model
+    (it must match the likelihood the fit uses — pass ``config`` /
+    a prebuilt ``fit`` for non-Gaussian pipelines).  ``fit`` (a
+    constructed-but-unstepped BatchedFit over the simulated datasets)
+    overrides the default construction entirely; ``sbc_check`` then
+    only drives the stepping and ranking.
+
+    Interpretation: ∪-shaped rank histograms = posterior too narrow
+    (e.g. understated ``data_error``), ∩-shaped = too wide, sloped =
+    biased.  ``result.p_values`` quantifies per parameter.
+    """
+    from .batched import BatchedFit
+    from .priors import make_bounds_prior
+
+    if n_bins is None:
+        # >= 5 expected counts per bin keeps the chi-square approximation
+        # honest at small n_sims.
+        n_bins = int(max(4, min(20, n_sims // 5)))
+    keys = tuple(bounds.keys())
+    lo = np.asarray([bounds[k][0] for k in keys], np.float64)
+    hi = np.asarray([bounds[k][1] for k in keys], np.float64)
+    rng = np.random.default_rng(seed)
+    truths = rng.uniform(lo, hi, size=(n_sims, len(keys)))
+
+    x = np.asarray(x, np.float64)
+    sim_err = None if callable(simulate) else np.broadcast_to(
+        np.asarray(data_error, np.float64), x.shape[:1]).astype(np.float64)
+
+    datasets, guesses = [], []
+    for i in range(n_sims):
+        p_true = dict(zip(keys, truths[i]))
+        mu = np.asarray(function(jnp.asarray(x),
+                                 {k: jnp.asarray(v) for k, v in p_true.items()}))
+        y = simulate(rng, mu) if simulate else mu + sim_err * rng.standard_normal(x.shape[0])
+        datasets.append((x, y))
+        # Independent prior draw as the guess: starting AT the truth
+        # would mask burn-in defects, which are part of what SBC audits.
+        guesses.append(dict(zip(keys, rng.uniform(lo, hi))))
+
+    if fit is None:
+        fit = BatchedFit(
+            function, datasets, guesses, data_error=data_error,
+            log_prior=make_bounds_prior(dict(bounds)),
+            walkers_per_dataset=walkers_per_dataset, seed=seed,
+            walker_jitter=0.0, config=config,
+        )
+        W = fit.n_walkers
+        if fit.config.history_walkers and fit.config.history_walkers < W:
+            # Ranks need every dataset block retained in host history;
+            # the evenly-spaced walker subsample would cross blocks.
+            fit.config = dataclasses.replace(fit.config, history_walkers=0)
+    B = fit.walkers_per_dataset
+
+    fit.adaptive_steps(n_steps, temperature=temperature, auto=None)
+    fit.burn_steps(int(len(fit) * burn_fraction))
+
+    pos, _ = fit._history(None)                       # (T, S*B, d)
+    pos = np.asarray(pos)
+    t_rows = pos.shape[0]
+    if t_rows * B < n_draws:
+        raise ValueError(
+            f"sbc_check: only {t_rows * B} retained draws per dataset "
+            f"(need n_draws={n_draws}) — raise n_steps or lower burn_fraction")
+
+    ranks = np.empty((n_sims, len(keys)), np.int64)
+    for s in range(n_sims):
+        block = pos[:, s * B:(s + 1) * B, :].reshape(-1, len(keys))
+        idx = np.linspace(0, block.shape[0] - 1, n_draws).astype(int)
+        draws = block[idx]                            # (L, d)
+        ranks[s] = np.sum(draws < truths[s][None, :], axis=0)
+
+    p_values = {
+        k: _uniformity_pvalue(ranks[:, j], n_draws, n_bins)
+        for j, k in enumerate(keys)
+    }
+    return SBCResult(ranks=ranks, n_draws=n_draws, n_bins=n_bins,
+                     keys=keys, p_values=p_values, true_params=truths)
