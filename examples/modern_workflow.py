@@ -2,15 +2,21 @@
 
 A complete Bayesian analysis on a synthetic two-peak spectrum:
 
+0. prior check     — prior predictive replicates vs the data's scale
 1. global search   — parallel tempering (`tempered_steps`)
 2. MAP polish      — multi-start gradient ascent (`optimize`)
 3. posterior draws — gradient MALA at T=1 (`sampling_steps`)
-4. uncertainty     — ESS/R-hat diagnostics + derived-quantity intervals
+4. uncertainty     — rank-R-hat/tail-ESS/MCSE convergence verdict,
+                     derived-quantity intervals, posterior predictive
+                     coverage (`convergence`, `posterior_predictive`)
 5. model choice    — evidence + Bayes factor between one- and two-peak
                      models (`log_evidence`, `log_bayes_factor`), plus
                      the prior-free predictive view (`diagnostics.waic`)
+6. pipeline audit  — simulation-based calibration of the whole fit
+                     pipeline, all simulated datasets as one batched
+                     ensemble (`sbc_check`)
 
-Run: ``python examples/modern_workflow.py`` (CPU-friendly, ~1-2 min).
+Run: ``python examples/modern_workflow.py`` (CPU-friendly, ~2 min).
 """
 
 import os
@@ -52,6 +58,13 @@ def main():
         data_error=2e-6, log_prior=make_bounds_prior(BOUNDS2),
         n_walkers=256, seed=0, walker_jitter=0.05)
 
+    # 0. Prior predictive check BEFORE fitting: do prior + model even
+    # generate data on the observed scale?  (A prior whose replicates
+    # never reach the data's magnitude is fighting the fit.)
+    (pp,) = w.prior_predictive(n_samples=200)   # bounds recovered from prior
+    print(f"prior predictive: y_rep spans [{pp.y_rep.min():.2e}, "
+          f"{pp.y_rep.max():.2e}], data spans [{y.min():.2e}, {y.max():.2e}]")
+
     # 1. Tempered global search: hot rungs cross the peak-swap barriers.
     w.tempered_steps(8000, rungs=8)
     # 2. Gradient polish of whatever basins the search found.
@@ -69,6 +82,17 @@ def main():
     print(diagnostics.summary(w))
     mid, lo, hi = mfit.expression_credible_interval(w, "(- :mu2 :mu1)")
     print(f"peak splitting mu2-mu1 = {mid:.2f}  [{lo:.2f}, {hi:.2f}] @95%")
+
+    # The one-call modern convergence verdict (Vehtari 2021): rank-
+    # normalized bulk+tail R-hat < 1.01 AND tail ESS > 100 per param.
+    rep = diagnostics.convergence(w)
+    print(f"convergence: ok={rep['ok']}"
+          + ("" if rep["ok"] else f" failures={rep['failures'][:2]}"))
+
+    # Posterior predictive: replicates carry the observation noise, so
+    # coverage says whether the noise model explains the scatter.
+    (d,) = w.posterior_predictive(max_samples=128)
+    print(f"posterior predictive coverage @90% band: {d.coverage():.1%}")
 
     # 5. Model comparison: does the data support two peaks over one?
     w2 = mfit.walker_create(
@@ -125,6 +149,27 @@ def main():
     print(f"WAIC elpd: two-peak {r2.elpd:.1f} (p={r2.p_waic:.1f})  "
           f"one-peak {r1.elpd:.1f} (p={r1.p_waic:.1f})  "
           f"diff {cmp['elpd_diff']:.1f} +- {cmp['se_diff']:.1f}")
+
+    # 6. Audit the pipeline itself: simulate datasets from the one-peak
+    # prior, fit ALL of them as one batched ensemble, and test that the
+    # truth's rank among posterior draws is uniform.  Non-uniform ranks
+    # would mean the machinery above (kernel, anneal, noise model) is
+    # producing miscalibrated posteriors — for every model it touches.
+    # SBC catches real defects, measured on this very model: (a) at
+    # n_steps=3000/T=2 it fails (worst p ~ 2e-5 — some sims never find
+    # their narrow mode, truths pin at rank 0/63) until the canonical
+    # hot-anneal recipe is used; (b) at data_error=2e-6 it fails under
+    # the TPU's f32 default (worst p ~ 4e-4) while passing under f64 —
+    # the f32 posterior widths are wrong at that SNR.  The settings
+    # below are the measured-calibrated ones for f32 and f64 alike.
+    sbc = mfit.sbc_check(
+        lorentzian_bg, BOUNDS1, x, 5e-6,
+        n_sims=24, walkers_per_dataset=32, n_steps=16000,
+        temperature=10.0, burn_fraction=0.75, seed=4)
+    print(f"SBC pipeline audit: ok={sbc.ok()} "
+          f"(worst p={min(sbc.p_values.values()):.3g} over "
+          f"{len(sbc.keys)} params, {sbc.n_sims} simulated fits "
+          f"in one batched run)")
 
 
 if __name__ == "__main__":

@@ -58,7 +58,8 @@ from .likelihoods import (
     log_normal,
     log_poisson,
 )
-from .predictive import PredictiveDraws, posterior_predictive, ppc_pvalue
+from .predictive import (PredictiveDraws, posterior_predictive,
+                         ppc_pvalue, prior_predictive)
 from .sbc import SBCResult, sbc_check
 from .priors import (
     bound_penalty,
@@ -137,6 +138,7 @@ __all__ = [
     "PredictiveDraws",
     "posterior_predictive",
     "ppc_pvalue",
+    "prior_predictive",
     "SBCResult",
     "sbc_check",
     "read_file_data",

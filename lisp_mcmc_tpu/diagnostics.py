@@ -176,6 +176,13 @@ def metrics(walker, take: int | None = None, elapsed_seconds: float | None = Non
         "ess": ess,
         "min_ess": min(ess.values()) if ess else 0.0,
         "rhat": rhat_from_history(pos, walker.spec.keys),
+        # sqrt(var/ESS) from the already-fetched history: the "+-" each
+        # posterior-mean estimate should be quoted with.
+        "mcse": {
+            k: float(jnp.sqrt(jnp.var(pos[:, :, i], ddof=1)
+                              / max(ess[k], 1.0)))
+            for i, k in enumerate(walker.spec.keys)
+        },
     }
     if elapsed_seconds:
         out["chain_steps_per_sec"] = walker.age * walker.n_walkers / elapsed_seconds
@@ -191,11 +198,12 @@ def summary(walker, take: int | None = None) -> str:
         f"walker ensemble: {m['n_walkers']} walkers x {m['age']} steps, "
         f"acceptance {m['acceptance']:.3f}",
         f"best log-posterior: {m['best_logprob']:.6f}",
-        "params (best | R-hat | ESS):",
+        "params (best | MCSE | R-hat | ESS):",
     ]
     for k in walker.spec.keys:
         lines.append(
-            f"  {k:>12s} = {m['best_params'][k]: .8g}   "
+            f"  {k:>12s} = {m['best_params'][k]: .8g} "
+            f"+- {m['mcse'][k]:.2g}   "
             f"R-hat {m['rhat'][k]:.3f}   ESS {m['ess'][k]:.0f}"
         )
     return "\n".join(lines)

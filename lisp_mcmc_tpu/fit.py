@@ -1259,6 +1259,12 @@ class Walker:
 
         return ppc_pvalue(self, *args, **kwargs)
 
+    def prior_predictive(self, *args, **kwargs):
+        """Replicated datasets from the PRIOR (before-fitting check)."""
+        from .predictive import prior_predictive
+
+        return prior_predictive(self, *args, **kwargs)
+
     def with_expression(self, expr: str, take: int | None = 1000):
         """Derived quantity at the most-likely params (``walker-with-exp``)."""
         from .expressions import walker_with_expression

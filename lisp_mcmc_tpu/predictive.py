@@ -37,7 +37,8 @@ from .likelihoods import (
     log_likelihood_poisson,
 )
 
-__all__ = ["PredictiveDraws", "posterior_predictive", "ppc_pvalue"]
+__all__ = ["PredictiveDraws", "posterior_predictive", "prior_predictive",
+           "ppc_pvalue"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,14 +107,7 @@ def posterior_predictive(walker, take: int | None = None,
     Same caveat as WAIC/LOO: the history must be posterior samples —
     burn the anneal phase first, or pass ``take=`` for the tail.
     """
-    if getattr(walker, "group_ids", None) is not None:
-        raise ValueError("posterior_predictive: grouped/batched fits mix "
-                         "per-dataset populations in one history; compute "
-                         "per dataset (BatchedFit -> per-dataset walkers)")
-    if getattr(walker, "_custom_log_post", None) is not None or \
-            getattr(walker, "_custom_batched", None) is not None:
-        raise ValueError("posterior_predictive: custom posteriors have no "
-                         "dataset terms to replicate")
+    _check_decomposable(walker, "posterior_predictive")
     pos, _ = walker.steps(take)
     if pos.shape[0] == 0:
         raise ValueError("posterior_predictive: no collected history (run "
@@ -122,15 +116,69 @@ def posterior_predictive(walker, take: int | None = None,
     idx = np.unique(np.linspace(0, n_avail - 1,
                                 min(max_samples, n_avail)).astype(int))
     samples = jnp.asarray(np.asarray(pos)[idx], walker.dtype)
-    spec = walker.spec
+    return _replicate(walker, samples, seed, sampler, "posterior_predictive")
 
+
+def prior_predictive(walker, bounds=None, n_samples: int = 256,
+                     seed: int = 0, sampler: Callable | None = None,
+                     ) -> list[PredictiveDraws]:
+    """Draw replicated datasets from the PRIOR — the before-fitting check.
+
+    The first step of the standard Bayesian workflow: simulate what the
+    model + prior claim data could look like *before* conditioning, and
+    eyeball it against the observed scale (a prior whose replicates
+    never reach the data's magnitude is fighting the fit; one orders of
+    magnitude too wide wastes annealing).  Parameters draw uniformly
+    from ``bounds``; when omitted, the bounds table is recovered from a
+    :func:`~lisp_mcmc_tpu.make_bounds_prior` prior on the walker's
+    terms.  Same noise-model dispatch as :func:`posterior_predictive`.
+    """
+    _check_decomposable(walker, "prior_predictive")
+    if bounds is None:
+        for t in walker.terms:
+            b = getattr(t.prior, "_bounds", None)
+            if b:
+                bounds = b
+                break
+        if bounds is None:
+            raise ValueError(
+                "prior_predictive: pass bounds= (the walker's prior is not "
+                "a make_bounds_prior table, so there is nothing to draw "
+                "parameters from)")
+    keys = walker.spec.keys
+    missing = [k for k in keys if k not in bounds]
+    if missing:
+        raise ValueError(f"prior_predictive: bounds missing {missing}")
+    rng = np.random.default_rng(seed)
+    lo = np.asarray([bounds[k][0] for k in keys], np.float64)
+    hi = np.asarray([bounds[k][1] for k in keys], np.float64)
+    samples = jnp.asarray(rng.uniform(lo, hi, size=(n_samples, len(keys))),
+                          walker.dtype)
+    return _replicate(walker, samples, seed, sampler, "prior_predictive")
+
+
+def _check_decomposable(walker, name: str) -> None:
+    if getattr(walker, "group_ids", None) is not None:
+        raise ValueError(f"{name}: grouped/batched fits mix per-dataset "
+                         "populations in one history; compute per dataset "
+                         "(BatchedFit -> per-dataset walkers)")
+    if getattr(walker, "_custom_log_post", None) is not None or \
+            getattr(walker, "_custom_batched", None) is not None:
+        raise ValueError(f"{name}: custom posteriors have no dataset terms "
+                         "to replicate")
+
+
+def _replicate(walker, samples, seed: int, sampler: Callable | None,
+               name: str) -> list[PredictiveDraws]:
+    """Shared back end: (S, d) parameter draws -> per-term PredictiveDraws."""
+    spec = walker.spec
     out = []
     key = jax.random.PRNGKey(seed)
     for ti, term in enumerate(walker.terms):
         draw = sampler or _SAMPLERS.get(term.likelihood)
         if draw is None:
             raise ValueError(
-                "posterior_predictive: no noise model for likelihood "
+                f"{name}: no noise model for likelihood "
                 f"{getattr(term.likelihood, '__name__', term.likelihood)!r}"
                 " — pass sampler=(key, mu, dataset) -> y_rep")
 

@@ -123,6 +123,48 @@ def test_fresh_walker_replicates_from_ensemble():
     assert d.y_rep.shape == (8, 10)
 
 
+def test_prior_predictive_explicit_bounds(calibrated):
+    w, x, _ = calibrated
+    (d,) = w.prior_predictive(bounds={"m": (0.5, 3.0), "b": (-2.0, 2.0)},
+                              n_samples=200)
+    assert d.y_rep.shape == (200, x.size)
+    # Prior replicates span far wider than any one posterior: the slope
+    # range [0.5, 3] alone moves y(10) across [5, 30].
+    assert d.y_rep[:, -1].std() > 3.0
+    # All curves stay inside what the bounds allow (+noise slack).
+    assert d.mu[:, -1].max() <= 3.0 * 10.0 + 2.0 + 1e-9
+    assert d.mu[:, -1].min() >= 0.5 * 10.0 - 2.0 - 1e-9
+
+
+def test_prior_predictive_recovers_bounds_from_prior():
+    x = np.linspace(0.0, 10.0, 30)
+    w = mfit.walker_create(
+        function=line, data=(x, 2.0 * x + 1.0),
+        params={"m": 1.5, "b": 0.5}, data_error=0.2, n_walkers=8, seed=0,
+        log_prior=mfit.make_bounds_prior({"m": (1.0, 3.0), "b": (0.0, 2.0)}),
+    )
+    (d,) = w.prior_predictive(n_samples=64)
+    assert d.y_rep.shape == (64, 30)
+    # Without a bounds table anywhere, it must refuse.
+    w2 = mfit.walker_create(
+        function=line, data=(x, 2.0 * x + 1.0),
+        params={"m": 1.5, "b": 0.5}, data_error=0.2, n_walkers=8, seed=0,
+    )
+    with pytest.raises(ValueError, match="bounds"):
+        w2.prior_predictive()
+
+
+def test_metrics_and_summary_carry_mcse(calibrated):
+    from lisp_mcmc_tpu import diagnostics
+
+    w, _, _ = calibrated
+    m = diagnostics.metrics(w)
+    assert set(m["mcse"]) == {"m", "b"}
+    assert all(v > 0 for v in m["mcse"].values())
+    s = diagnostics.summary(w)
+    assert "MCSE" in s
+
+
 def test_ppc_plot_saves(calibrated, tmp_path):
     w, _, _ = calibrated
     path = str(tmp_path / "ppc.png")
