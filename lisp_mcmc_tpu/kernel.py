@@ -663,6 +663,14 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         so acceptance is the plain tempered MH ratio; the red-black
         update order (low half against high, high against UPDATED low)
         keeps the move exact, as for stretch.
+
+        Sharding note: unlike rwm/mala/stretch (bitwise-identical
+        sharded vs unsharded, test_parallel.py), demc is *statistically*
+        but not bitwise sharding-invariant — XLA's fusion choices for
+        this graph differ between partitionings by 1-ULP rounding
+        (measured: input-dependent, flips with unrelated graph edits),
+        which chaos-amplifies over a chunk.  Same random stream, same
+        distribution, different trajectories.
         """
         state, accept_counts, force_cold = carry
         dtype = state.position.dtype

@@ -102,6 +102,57 @@ def test_sharded_mala_rescue_matches_single_device(mesh):
     )
 
 
+def test_sharded_stretch_matches_single_device(mesh):
+    """The stretch kernel (half-ensemble reshape + donor gathers) stays
+    GSPMD-partitionable AND bitwise identical sharded vs unsharded."""
+    import dataclasses
+
+    w = _make_walker(64)
+    config = dataclasses.replace(w.config, kernel="stretch")
+    run, _ = build_chunk_runner(w._log_post_one, w.ndim, config,
+                                takes_data=True)
+    step = jax.jit(run)
+    data = w._posterior_data()
+
+    state_single, out_single = step(w.state, True, True, False, data)
+    state_sharded, out_sharded = step(
+        shard_state(w.state, mesh), True, True, False, data)
+
+    np.testing.assert_allclose(
+        np.asarray(state_single.position),
+        np.asarray(state_sharded.position), rtol=1e-10)
+    np.testing.assert_allclose(
+        float(out_single["accept_rate"]),
+        float(out_sharded["accept_rate"]), rtol=1e-10)
+
+
+def test_sharded_demc_statistically_matches_single_device(mesh):
+    """demc shards correctly but is only STATISTICALLY sharding-
+    invariant: XLA fusion rounding differs between partitionings by
+    1 ULP (measured, input-dependent) and chaos-amplifies over the
+    chunk — see one_step_demc's sharding note.  Assert the statistical
+    contract: same acceptance to ~per-walker-count resolution, same
+    ensemble location/scale, finite everywhere."""
+    import dataclasses
+
+    w = _make_walker(64)
+    config = dataclasses.replace(w.config, kernel="demc")
+    run, _ = build_chunk_runner(w._log_post_one, w.ndim, config,
+                                takes_data=True)
+    step = jax.jit(run)
+    data = w._posterior_data()
+
+    s1, o1 = step(w.state, True, True, False, data)
+    s2, o2 = step(shard_state(w.state, mesh), True, True, False, data)
+
+    assert np.isfinite(np.asarray(s2.position)).all()
+    assert float(o2["accept_rate"]) == pytest.approx(
+        float(o1["accept_rate"]), abs=0.05)
+    p1, p2 = np.asarray(s1.position), np.asarray(s2.position)
+    np.testing.assert_allclose(p1.mean(axis=0), p2.mean(axis=0), atol=0.05)
+    np.testing.assert_allclose(p1.std(axis=0), p2.std(axis=0), rtol=0.5)
+
+
 def test_sharded_adaptive_fit(mesh):
     """A full sharded fit converges like the single-device one."""
     w = _make_walker(64).shard(mesh)
