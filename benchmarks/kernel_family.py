@@ -72,34 +72,57 @@ def make_d48(n_walkers=8192, d=48, seed=3):
     return w
 
 
-def run_kernel(w, kernel, measure_steps=2000, adapt_steps=6000):
-    import jax
+def run_kernel(w, kernel, measure_chunks=10, adapt_chunks=30):
+    """One kernel's table row, measured DEVICE-side.
 
-    import lisp_mcmc_tpu as mfit
+    Everything timed stays on the chip: history chunks accumulate as
+    device arrays and ESS reduces there (ess_from_history transfers d
+    scalars).  A host-side history path measures the axon tunnel, not
+    the kernel — observed 7x low on this exact protocol (226M -> 31M
+    rwm steps/sec) before this was fixed.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
     from lisp_mcmc_tpu.diagnostics import ess_from_history
 
     snap = jax.tree_util.tree_map(lambda a: a, w.state)  # restore point
-    hist0 = (list(w._hist_positions), list(w._hist_logprobs))
+    prev_cfg = w.config
+    chunk = w.config.chunk_size
     try:
-        w.sampling_steps(adapt_steps, kernel=kernel, collect_history=False)
-        # Clean measurement window: drop rows retained by the converge
-        # phase (config.thin=10 default governs the measured capture).
-        w._hist_positions, w._hist_logprobs = [], []
-        t0 = time.time()
-        w.sampling_steps(measure_steps, kernel=kernel)
+        w.config = dataclasses.replace(w.config, kernel=kernel, n_steps=0)
+        run = w._runner(with_history=False)
+        hist_runner = w._runner(with_history=True)
+        data = w._posterior_data()
+        # Kernel-specific cold adaptation (force_cold pins T=1).
+        for _ in range(adapt_chunks):
+            w.state, _ = run(w.state, True, True, True, data)
+        w.state, _ = hist_runner(w.state, True, True, True, data)  # warm compile
         jax.block_until_ready(w.state.position)
-        dt = time.time() - t0
-        acc = w.acceptance()
-        pos, _ = w._history(None)
-        ess = ess_from_history(np.asarray(pos), w.spec.keys)
+
+        t0 = time.perf_counter()
+        device_hist, accs = [], []
+        for _ in range(measure_chunks):
+            w.state, out = hist_runner(w.state, True, True, True, data)
+            device_hist.append(out["positions"])       # stays on device
+            accs.append(out["accept_rate"])            # device scalar
+        positions = jnp.concatenate(device_hist, axis=0)
+        jax.block_until_ready(positions)
+        dt = time.perf_counter() - t0
+
+        ess = ess_from_history(positions, w.spec.keys)
         min_ess = min(ess.values())
-        sps = measure_steps * w.n_walkers / dt
-        return {"kernel": kernel, "acceptance": acc, "steps_per_sec": sps,
+        steps = measure_chunks * chunk
+        acc = float(jnp.mean(jnp.stack(accs)))
+        return {"kernel": kernel, "acceptance": acc,
+                "steps_per_sec": steps * w.n_walkers / dt,
                 "min_ess": min_ess, "ess_per_sec": min_ess / dt,
                 "seconds": dt}
     finally:
+        w.config = prev_cfg
         w.state = snap                     # restores age with it
-        w._hist_positions, w._hist_logprobs = hist0
 
 
 def main():

@@ -442,6 +442,30 @@ class Walker:
                 "auto='rhat' computes split R-hat from the retained walker "
                 "history; run with collect_history=True (or another auto mode)"
             )
+        if cfg.kernel in ("stretch", "demc") and not cfg.greedy:
+            # Pure ensemble moves CANNOT create spread they do not have:
+            # a coordinate every walker agrees on exactly stays frozen
+            # forever (stretch: prop_c = x_j,c + z (x_k,c - x_j,c) =
+            # x_k,c; demc: the donor difference is 0), with acceptance
+            # pinned at 1 — a fit that silently does nothing.  The two
+            # ways to get there are walker_jitter=0 creation and
+            # reset_to_most_likely(); both are caught here, per
+            # adaptation group (a single collapsed group in a batched
+            # fit is just as frozen).
+            pos = np.asarray(self.state.position)
+            if self.group_ids is not None and self.n_groups:
+                g = pos.reshape(self.n_groups, -1, pos.shape[-1])
+                collapsed = (np.ptp(g, axis=1) == 0.0).any()
+            else:
+                collapsed = (np.ptp(pos, axis=0) == 0.0).any()
+            if collapsed:
+                raise ValueError(
+                    f"{cfg.kernel} kernel: the ensemble has zero spread in "
+                    "at least one coordinate (per adaptation group), which "
+                    "ensemble moves can never escape — create the walker "
+                    "with walker_jitter > 0, or run an rwm anneal first "
+                    "(after reset_to_most_likely, take some rwm steps "
+                    "before switching kernels)")
         # Each adaptive run gets a fresh annealing clock (the reference
         # indexes its temps list by the do-loop's own counter, 919-921).
         self.state = dataclasses.replace(

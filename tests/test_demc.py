@@ -164,6 +164,42 @@ def test_demc_batched_fit():
         assert p["tau"] == pytest.approx(tau, rel=0.15)
 
 
+def test_demc_rejects_collapsed_ensemble():
+    """Pure ensemble moves cannot create spread they do not have: a
+    zero-jitter start (or reset_to_most_likely) must raise, not silently
+    freeze with acceptance pinned at 1 (measured failure mode)."""
+    import jax.numpy as jnp
+
+    def model(x, p):
+        return jnp.zeros_like(x)
+
+    w = mfit.walker_create(
+        function=model, data=([0.0, 1.0], [0.0, 0.0]),
+        params={"a": 0.5, "b": -1.0},
+        log_likelihood=lambda fn, p, ds: -0.5 * (p["a"] ** 2 + p["b"] ** 2),
+        n_walkers=16, seed=0, walker_jitter=0.0,   # <- degenerate start
+        config=FitConfig(kernel="demc"),
+    )
+    with pytest.raises(ValueError, match="zero spread"):
+        w.adaptive_steps(200, auto=None)
+
+
+def test_reset_then_ensemble_kernel_guarded():
+    """The documented reset->sample recipe must fail loudly for the
+    ensemble kernels (reset_to_most_likely collapses every walker to
+    one point) and work again after regenerating spread with rwm."""
+    w, _, _ = _gaussian_walker(n_walkers=32)
+    w.adaptive_steps(1000, temperature=1.0, auto=None)
+    w.reset_to_most_likely()
+    with pytest.raises(ValueError, match="zero spread"):
+        w.sampling_steps(200, kernel="demc")
+    with pytest.raises(ValueError, match="zero spread"):
+        w.sampling_steps(200, kernel="stretch")
+    w.sampling_steps(400, kernel="rwm")   # regenerate spread with rwm
+    w.sampling_steps(400, kernel="demc")
+    assert 0.0 < w.acceptance() < 1.0
+
+
 def test_demc_needs_four_walkers_per_group():
     w, _, _ = _gaussian_walker(n_walkers=2)
     with pytest.raises(ValueError, match=">= 4 walkers"):
