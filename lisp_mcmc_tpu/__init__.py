@@ -39,7 +39,8 @@ from .checkpoint import (
 )
 from .control import clear_stop, estop, request_stop, stop_requested
 from .data import Dataset, clean_data, clean_data_error, create_walker_data
-from .evidence import EvidenceResult, log_bayes_factor, log_evidence
+from .evidence import (EvidenceResult, LaplaceResult, laplace_approx,
+                       log_bayes_factor, log_evidence)
 from .smc import SMCResult, smc_sample
 from .expressions import (
     expression_credible_interval,
@@ -103,6 +104,8 @@ __all__ = [
     "WalkerSet",
     "WalkerState",
     "EvidenceResult",
+    "LaplaceResult",
+    "laplace_approx",
     "SMCResult",
     "bound_penalty",
     "clean_data",

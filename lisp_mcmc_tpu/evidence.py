@@ -40,7 +40,8 @@ import math
 
 import numpy as np
 
-__all__ = ["EvidenceResult", "log_evidence", "log_bayes_factor"]
+__all__ = ["EvidenceResult", "log_evidence", "log_bayes_factor",
+           "LaplaceResult", "laplace_approx"]
 
 
 def _logmeanexp(x: np.ndarray) -> float:
@@ -70,6 +71,98 @@ class EvidenceResult:
         return (f"EvidenceResult(log_z={self.log_z:.4f}, "
                 f"log_z_ti={self.log_z_ti:.4f}, error={self.error:.4f}, "
                 f"rungs={len(self.betas)}, tail={self.tail:.4f})")
+
+
+@dataclasses.dataclass(frozen=True)
+class LaplaceResult:
+    """Gaussian (Laplace) approximation at the MAP.
+
+    ``cov`` is the inverse negative-log-posterior Hessian (curvature
+    covariance), ``sd`` its per-parameter square-root diagonal, and
+    ``log_z`` the Laplace evidence under the same uniform-in-bounds
+    convention as :func:`log_evidence` (``None`` when no bounds table
+    was resolvable).  ``n_clamped`` counts Hessian eigenvalues at or
+    below the positive floor — nonzero means the MAP sits on a flat or
+    saddle direction and both ``cov`` and ``log_z`` are unreliable
+    along it (the flagship fit's degenerate ridge is the canonical
+    case; trust the MCMC posterior instead there).
+    """
+
+    mode: dict
+    lp_map: float
+    cov: np.ndarray
+    sd: dict
+    log_z: float | None
+    n_clamped: int
+
+    def __repr__(self):
+        z = "None" if self.log_z is None else f"{self.log_z:.3f}"
+        return (f"LaplaceResult(lp_map={self.lp_map:.4f}, log_z={z}, "
+                f"n_clamped={self.n_clamped})")
+
+
+def laplace_approx(walker, bounds=None, eig_floor: float = 1e-12):
+    """Curvature uncertainty + instant evidence from one Hessian.
+
+    The quadratic expansion of the log-posterior at the best step: one
+    ``jax.hessian`` evaluation (the autodiff surface the Lisp reference
+    never had) gives per-parameter standard deviations and — with a
+    bounds table, resolved like :func:`~lisp_mcmc_tpu.prior_predictive`
+    from a ``make_bounds_prior`` term when omitted — the closed-form
+    evidence
+
+        log Z ~= lp(MAP) + (d/2) log 2pi + (1/2) log|H^-1| - log V
+
+    under :func:`log_evidence`'s uniform-in-bounds convention, so the
+    three estimators (ladder stepping-stone, SMC, Laplace) cross-check
+    each other (the r1 DESIGN anchor at ~2952-2954 on the two-peak fit
+    was exactly this quantity, now public).  Run :meth:`Walker.optimize`
+    first for a true MAP; a leftover MH optimum is close but its
+    curvature can differ.  Hessian eigenvalues are clamped at
+    ``eig_floor`` x the largest; ``n_clamped`` > 0 flags degenerate
+    directions where the Gaussian picture is wrong.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if getattr(walker, "aux", None) is not None:
+        raise ValueError("laplace_approx: grouped/aux ensembles have no "
+                         "single posterior surface; use per-dataset walkers")
+    lp_map, mode = walker.most_likely_step()
+    theta = jnp.asarray(walker.spec.flatten(mode), walker.dtype)
+    data = walker._posterior_data()
+
+    neg_hess = -jax.hessian(lambda v: walker._log_post_one(v, data))(theta)
+    h = np.asarray(neg_hess, np.float64)
+    h = 0.5 * (h + h.T)
+    evals, evecs = np.linalg.eigh(h)
+    floor = eig_floor * max(float(evals.max()), 1e-300)
+    n_clamped = int(np.sum(evals <= floor))
+    evals = np.maximum(evals, floor)
+    cov = (evecs / evals) @ evecs.T
+    sd = {k: float(np.sqrt(cov[i, i]))
+          for i, k in enumerate(walker.spec.keys)}
+
+    if bounds is None:
+        for t in getattr(walker, "terms", []):
+            b = getattr(t.prior, "_bounds", None)
+            if b:
+                bounds = b
+                break
+    log_z = None
+    if bounds is not None:
+        keys = walker.spec.keys
+        missing = [k for k in keys if k not in bounds]
+        if missing:
+            raise ValueError(f"laplace_approx: bounds missing {missing}")
+        log_v = float(sum(math.log(bounds[k][1] - bounds[k][0])
+                          for k in keys))
+        d = len(keys)
+        log_det_cov = float(-np.sum(np.log(evals)))
+        log_z = float(lp_map) + 0.5 * d * math.log(2.0 * math.pi) \
+            + 0.5 * log_det_cov - log_v
+    return LaplaceResult(mode=mode, lp_map=float(lp_map), cov=cov, sd=sd,
+                         log_z=log_z, n_clamped=n_clamped)
 
 
 def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,

@@ -1289,6 +1289,12 @@ class Walker:
 
         return prior_predictive(self, *args, **kwargs)
 
+    def laplace_approx(self, *args, **kwargs):
+        """Curvature covariance + Laplace evidence at the MAP."""
+        from .evidence import laplace_approx
+
+        return laplace_approx(self, *args, **kwargs)
+
     def with_expression(self, expr: str, take: int | None = 1000):
         """Derived quantity at the most-likely params (``walker-with-exp``)."""
         from .expressions import walker_with_expression
