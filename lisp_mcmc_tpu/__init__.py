@@ -52,6 +52,8 @@ from .io import get_filename, read_file_data
 from .kernel import FitConfig, WalkerState, temperature_schedule
 from .likelihoods import (
     create_log_likelihood_function,
+    make_noise_scale_likelihood,
+    make_student_t_likelihood,
     log_likelihood_normal,
     log_likelihood_normal_cutoff,
     log_likelihood_normal_weighted,
@@ -133,6 +135,8 @@ __all__ = [
     "log_poisson",
     "log_prior_flat",
     "make_bounds_prior",
+    "make_noise_scale_likelihood",
+    "make_student_t_likelihood",
     "make_plist",
     "map_tree",
     "mcmc_fit",

@@ -45,6 +45,8 @@ __all__ = [
     "log_likelihood_normal_cutoff",
     "log_likelihood_normal_weighted",
     "log_likelihood_poisson",
+    "make_student_t_likelihood",
+    "make_noise_scale_likelihood",
     "create_log_likelihood_function",
     "resolve_likelihood",
     "pointwise_log_likelihood",
@@ -113,6 +115,111 @@ def log_likelihood_poisson(fn, params, dataset: Dataset):
     # masked), so it never enters the per-step hot block.
     lp = (dataset.y * jnp.log(lam) - lam) * dataset.mask
     return jnp.sum(lp) - jnp.sum(dataset.log_fact_y)
+
+
+def make_student_t_likelihood(nu: float = 4.0):
+    """Outlier-robust Student-t likelihood factory (new TPU surface).
+
+    The Gaussian reduction (``log_likelihood_normal``) lets a single
+    bad point veto the fit — its quadratic tail charges z^2/2 per
+    sigma.  Student-t with ``nu`` degrees of freedom charges only
+    (nu+1)/2 * log(1 + z^2/nu): outliers are *discounted*, not fatal,
+    and the fit converges to the consensus of the inliers (tested
+    against a contaminated line fit).  ``nu -> inf`` recovers the
+    Gaussian; nu=4 is a good general-purpose default (finite variance
+    needs nu > 2).  Nearest reference analogue: the hard clamp of
+    ``log-liklihood-normal-cutoff`` (mcmc-fitting.lisp:419-427), which
+    flattens the tail entirely instead of heavy-tailing it.
+
+    Ships its per-point form (WAIC/PSIS-LOO ready) and a predictive
+    sampler, so the whole predictive toolchain works unchanged.
+    """
+    nu = float(nu)
+    if nu <= 0:
+        raise ValueError("make_student_t_likelihood: nu must be > 0")
+    const = float(gammaln((nu + 1.0) / 2.0) - gammaln(nu / 2.0)
+                  - 0.5 * math.log(nu * math.pi))
+    half = 0.5 * (nu + 1.0)
+
+    def likelihood(fn, params, dataset: Dataset):
+        mu = _model_eval(fn, params, dataset.x)
+        z = (dataset.y - mu) * dataset.inv_sigma         # masked
+        # log sigma term reuses the cached Gaussian constant: the
+        # per-point Student-t constant differs from the Gaussian's
+        # -log(2 pi)/2 by (const + log(2 pi)/2), a scalar.
+        n_real = jnp.sum(dataset.mask)
+        return (dataset.log_norm_const
+                + (const + 0.5 * _LOG_2PI) * n_real
+                - half * jnp.sum(jnp.log1p(z * z / nu)))
+
+    def _pointwise(fn, params, dataset: Dataset):
+        mu = _model_eval(fn, params, dataset.x)
+        z = (dataset.y - mu) * dataset.inv_sigma
+        per = (dataset.log_norm_const_point
+               + (const + 0.5 * _LOG_2PI) * dataset.mask
+               - half * jnp.log1p(z * z / nu))
+        return per * dataset.mask
+
+    def _sampler(key, mu, dataset):
+        import jax
+
+        sigma = jnp.asarray(dataset.sigma)[None, : mu.shape[1]]
+        return mu + sigma * jax.random.t(key, nu, mu.shape, mu.dtype)
+
+    likelihood.__name__ = f"student_t_likelihood_nu{nu:g}"
+    likelihood._pointwise = _pointwise
+    likelihood._predictive_sampler = _sampler
+    likelihood._nu = nu
+    return likelihood
+
+
+def make_noise_scale_likelihood(key: str = "noise_scale"):
+    """Gaussian likelihood with the noise level as a FITTED parameter.
+
+    The reference (and ``log_likelihood_normal``) require ``data_error``
+    known up front; in practice it often is not.  This factory reads a
+    noise-scale parameter ``params[key]`` (k) and scales every sigma by
+    it: ``sigma_eff = k * sigma``.  With ``data_error=1`` the parameter
+    IS the noise level.  The whole correction is closed-form on top of
+    the cached constants — ``-N log k`` and ``/k^2`` on the cached
+    z-sum — so the hot block stays multiplies plus one reduction.
+
+    Give k a positive bounds prior (e.g. ``(1e-3, 1e3)``); k <= 0 hits
+    the NaN floor.  The posterior for k is the classic scale posterior
+    (~ sqrt of reduced chi-square at the best fit).  Ships pointwise
+    (WAIC/LOO) and a params-aware predictive sampler, so coverage checks
+    reflect the FITTED noise, closing the understated-``data_error``
+    failure mode the SBC/PPC tests demonstrate.
+    """
+
+    def likelihood(fn, params, dataset: Dataset):
+        k = params[key]
+        mu = _model_eval(fn, params, dataset.x)
+        z = (dataset.y - mu) * dataset.inv_sigma
+        n_real = jnp.sum(dataset.mask)
+        return (dataset.log_norm_const - n_real * jnp.log(k)
+                - 0.5 * jnp.sum(z * z) / (k * k))
+
+    def _pointwise(fn, params, dataset: Dataset):
+        k = params[key]
+        mu = _model_eval(fn, params, dataset.x)
+        z = (dataset.y - mu) * dataset.inv_sigma
+        per = (dataset.log_norm_const_point - jnp.log(k) * dataset.mask
+               - 0.5 * z * z / (k * k))
+        return per * dataset.mask
+
+    def _sampler(rng_key, mu, dataset, params_s):
+        import jax
+
+        sigma = jnp.asarray(dataset.sigma)[None, : mu.shape[1]]
+        k = jnp.asarray(params_s[key])[:, None]          # (S, 1)
+        return mu + k * sigma * jax.random.normal(rng_key, mu.shape, mu.dtype)
+
+    likelihood.__name__ = f"noise_scale_likelihood[{key}]"
+    likelihood._pointwise = _pointwise
+    likelihood._predictive_sampler = _sampler
+    likelihood._noise_key = key
+    return likelihood
 
 
 def create_log_likelihood_function(point_log_likelihood: Callable):

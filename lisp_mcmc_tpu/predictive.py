@@ -171,23 +171,38 @@ def _check_decomposable(walker, name: str) -> None:
 def _replicate(walker, samples, seed: int, sampler: Callable | None,
                name: str) -> list[PredictiveDraws]:
     """Shared back end: (S, d) parameter draws -> per-term PredictiveDraws."""
+    import inspect
+
     spec = walker.spec
     out = []
     key = jax.random.PRNGKey(seed)
     for ti, term in enumerate(walker.terms):
-        draw = sampler or _SAMPLERS.get(term.likelihood)
+        # Dispatch order: explicit sampler > a sampler the likelihood
+        # carries (factory-built likelihoods, e.g. Student-t /
+        # noise-scale) > library identity.
+        draw = sampler \
+            or getattr(term.likelihood, "_predictive_sampler", None) \
+            or _SAMPLERS.get(term.likelihood)
         if draw is None:
             raise ValueError(
                 f"{name}: no noise model for likelihood "
                 f"{getattr(term.likelihood, '__name__', term.likelihood)!r}"
                 " — pass sampler=(key, mu, dataset) -> y_rep")
+        # Samplers whose noise depends on parameters (fitted noise
+        # scale) take a 4th argument: the (S, d) draws as a params
+        # pytree of (S,) leaves.
+        wants_params = len(inspect.signature(draw).parameters) >= 4
 
         def curves(vec, _t=term):
             return _t.fn(_t.dataset.x, spec.unflatten(vec))
 
         mu = jax.jit(jax.vmap(curves))(samples)          # (S, P) padded
         key, sub = jax.random.split(key)
-        y_rep = draw(sub, mu, term.dataset)
+        if wants_params:
+            params_s = jax.vmap(spec.unflatten)(samples)  # dict of (S,)
+            y_rep = draw(sub, mu, term.dataset, params_s)
+        else:
+            y_rep = draw(sub, mu, term.dataset)
         n = term.dataset.n
         out.append(PredictiveDraws(
             term_index=ti,
