@@ -132,6 +132,15 @@ def main():
           f"in {res_smc.n_stages} adaptive stages "
           f"(ladder-vs-SMC gap: {abs(res_smc.log_z - res2.log_z):.2f})")
 
+    # Third estimator, instant: one Hessian at the MAP.  On this smooth
+    # unimodal-per-mode posterior all three should sit within a few
+    # log-units of each other (times 2 for the two symmetric peak
+    # labelings, ~0.7 log-units, inside the tolerance here).
+    lap = w_smc.laplace_approx()
+    print(f"log Z (two-peak, Laplace) = {lap.log_z:.1f} "
+          f"(n_clamped={lap.n_clamped}, "
+          f"Laplace-vs-SMC gap: {abs(lap.log_z - res_smc.log_z):.2f})")
+
     # The predictive (prior-free) view of the same comparison: WAIC off
     # posterior histories alone.  The one-peak model also LOSES
     # predictively here, not just on evidence — both lenses agree.
