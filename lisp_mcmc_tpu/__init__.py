@@ -41,6 +41,7 @@ from .control import clear_stop, estop, request_stop, stop_requested
 from .data import Dataset, clean_data, clean_data_error, create_walker_data
 from .evidence import (EvidenceResult, LaplaceResult, laplace_approx,
                        log_bayes_factor, log_evidence)
+from .nested import NestedResult, nested_sample
 from .smc import SMCResult, smc_sample
 from .expressions import (
     expression_credible_interval,
@@ -61,8 +62,8 @@ from .likelihoods import (
     log_normal,
     log_poisson,
 )
-from .predictive import (PredictiveDraws, posterior_predictive,
-                         ppc_pvalue, prior_predictive)
+from .predictive import (PredictiveDraws, Prediction, posterior_predictive,
+                         ppc_pvalue, predict, prior_predictive)
 from .sbc import SBCResult, sbc_check
 from .priors import (
     bound_penalty,
@@ -108,6 +109,8 @@ __all__ = [
     "EvidenceResult",
     "LaplaceResult",
     "laplace_approx",
+    "NestedResult",
+    "nested_sample",
     "SMCResult",
     "bound_penalty",
     "clean_data",
@@ -143,6 +146,8 @@ __all__ = [
     "partition",
     "prior_bounds",
     "PredictiveDraws",
+    "Prediction",
+    "predict",
     "posterior_predictive",
     "ppc_pvalue",
     "prior_predictive",

@@ -1295,6 +1295,19 @@ class Walker:
 
         return laplace_approx(self, *args, **kwargs)
 
+    def predict(self, x, **kwargs):
+        """Posterior prediction (curve band / prediction interval) at
+        new abscissae."""
+        from .predictive import predict
+
+        return predict(self, x, **kwargs)
+
+    def nested_sample(self, bounds=None, **kwargs):
+        """Batched nested sampling: evidence + posterior in one run."""
+        from .nested import nested_sample
+
+        return nested_sample(self, bounds, **kwargs)
+
     def with_expression(self, expr: str, take: int | None = 1000):
         """Derived quantity at the most-likely params (``walker-with-exp``)."""
         from .expressions import walker_with_expression

@@ -165,6 +165,27 @@ def test_metrics_and_summary_carry_mcse(calibrated):
     assert "MCSE" in s
 
 
+def test_predict_on_new_grid(calibrated):
+    """predict() evaluates the posterior curve family at NEW x — the
+    credible band must be tight near the data and widen under
+    extrapolation, and the prediction interval (noise=) must be wider
+    than the curve band and contain fresh observations."""
+    w, x, _ = calibrated
+    grid = np.array([2.0, 5.0, 12.0, 20.0])     # last two extrapolate
+    p = w.predict(grid, max_samples=256)
+    assert p.mu.shape == (p.mu.shape[0], 4)
+    assert p.y_rep is None
+    np.testing.assert_allclose(p.mean(), 2.0 * grid + 1.0, atol=0.3)
+    lo, hi = p.band()
+    width = hi - lo
+    assert width[3] > width[1]                   # extrapolation widens
+    # With observation noise: prediction interval for new data.
+    pn = w.predict(grid, noise=0.2, max_samples=256)
+    lo_n, hi_n = pn.band()
+    assert np.all(hi_n - lo_n > width)
+    assert np.all(hi_n - lo_n > 2 * 1.6 * 0.2 * 0.8)
+
+
 def test_ppc_plot_saves(calibrated, tmp_path):
     w, _, _ = calibrated
     path = str(tmp_path / "ppc.png")
