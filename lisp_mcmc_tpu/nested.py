@@ -1,0 +1,300 @@
+"""Batched nested sampling: evidence + posterior from one run.
+
+The fourth evidence estimator (ladder stepping-stone, SMC, Laplace,
+and now nested sampling — `examples/modern_workflow.py` triangulates
+the first three; this one has *independent* failure modes: no
+temperature ladder to tune, no anneal schedule, and its error estimate
+``sqrt(H/n_live)`` comes from information theory, not Monte-Carlo
+batching).  New capability beyond the reference, which has no model
+comparison at all.
+
+TPU-first shape of the classic algorithm (Skilling 2006):
+
+- the live set is a fixed ``(n_live, d)`` array — static shapes, one
+  device-resident state;
+- instead of deleting one point per iteration (serial, the classic
+  bottleneck), each round deletes the worst ``k_batch`` points AT ONCE
+  and refills them in parallel.  The prior-volume bookkeeping stays
+  exact: dead points are processed in likelihood order, the j-th
+  deletion overall shrinking ``log X`` by ``1/n_live`` — batching
+  changes the schedule of hardware work, not the statistics, because
+  every refill samples above the batch's HIGHEST deleted likelihood
+  (the surviving set's minimum), which is a valid constrained-prior
+  draw for every slot it fills;
+- refills evolve clones of random survivors with ``n_repeat``
+  hard-constrained differential-evolution moves (ter Braak pair
+  differences from the live set — affine-invariant, so the proposal
+  geometry tracks the constrained region as it shrinks without any
+  covariance estimation; the same trick as ``kernel="demc"``), all
+  ``k_batch`` chains advancing in one jitted ``lax.scan``;
+- the outer loop is a host loop over jitted rounds, exactly the
+  chunk-driver split used everywhere else in this framework.
+
+Convention matches :func:`~lisp_mcmc_tpu.evidence.log_evidence` and
+``smc_sample``: the walker's log-posterior plays the likelihood, the
+implied uniform-in-bounds prior supplies the measure, and ``log_z``
+estimates ``log[(∫_box L dθ) / V]`` — directly comparable across all
+four estimators.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+__all__ = ["NestedResult", "nested_sample"]
+
+
+@dataclasses.dataclass(frozen=True)
+class NestedResult:
+    """Nested-sampling run summary.
+
+    ``log_z`` the evidence (uniform-in-bounds convention),
+    ``log_z_err`` the information-based ``sqrt(H/n_live)`` standard
+    error, ``h`` the information (nats of prior-to-posterior
+    compression), ``samples``/``log_weights`` the dead points with
+    their (unnormalized log) posterior weights, ``ess`` the
+    Kish effective sample size of those weights, ``n_iter`` the number
+    of deletion rounds, ``logl_max`` the best likelihood seen.
+    """
+
+    log_z: float
+    log_z_err: float
+    h: float
+    samples: np.ndarray       # (n_dead, d)
+    log_weights: np.ndarray   # (n_dead,) unnormalized log posterior mass
+    logl: np.ndarray          # (n_dead,)
+    ess: float
+    n_iter: int
+    logl_max: float
+
+    def posterior_draws(self, n: int = 1000, seed: int = 0) -> np.ndarray:
+        """Equal-weight posterior draws by weighted resampling."""
+        w = np.exp(self.log_weights - self.log_weights.max())
+        w = w / w.sum()
+        idx = np.random.default_rng(seed).choice(
+            len(w), size=n, replace=True, p=w)
+        return self.samples[idx]
+
+    def __repr__(self):
+        return (f"NestedResult(log_z={self.log_z:.4f} +- "
+                f"{self.log_z_err:.4f}, h={self.h:.2f} nats, "
+                f"n_iter={self.n_iter}, ess={self.ess:.0f})")
+
+
+def _logsumexp(a):
+    m = np.max(a)
+    if not np.isfinite(m):
+        return m
+    return float(m + np.log(np.sum(np.exp(a - m))))
+
+
+def nested_sample(
+    walker,
+    bounds=None,
+    n_live: int = 1024,
+    k_batch: int | None = None,
+    n_repeat: int | None = None,
+    stop_frac: float = 1e-4,
+    max_iter: int = 10_000,
+    seed: int = 0,
+) -> NestedResult:
+    """Run batched nested sampling on the walker's posterior.
+
+    ``bounds``: box prior table (recovered from a ``make_bounds_prior``
+    term when omitted, like :func:`~lisp_mcmc_tpu.prior_predictive`).
+    ``k_batch`` points (default ``n_live // 4``) are deleted and
+    refilled per round; ``n_repeat`` constrained DE moves (default
+    ``2 d + 16``) decorrelate each refill from its parent clone.
+    Stops when the live set's maximum remaining contribution
+    ``max L_live * X`` drops below ``stop_frac`` of the accumulated
+    evidence.  The walker's ensemble state is untouched — nested
+    sampling runs on its own live set.
+
+    Validated against: analytic Gaussian evidences, equal/unequal-mass
+    bimodal mass splits, and the other three estimators on the same
+    fit (tests/test_nested.py).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    if getattr(walker, "aux", None) is not None:
+        raise ValueError("nested_sample: batched/grouped fits run one "
+                         "sampler per dataset — use per-dataset walkers")
+    if bounds is None:
+        for t in getattr(walker, "terms", []):
+            b = getattr(t.prior, "_bounds", None)
+            if b:
+                bounds = b
+                break
+        if bounds is None:
+            raise ValueError("nested_sample: pass bounds= (no "
+                             "make_bounds_prior table found on the fit)")
+    keys = walker.spec.keys
+    missing = [k for k in keys if k not in bounds]
+    if missing:
+        raise ValueError(f"nested_sample: bounds missing {missing}")
+    d = len(keys)
+    if k_batch is None:
+        k_batch = max(1, n_live // 4)
+    if not 1 <= k_batch <= n_live // 2:
+        raise ValueError("nested_sample: need 1 <= k_batch <= n_live/2 "
+                         "(refills draw donors from survivors)")
+    if n_repeat is None:
+        n_repeat = 2 * d + 16
+
+    lo = np.asarray([bounds[k][0] for k in keys], np.float64)
+    hi = np.asarray([bounds[k][1] for k in keys], np.float64)
+    dtype = walker.dtype
+    data = walker._posterior_data()
+    loglike = jax.jit(jax.vmap(walker._log_post_one, in_axes=(0, None)))
+
+    rng = np.random.default_rng(seed)
+    live = jnp.asarray(rng.uniform(lo, hi, size=(n_live, d)), dtype)
+    live_lp = loglike(live, data)
+    neg_floor = -1e300
+
+    gamma0 = 2.38 / math.sqrt(2.0 * d)
+
+    def refill_round(live, live_lp, key, scale):
+        """Delete the k_batch worst, refill by constrained DE walks.
+
+        Returns (new_live, new_live_lp, dead_pos, dead_lp, accept_rate)
+        with dead points sorted ascending in likelihood.
+        """
+        order = jnp.argsort(live_lp)
+        dead_idx = order[:k_batch]
+        dead_pos = live[dead_idx]
+        dead_lp = live_lp[dead_idx]
+        # Constraint = the HIGHEST deleted likelihood L_(K): survivors
+        # conditioned on the order statistics are uniform in
+        # {L > L_(K)}, and refills drawn there keep the whole live set
+        # uniform in that region (volume X_(K)).  Using the surviving
+        # minimum L_(K+1) instead over-constrains refills and biases Z
+        # (measured +0.65 on the analytic Gaussian before this fix).
+        lmin = live_lp[order[k_batch - 1]]
+
+        k_clone, k_scan = jax.random.split(key)
+        # Clone random survivors into the dead slots.
+        surv_idx = order[k_batch:]
+        clone_pick = jax.random.randint(k_clone, (k_batch,), 0,
+                                        n_live - k_batch)
+        pos0 = live[surv_idx[clone_pick]]
+        lp0 = live_lp[surv_idx[clone_pick]]
+
+        live_surv = live[surv_idx]              # (n_live-k, d) donors
+
+        def one_move(carry, k):
+            pos, lp, acc = carry
+            kj, kg, ku = jax.random.split(k, 3)
+            j = jax.random.randint(kj, (k_batch, 2), 0,
+                                   jnp.asarray([n_live - k_batch,
+                                                n_live - k_batch - 1]))
+            j1 = j[:, 0]
+            j2 = (j1 + 1 + j[:, 1]) % (n_live - k_batch)
+            diff = live_surv[j1] - live_surv[j2]
+            u = jax.random.uniform(kg, (k_batch,), dtype, 0.5, 1.5)
+            prop = pos + (scale * gamma0) * u[:, None] * diff
+            lp_prop = loglike(prop, data)
+            lp_prop = jnp.where(jnp.isfinite(lp_prop), lp_prop, neg_floor)
+            ok = lp_prop > lmin                  # hard NS constraint
+            pos = jnp.where(ok[:, None], prop, pos)
+            lp = jnp.where(ok, lp_prop, lp)
+            return (pos, lp, acc + jnp.mean(ok.astype(dtype))), None
+
+        keys_scan = jax.random.split(k_scan, n_repeat)
+        (pos, lp, acc), _ = lax.scan(one_move, (pos0, lp0,
+                                                jnp.zeros((), dtype)),
+                                     keys_scan)
+        new_live = live.at[dead_idx].set(pos)
+        new_lp = live_lp.at[dead_idx].set(lp)
+        return new_live, new_lp, dead_pos, dead_lp, acc / n_repeat
+
+    refill = jax.jit(refill_round)
+
+    # Host-side accumulation (Skilling's recurrences, per dead point).
+    # Exact order-statistic shrinkage: the j-th worst of n_live uniform
+    # volumes sits at E[ln X_(j)] = -(H_n - H_{n-j}) (harmonic-number
+    # difference), and a K-deletion round contracts the live region to
+    # X_(K).  The linear -j/n approximation is only valid for j << n;
+    # at the default k_batch = n/4 it under-shrinks every round by
+    # (ln(4/3) - 1/4) ~ 0.038 nats, which measured a +0.65 evidence
+    # bias on the analytic Gaussian (claimed error 0.09) before this
+    # used the exact form.
+    harmonic = np.concatenate(
+        [[0.0], np.cumsum(1.0 / np.arange(1, n_live + 1))])
+    delta = harmonic[n_live] - harmonic[n_live - np.arange(k_batch + 1)]
+    # delta[j] = E[-ln(X_(j)/X_round_start)], delta[0] = 0.
+    dead_pos_all, dead_lp_all, logw_all = [], [], []
+    log_z = -np.inf
+    h = 0.0
+    log_x_cur = 0.0
+    scale = 1.0
+    key = jax.random.PRNGKey(seed)
+    n_iter = 0
+    for n_iter in range(1, max_iter + 1):
+        key, sub = jax.random.split(key)
+        live, live_lp, dead_pos, dead_lp, acc = refill(
+            live, live_lp, sub, jnp.asarray(scale, dtype))
+        dead_lp_np = np.asarray(dead_lp, np.float64)   # ascending
+        log_x_hi = log_x_cur - delta[:-1]              # X_(j-1)
+        log_x_lo = log_x_cur - delta[1:]               # X_(j)
+        log_dx = log_x_hi + np.log1p(-np.exp(log_x_lo - log_x_hi))
+        logw = log_dx + dead_lp_np
+        # Information/evidence updates.
+        log_z_new = _logsumexp([log_z, _logsumexp(logw)])
+        if np.isfinite(log_z_new) and log_z_new > -1e290:
+            terms = np.exp(logw - log_z_new) * dead_lp_np
+            h = (math.exp(log_z - log_z_new) * (h + log_z)
+                 + float(terms.sum())) - log_z_new if np.isfinite(log_z) \
+                else float(terms.sum()) - log_z_new
+        log_z = log_z_new
+        log_x_cur -= float(delta[-1])          # round ends at X_(K)
+        dead_pos_all.append(np.asarray(dead_pos, np.float64))
+        dead_lp_all.append(dead_lp_np)
+        logw_all.append(logw)
+
+        # Adapt the DE scale toward ~50% constrained acceptance.
+        acc_f = float(acc)
+        if acc_f < 0.15:
+            scale *= 0.7
+        elif acc_f > 0.7:
+            scale = min(scale * 1.3, 10.0)
+
+        # Termination: remaining max contribution vs accumulated Z.
+        logl_max_live = float(jnp.max(live_lp))
+        if logl_max_live + log_x_cur < log_z + math.log(stop_frac):
+            break
+
+    # Close with the live set: each survivor gets X_final / n_live.
+    live_np = np.asarray(live, np.float64)
+    live_lp_np = np.asarray(live_lp, np.float64)
+    log_x_final = log_x_cur
+    logw_live = log_x_final - math.log(n_live) + live_lp_np
+    log_z_new = _logsumexp([log_z, _logsumexp(logw_live)])
+    terms = np.exp(logw_live - log_z_new) * live_lp_np
+    h = (math.exp(log_z - log_z_new) * (h + log_z)
+         + float(terms.sum())) - log_z_new
+    log_z = log_z_new
+    order = np.argsort(live_lp_np)
+    dead_pos_all.append(live_np[order])
+    dead_lp_all.append(live_lp_np[order])
+    logw_all.append(logw_live[order])
+
+    samples = np.concatenate(dead_pos_all)
+    logl = np.concatenate(dead_lp_all)
+    logw = np.concatenate(logw_all)
+    wn = np.exp(logw - logw.max())
+    ess = float(wn.sum() ** 2 / np.sum(wn ** 2))
+    # The log_z above integrates L over normalized prior volume X; the
+    # framework convention already divides by V because X IS the
+    # normalized box measure — nothing further to subtract.
+    h = max(h, 0.0)
+    return NestedResult(
+        log_z=float(log_z), log_z_err=float(math.sqrt(h / n_live)),
+        h=float(h), samples=samples, log_weights=logw, logl=logl,
+        ess=ess, n_iter=n_iter, logl_max=float(np.max(logl)),
+    )
