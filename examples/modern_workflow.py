@@ -10,8 +10,10 @@ A complete Bayesian analysis on a synthetic two-peak spectrum:
                      derived-quantity intervals, posterior predictive
                      coverage (`convergence`, `posterior_predictive`)
 5. model choice    — evidence + Bayes factor between one- and two-peak
-                     models (`log_evidence`, `log_bayes_factor`), plus
-                     the prior-free predictive view (`diagnostics.waic`)
+                     models, triangulated across all FOUR estimators
+                     (`log_evidence`, `smc_sample`, `laplace_approx`,
+                     `nested_sample`), plus the prior-free predictive
+                     view (`diagnostics.waic`)
 6. pipeline audit  — simulation-based calibration of the whole fit
                      pipeline, all simulated datasets as one batched
                      ensemble (`sbc_check`)
@@ -140,6 +142,14 @@ def main():
     print(f"log Z (two-peak, Laplace) = {lap.log_z:.1f} "
           f"(n_clamped={lap.n_clamped}, "
           f"Laplace-vs-SMC gap: {abs(lap.log_z - res_smc.log_z):.2f})")
+
+    # Fourth estimator: batched nested sampling — needs no converged
+    # ensemble at all (its own live set starts from the prior box) and
+    # returns posterior draws alongside the evidence.
+    ns = w_smc.nested_sample(n_live=1024, seed=0)
+    print(f"log Z (two-peak, nested) = {ns.log_z:.1f} +- {ns.log_z_err:.2f} "
+          f"({ns.n_iter} rounds, posterior ESS {ns.ess:.0f}, "
+          f"nested-vs-SMC gap: {abs(ns.log_z - res_smc.log_z):.2f})")
 
     # The predictive (prior-free) view of the same comparison: WAIC off
     # posterior histories alone.  The one-peak model also LOSES
