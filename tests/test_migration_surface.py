@@ -35,6 +35,11 @@ PACKAGE_NAMES = [
     "WalkerSet", "BatchedFit", "FitConfig", "log_evidence",
     "log_bayes_factor", "smc_sample", "temperature_schedule",
     "enable_compilation_cache",
+    # round-2 surface
+    "laplace_approx", "LaplaceResult", "nested_sample", "NestedResult",
+    "posterior_predictive", "prior_predictive", "predict", "Prediction",
+    "PredictiveDraws", "ppc_pvalue", "sbc_check", "SBCResult",
+    "make_student_t_likelihood", "make_noise_scale_likelihood",
 ]
 
 WALKER_METHODS = [
@@ -54,13 +59,16 @@ WALKER_METHODS = [
     "with_expression", "plot_data_and_fit", "plot_residuals",
     "caterpillar_plots", "likelihood_plot", "autocorrelation_plot",
     "corner_plot", "all_corner_plots", "param_histogram",
+    # round-2 verbs
+    "laplace_approx", "nested_sample", "posterior_predictive",
+    "prior_predictive", "predict", "ppc_pvalue", "ppc_plot",
 ]
 
 MODULE_NAMES = {
     plotting: ["plot_data_and_fit", "plot_residuals", "caterpillar_plots",
                "likelihood_plot", "autocorrelation_plot", "corner_plot",
                "all_corner_plots", "param_histogram", "show", "heatmap",
-               "plot_file", "plot_set_param"],
+               "plot_file", "plot_set_param", "ppc_plot", "sbc_rank_plot"],
     stats: ["median", "mean", "variance", "credible_interval_95", "iqr",
             "nth_percentile", "standard_deviation",
             "std_from_84th_percentile", "make_histogram",
@@ -75,7 +83,10 @@ MODULE_NAMES = {
          "walker_field_offset", "export_scan_grid", "BatchedNVFit"],
     diagnostics: ["summary", "metrics", "trace_profile",
                   "ess_from_history", "rhat_from_history",
-                  "waic", "waic_compare", "WAICResult"],
+                  "waic", "waic_compare", "WAICResult",
+                  "loo", "loo_compare", "LOOResult", "convergence",
+                  "rank_rhat_per_param", "tail_ess_per_param",
+                  "mcse_per_param"],
     files: ["file_specs", "get_filename", "read_file_data"],
     linalg: ["sample_covariance", "cholesky_clamped",
              "diagonal_covariance", "haario_scale", "moments_covariance"],
