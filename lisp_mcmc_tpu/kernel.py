@@ -378,6 +378,25 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     # whose direction distribution IS the ensemble covariance — the
     # pair-difference trick that makes Haario-style adaptation free.
     demc = config.kernel == "demc" and not config.greedy
+
+    def _ensemble_span_check(name: str, b: int) -> None:
+        """Ensemble moves live in the affine span of the start ensemble.
+
+        Both red-black kernels propose within span(x_1..x_B): stretch
+        along lines through pairs, demc along pair differences — B
+        points span at most a (B-1)-dim affine subspace, so B <= ndim
+        walkers per group sample a SLICE of the posterior while every
+        per-coordinate health signal (spread, acceptance) looks fine.
+        The zero-spread guard cannot catch it; this can.
+        """
+        if b - 1 < ndim:
+            raise ValueError(
+                f"{name} kernel: {b} walkers per group span at most a "
+                f"{b - 1}-dim affine subspace of the {ndim}-dim "
+                f"posterior — the fit would silently sample a slice. "
+                f"Use > {ndim} (recommended >= {2 * ndim}) walkers per "
+                "group, or the rwm/mala/hmc kernels")
+
     if stretch or demc:
         if grouped and group_block is None:
             raise ValueError(
@@ -599,6 +618,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             raise ValueError(
                 "stretch kernel needs an even number of walkers per group"
             )
+        _ensemble_span_check("stretch", B)
         Bh = B // 2
         pos = state.position.reshape(G, B, ndim)
         lp = state.logprob.reshape(G, B)
@@ -686,6 +706,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             raise ValueError(
                 "demc kernel needs an even number of walkers per group"
             )
+        _ensemble_span_check("demc", B)
         Bh = B // 2
         if Bh < 2:
             raise ValueError(

@@ -143,6 +143,11 @@ def nested_sample(
     if not 1 <= k_batch <= n_live // 2:
         raise ValueError("nested_sample: need 1 <= k_batch <= n_live/2 "
                          "(refills draw donors from survivors)")
+    if n_live - k_batch <= d + 1:
+        raise ValueError(
+            f"nested_sample: {n_live - k_batch} surviving donors span "
+            f"at most a {n_live - k_batch - 1}-dim affine subspace of "
+            f"the {d}-dim prior — raise n_live or lower k_batch")
     if n_repeat is None:
         # Decorrelation budget per refill.  Measured on the two-peak
         # spectrum fit (d=6, h~40 nats): 2d+16=28 repeats left a -0.7
@@ -160,13 +165,18 @@ def nested_sample(
     loglike = jax.jit(jax.vmap(walker._log_post_one, in_axes=(0, None)))
 
     rng = np.random.default_rng(seed)
-    live = jnp.asarray(rng.uniform(lo, hi, size=(n_live, d)), dtype)
-    live_lp = loglike(live, data)
     neg_floor = -1e300
+    live = jnp.asarray(rng.uniform(lo, hi, size=(n_live, d)), dtype)
+    # Same NaN floor as the refill moves: a NaN here (e.g. a Poisson
+    # model going negative somewhere in the box) sorts as the BEST live
+    # point forever — never deleted, termination never fires, and the
+    # run burns max_iter rounds to return log_z = NaN.
+    live_lp = loglike(live, data)
+    live_lp = jnp.where(jnp.isfinite(live_lp), live_lp, neg_floor)
 
     gamma0 = 2.38 / math.sqrt(2.0 * d)
 
-    def refill_round(live, live_lp, key, scale):
+    def refill_round(live, live_lp, key, scale, data):
         """Delete the k_batch worst, refill by constrained DE walks.
 
         Returns (new_live, new_live_lp, dead_pos, dead_lp, accept_rate)
@@ -220,6 +230,9 @@ def nested_sample(
         new_lp = live_lp.at[dead_idx].set(lp)
         return new_live, new_lp, dead_pos, dead_lp, acc / n_repeat
 
+    # Datasets pass through jit as ARGUMENTS, never closure constants
+    # (CLAUDE.md invariant: compile-once-per-shape + persistent-cache
+    # behavior depends on it).
     refill = jax.jit(refill_round)
 
     # Host-side accumulation (Skilling's recurrences, per dead point).
@@ -245,7 +258,7 @@ def nested_sample(
     for n_iter in range(1, max_iter + 1):
         key, sub = jax.random.split(key)
         live, live_lp, dead_pos, dead_lp, acc = refill(
-            live, live_lp, sub, jnp.asarray(scale, dtype))
+            live, live_lp, sub, jnp.asarray(scale, dtype), data)
         dead_lp_np = np.asarray(dead_lp, np.float64)   # ascending
         log_x_hi = log_x_cur - delta[:-1]              # X_(j-1)
         log_x_lo = log_x_cur - delta[1:]               # X_(j)

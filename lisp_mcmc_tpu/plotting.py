@@ -364,19 +364,27 @@ def sbc_rank_plot(result, filename: str | None = None):
     """
     from scipy.stats import binom
 
+    from .sbc import _bin_masses
+
     keys = result.keys
     d = len(keys)
     ncols = min(d, 3)
     nrows = (d + ncols - 1) // ncols
     fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 3 * nrows),
                              squeeze=False)
-    edges = np.linspace(0.0, result.n_draws + 1.0, result.n_bins + 1)
-    n, p = result.n_sims, 1.0 / result.n_bins
-    band_lo, band_hi = binom.ppf([0.005, 0.995], n, p)
+    # Per-bin EXACT rank mass: equal-width bins over the discrete ranks
+    # hold unequal mass unless n_bins divides n_draws+1, and a band
+    # drawn from the naive 1/n_bins reads calibrated histograms as
+    # miscalibrated (see sbc._bin_masses).
+    edges, mass = _bin_masses(result.n_draws, result.n_bins)
+    n = result.n_sims
+    band_lo = binom.ppf(0.005, n, mass)
+    band_hi = binom.ppf(0.995, n, mass)
     for j, k in enumerate(keys):
         ax = axes[j // ncols][j % ncols]
-        ax.axhspan(band_lo, band_hi, color="0.85", zorder=0)
-        ax.axhline(n * p, color="0.5", lw=1, ls="--", zorder=1)
+        ax.stairs(band_hi, edges, baseline=band_lo, fill=True,
+                  color="0.85", zorder=0)
+        ax.stairs(n * mass, edges, color="0.5", lw=1, ls="--", zorder=1)
         ax.hist(result.ranks[:, j] + 0.5, bins=edges, color="tab:blue",
                 alpha=0.8, zorder=2)
         ax.set_title(f"{k}  (p={result.p_values[k]:.3g})", fontsize=10)

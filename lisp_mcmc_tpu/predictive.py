@@ -123,10 +123,11 @@ def predict(walker, x, term_index: int = 0, noise=None,
     x_arr = jnp.asarray(np.asarray(x, np.float64), walker.dtype)
     spec = walker.spec
 
-    def curve(vec):
-        return term.fn(x_arr, spec.unflatten(vec))
+    def curve(vec, xg):
+        return term.fn(xg, spec.unflatten(vec))
 
-    mu = np.asarray(jax.jit(jax.vmap(curve))(samples))
+    mu = np.asarray(jax.jit(jax.vmap(curve, in_axes=(0, None)))(
+        samples, x_arr))
     y_rep = None
     if noise is not None:
         sigma = np.broadcast_to(np.asarray(noise, np.float64),
@@ -257,10 +258,14 @@ def _replicate(walker, samples, seed: int, sampler: Callable | None,
         # pytree of (S,) leaves.
         wants_params = len(inspect.signature(draw).parameters) >= 4
 
-        def curves(vec, _t=term):
-            return _t.fn(_t.dataset.x, spec.unflatten(vec))
+        # Dataset arrays ride as jit ARGUMENTS, not closure constants
+        # (CLAUDE.md invariant — keeps the persistent cache keyed on
+        # shapes, not data values).
+        def curves(vec, x, _t=term):
+            return _t.fn(x, spec.unflatten(vec))
 
-        mu = jax.jit(jax.vmap(curves))(samples)          # (S, P) padded
+        mu = jax.jit(jax.vmap(curves, in_axes=(0, None)))(
+            samples, term.dataset.x)                     # (S, P) padded
         key, sub = jax.random.split(key)
         if wants_params:
             params_s = jax.vmap(spec.unflatten)(samples)  # dict of (S,)

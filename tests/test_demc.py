@@ -202,8 +202,35 @@ def test_reset_then_ensemble_kernel_guarded():
 
 def test_demc_needs_four_walkers_per_group():
     w, _, _ = _gaussian_walker(n_walkers=2)
-    with pytest.raises(ValueError, match=">= 4 walkers"):
+    with pytest.raises(ValueError, match="affine subspace|>= 4 walkers"):
         w.adaptive_steps(100, auto=None)
+
+
+def test_ensemble_kernels_reject_rank_deficient_ensembles():
+    """B <= d walkers per group span a strict affine subspace: the fit
+    would silently sample a slice of the posterior with healthy-looking
+    acceptance — both red-black kernels must refuse (the zero-spread
+    guard cannot catch this)."""
+    import jax.numpy as jnp
+
+    d = 8
+    keys = [f"p{i}" for i in range(d)]
+
+    def model(x, p):
+        return jnp.zeros_like(x)
+
+    def loglik(fn, params, dataset):
+        return -0.5 * sum(params[k] ** 2 for k in keys)
+
+    for kern in ("demc", "stretch"):
+        w = mfit.walker_create(
+            function=model, data=([0.0, 1.0], [0.0, 0.0]),
+            params={k: 0.1 for k in keys}, log_likelihood=loglik,
+            n_walkers=8, seed=0, walker_jitter=0.1,   # 8 walkers, d=8
+            config=FitConfig(kernel=kern),
+        )
+        with pytest.raises(ValueError, match="affine subspace"):
+            w.adaptive_steps(200, auto=None)
 
 
 def test_demc_tempering_switches_to_rwm():

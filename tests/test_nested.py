@@ -147,6 +147,31 @@ def test_validation():
         nested_sample(w2)
 
 
+def test_nan_likelihood_region_floored():
+    """A posterior that returns NaN somewhere in the box (e.g. a model
+    driving log(rate) negative) must not poison the live set: a NaN
+    sorts as the best point forever and the run would burn max_iter
+    rounds to return log_z = NaN before the init floor existed."""
+    def loglik(fn, params, dataset):
+        a, b = params["a"], params["b"]
+        # NaN for a > 0 (half the box), a clean Gaussian elsewhere.
+        return jnp.log(-a) * 0.0 - 0.5 * ((a + 3.0) ** 2 + b ** 2)
+
+    w = _walker(loglik)
+    res = nested_sample(w, n_live=256, seed=0, max_iter=400)
+    assert np.isfinite(res.log_z)
+    assert res.n_iter < 400
+    draws = res.posterior_draws(2000, seed=0)
+    assert np.all(draws[:, 0] < 0)           # mass on the finite side
+    assert draws[:, 0].mean() == pytest.approx(-3.0, abs=0.3)
+
+
+def test_donor_span_validation():
+    w = _walker(_gaussian_loglik(np.eye(2)))
+    with pytest.raises(ValueError, match="affine subspace"):
+        nested_sample(w, n_live=6, k_batch=3)
+
+
 def test_ensemble_untouched():
     w = _walker(_gaussian_loglik(np.eye(2)))
     before = np.asarray(w.state.position).copy()

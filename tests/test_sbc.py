@@ -71,6 +71,34 @@ def test_biased_simulator_caught():
     assert np.median(res.ranks[:, 1]) < res.n_draws * 0.25
 
 
+def test_chi_square_uses_exact_bin_masses():
+    """Equal-width bins over the 64 discrete ranks hold 5 OR 6 values
+    at n_bins=12 — the naive n/n_bins expectation measured an 87%
+    false-failure rate at n_sims=2048 on perfectly uniform ranks.
+    Deterministically uniform ranks must score p = 1 exactly (zero
+    chi-square) under the exact-mass test, for divisor and non-divisor
+    bin counts alike."""
+    from lisp_mcmc_tpu.sbc import _bin_masses, _uniformity_pvalue
+
+    n_draws = 63
+    ranks = np.tile(np.arange(n_draws + 1), 32)       # perfectly uniform
+    for n_bins in (8, 12, 16, 20):
+        p = _uniformity_pvalue(ranks, n_draws, n_bins)
+        assert p == pytest.approx(1.0), (n_bins, p)
+        _, mass = _bin_masses(n_draws, n_bins)
+        assert mass.sum() == pytest.approx(1.0)
+        assert len(mass) == n_bins
+
+
+def test_small_study_bins_keep_expected_counts():
+    from lisp_mcmc_tpu.sbc import sbc_check  # noqa: F401 (import check)
+
+    # n_sims=10 must yield 2 bins (5 expected each), not 4 of 2.5.
+    res = mfit.sbc_check(line, BOUNDS, X, 0.3, n_sims=10,
+                         walkers_per_dataset=8, n_steps=600, seed=3)
+    assert res.n_bins == 2
+
+
 def test_insufficient_draws_raises():
     with pytest.raises(ValueError, match="n_draws"):
         mfit.sbc_check(line, BOUNDS, X, 0.3, n_sims=4,
