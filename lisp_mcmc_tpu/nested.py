@@ -58,6 +58,12 @@ class NestedResult:
     their (unnormalized log) posterior weights, ``ess`` the
     Kish effective sample size of those weights, ``n_iter`` the number
     of deletion rounds, ``logl_max`` the best likelihood seen.
+    ``insertion_p``: KS uniformity p of the refill insertion ranks
+    (Fowlie et al. 2020) — low means the constrained walks are
+    directionally biased within the shell and ``log_z`` is suspect;
+    note it is blind to pure clone-correlation (a barely-moved clone
+    keeps a uniform rank), which the ``n_repeat`` default guards
+    instead.
     """
 
     log_z: float
@@ -69,6 +75,7 @@ class NestedResult:
     ess: float
     n_iter: int
     logl_max: float
+    insertion_p: float        # uniformity p of refill insertion ranks
 
     def posterior_draws(self, n: int = 1000, seed: int = 0) -> np.ndarray:
         """Equal-weight posterior draws by weighted resampling."""
@@ -81,7 +88,8 @@ class NestedResult:
     def __repr__(self):
         return (f"NestedResult(log_z={self.log_z:.4f} +- "
                 f"{self.log_z_err:.4f}, h={self.h:.2f} nats, "
-                f"n_iter={self.n_iter}, ess={self.ess:.0f})")
+                f"n_iter={self.n_iter}, ess={self.ess:.0f}, "
+                f"insertion_p={self.insertion_p:.3g})")
 
 
 def _logsumexp(a):
@@ -228,7 +236,18 @@ def nested_sample(
                                      keys_scan)
         new_live = live.at[dead_idx].set(pos)
         new_lp = live_lp.at[dead_idx].set(lp)
-        return new_live, new_lp, dead_pos, dead_lp, acc / n_repeat
+        # Insertion indices (Fowlie, Handley & Su 2020): a refill drawn
+        # correctly from the constrained prior has a likelihood rank
+        # uniform among the survivors'.  A LOW p flags a directionally
+        # biased refill walk (systematically high/low in the shell).
+        # Measured blind spot: pure clone-correlation (n_repeat too
+        # small) passes this test — a barely-moved clone inherits its
+        # parent's survivor-uniform rank — so a healthy insertion_p
+        # does NOT certify decorrelation; the n_repeat default carries
+        # that burden (see its comment).
+        surv_lp = live_lp[surv_idx]
+        ins = jnp.sum(surv_lp[None, :] < lp[:, None], axis=1)
+        return new_live, new_lp, dead_pos, dead_lp, acc / n_repeat, ins
 
     # Datasets pass through jit as ARGUMENTS, never closure constants
     # (CLAUDE.md invariant: compile-once-per-shape + persistent-cache
@@ -248,7 +267,7 @@ def nested_sample(
         [[0.0], np.cumsum(1.0 / np.arange(1, n_live + 1))])
     delta = harmonic[n_live] - harmonic[n_live - np.arange(k_batch + 1)]
     # delta[j] = E[-ln(X_(j)/X_round_start)], delta[0] = 0.
-    dead_pos_all, dead_lp_all, logw_all = [], [], []
+    dead_pos_all, dead_lp_all, logw_all, insertion_all = [], [], [], []
     log_z = -np.inf
     h = 0.0
     log_x_cur = 0.0
@@ -257,8 +276,9 @@ def nested_sample(
     n_iter = 0
     for n_iter in range(1, max_iter + 1):
         key, sub = jax.random.split(key)
-        live, live_lp, dead_pos, dead_lp, acc = refill(
+        live, live_lp, dead_pos, dead_lp, acc, ins = refill(
             live, live_lp, sub, jnp.asarray(scale, dtype), data)
+        insertion_all.append(np.asarray(ins, np.int64))
         dead_lp_np = np.asarray(dead_lp, np.float64)   # ascending
         log_x_hi = log_x_cur - delta[:-1]              # X_(j-1)
         log_x_lo = log_x_cur - delta[1:]               # X_(j)
@@ -309,6 +329,15 @@ def nested_sample(
     logw = np.concatenate(logw_all)
     wn = np.exp(logw - logw.max())
     ess = float(wn.sum() ** 2 / np.sum(wn ** 2))
+
+    # Insertion-rank uniformity (KS): ranks live on {0..n_live-k_batch};
+    # map to (0,1) with a half-offset and test against uniform.
+    from scipy.stats import kstest
+
+    ins = np.concatenate(insertion_all).astype(np.float64)
+    insertion_p = float(kstest(
+        (ins + 0.5) / (n_live - k_batch + 1.0), "uniform").pvalue) \
+        if ins.size >= 20 else float("nan")
     # The log_z above integrates L over normalized prior volume X; the
     # framework convention already divides by V because X IS the
     # normalized box measure — nothing further to subtract.
@@ -317,4 +346,5 @@ def nested_sample(
         log_z=float(log_z), log_z_err=float(math.sqrt(h / n_live)),
         h=float(h), samples=samples, log_weights=logw, logl=logl,
         ess=ess, n_iter=n_iter, logl_max=float(np.max(logl)),
+        insertion_p=insertion_p,
     )

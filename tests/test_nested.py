@@ -172,6 +172,15 @@ def test_donor_span_validation():
         nested_sample(w, n_live=6, k_batch=3)
 
 
+def test_insertion_rank_diagnostic_present():
+    """Healthy runs carry a non-degenerate insertion-rank uniformity p.
+    (Measured blind spot, documented in the module: clone-correlation
+    passes this test; only directional refill bias fails it.)"""
+    w = _walker(_gaussian_loglik(np.eye(2)))
+    res = nested_sample(w, n_live=256, seed=0)
+    assert 0.001 < res.insertion_p <= 1.0
+
+
 def test_ensemble_untouched():
     w = _walker(_gaussian_loglik(np.eye(2)))
     before = np.asarray(w.state.position).copy()
