@@ -29,6 +29,7 @@ def clear_stop() -> None:
 
 
 def stop_requested() -> bool:
+    """True once an emergency stop was requested and not yet cleared."""
     return _flag.is_set()
 
 

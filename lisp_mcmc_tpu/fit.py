@@ -908,6 +908,7 @@ class Walker:
         return p[keep]
 
     def best_params_vector(self):
+        """Flat (d,) vector of the global best step's parameters."""
         best_walker = int(jnp.argmax(self.state.best_logprob))
         return self.state.best_position[best_walker]
 
@@ -924,6 +925,7 @@ class Walker:
         return self.most_likely_step()[1]
 
     def median_params_vector(self, take: int | None = None):
+        """Flat (d,) per-parameter posterior medians over history."""
         pos, _ = self._history(take)
         return np.median(pos.reshape(-1, self.ndim), axis=0)
 
@@ -932,6 +934,7 @@ class Walker:
         return self.spec.make(self.median_params_vector(take).tolist())
 
     def mean_params(self, take: int | None = None) -> dict[str, float]:
+        """Posterior mean of each parameter over retained history."""
         pos, _ = self._history(take)
         return self.spec.make(np.mean(pos.reshape(-1, self.ndim), axis=0).tolist())
 
