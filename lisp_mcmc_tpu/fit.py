@@ -83,6 +83,22 @@ def _split_rhat_host(pos: np.ndarray) -> np.ndarray:
     return np.where(ok, np.sqrt(var_plus / np.where(ok, w, 1.0)), np.inf)
 
 
+def _rank_normalize_host(pos: np.ndarray) -> np.ndarray:
+    """Average-rank normal scores per parameter over a (T, W, d) block.
+
+    Host twin of ops/reductions._rank_normalize (same Blom scores, same
+    tie policy — average ranks keep a frozen ensemble degenerate so the
+    split-R-hat inf guard still fires)."""
+    from scipy.special import ndtri
+    from scipy.stats import rankdata
+
+    t, w, d = pos.shape
+    flat = pos.reshape(-1, d)
+    r = rankdata(flat, method="average", axis=0)
+    z = ndtri((r - 0.375) / (t * w + 0.25))
+    return z.reshape(t, w, d)
+
+
 def _nonzero_scales(vec):
     """Per-parameter magnitudes with zeros replaced by a small derived
     scale (so no proposal coordinate is permanently stuck)."""
@@ -437,10 +453,11 @@ class Walker:
     def _adaptive_loop(self, cfg: FitConfig, collect_history: bool,
                        progress: bool, on_chunk: Callable | None = None):
         control.clear_stop()
-        if cfg.auto == "rhat" and not collect_history:
+        if cfg.auto in ("rhat", "rank-rhat") and not collect_history:
             raise ValueError(
-                "auto='rhat' computes split R-hat from the retained walker "
-                "history; run with collect_history=True (or another auto mode)"
+                f"auto={cfg.auto!r} computes split R-hat from the retained "
+                "walker history; run with collect_history=True (or another "
+                "auto mode)"
             )
         if cfg.kernel in ("stretch", "demc") and not cfg.greedy:
             # Pure ensemble moves CANNOT create spread they do not have:
@@ -640,18 +657,26 @@ class Walker:
             mean_trace = np.concatenate(self._lpmean_trace)[-settle:]
             mean_drift = abs(mean_trace[:200].mean() - mean_trace[-200:].mean())
             return abs(early_max - late_max) < 0.5 and mean_drift < 0.5
-        if cfg.auto == "rhat":
+        if cfg.auto in ("rhat", "rank-rhat"):
             # Ensemble-native convergence (new surface): stop when the
             # split Gelman-Rubin statistic over the walker ensemble drops
             # below 1.01 for every parameter — a principled criterion the
             # single-chain reference could not compute.  Pure numpy on the
             # already-host-resident history (no device round-trips).
+            # "rank-rhat" applies the Vehtari-2021 upgrade: rank-normal
+            # bulk AND folded-tail statistics (the tail catches
+            # scale-only disagreement the classic test is blind to).
             if not self._hist_positions:
                 return False
             pos, _ = self._history(max(settle, 1000))  # (T, W, d) numpy
             if pos.shape[0] * self._thin < settle:
                 return False
-            return float(np.max(_split_rhat_host(pos))) < 1.01
+            if cfg.auto == "rhat":
+                return float(np.max(_split_rhat_host(pos))) < 1.01
+            bulk = _split_rhat_host(_rank_normalize_host(pos))
+            folded = np.abs(pos - np.median(pos, axis=(0, 1), keepdims=True))
+            tail = _split_rhat_host(_rank_normalize_host(folded))
+            return float(max(np.max(bulk), np.max(tail))) < 1.01
         if cfg.auto == "slope-settle":
             # stable-prob-slope-p (886-887) rebuilt as a closed-form OLS
             # slope on the trace instead of the reference's nested MCMC

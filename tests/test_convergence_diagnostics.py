@@ -129,6 +129,36 @@ def test_convergence_report_pass(fitted):
     assert set(rep["rank_rhat"]) == {"m", "b"}
 
 
+def test_auto_rank_rhat_stops_converged_fit():
+    """auto='rank-rhat' (Vehtari-2021 stop rule in the driver) stops an
+    easy converged ensemble well before n_steps."""
+    rng = np.random.default_rng(1)
+    x = np.linspace(0.0, 10.0, 50)
+    y = 2.0 * x + 1.0 + 0.05 * rng.standard_normal(50)
+    w = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 2.0, "b": 1.0},
+        data_error=0.05, n_walkers=64, seed=0, walker_jitter=0.02,
+    )
+    w.adaptive_steps(40000, auto="rank-rhat", temperature=2.0)
+    assert w.age < 40000
+    rr = diagnostics.rank_rhat_per_param(w, take=1000)
+    assert max(max(v) for v in rr.values()) < 1.2
+    # collect_history=False is invalid for the history-based rule.
+    with pytest.raises(ValueError, match="rank-rhat"):
+        w.adaptive_steps(1000, auto="rank-rhat", collect_history=False)
+
+
+def test_host_rank_normalize_matches_device():
+    from lisp_mcmc_tpu.fit import _rank_normalize_host
+    from lisp_mcmc_tpu.ops.reductions import _rank_normalize
+
+    x = np.random.default_rng(0).normal(size=(50, 8, 3))
+    host = _rank_normalize_host(x)
+    for j in range(3):
+        dev = np.asarray(_rank_normalize(jnp.asarray(x[:, :, j])))
+        np.testing.assert_allclose(host[:, :, j], dev, atol=1e-12)
+
+
 def test_convergence_report_fail_thresholds(fitted):
     rep = diagnostics.convergence(fitted, rhat_tol=1.0000001,
                                   min_tail_ess=1e9)
