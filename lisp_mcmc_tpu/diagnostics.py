@@ -40,10 +40,38 @@ def trace_profile(log_dir: str = "/tmp/lisp_mcmc_tpu_trace"):
     return jax.profiler.trace(log_dir)
 
 
+def _history_blocks(walker, take):
+    """Yield per-population (T, B, d) history blocks.
+
+    A plain walker is one population.  Grouped/batched fits hold S
+    independent posteriors side by side in one ensemble — pooling their
+    walkers would compare chains that target DIFFERENT distributions
+    (R-hat reads huge, ESS nonsense), so every walker-level diagnostic
+    iterates the dataset blocks and reports the worst case (converged
+    means every dataset converged).
+    """
+    pos, _ = walker._history(take)
+    pos = jnp.asarray(pos)
+    groups = getattr(walker, "group_ids", None)
+    if groups is None or getattr(walker, "n_groups", 1) <= 1:
+        yield pos
+        return
+    g = np.asarray(groups)
+    retained = getattr(walker, "_history_walker_idx", lambda: None)()
+    if retained is not None:
+        g = g[np.asarray(retained)]
+    for s in range(int(walker.n_groups)):
+        yield pos[:, g == s, :]
+
+
 def ess_per_param(walker, take: int | None = None) -> dict[str, float]:
-    """Total effective sample size per parameter over all walkers."""
-    pos, _ = walker._history(take)  # (T, W, d)
-    return ess_from_history(jnp.asarray(pos), walker.spec.keys)
+    """Effective sample size per parameter (worst dataset for batched
+    fits; ESS totals within a population, never across)."""
+    out = None
+    for block in _history_blocks(walker, take):
+        e = ess_from_history(block, walker.spec.keys)
+        out = e if out is None else {k: min(out[k], e[k]) for k in e}
+    return out or {}
 
 
 def ess_from_history(positions, keys) -> dict[str, float]:
@@ -61,9 +89,13 @@ def ess_from_history(positions, keys) -> dict[str, float]:
 
 
 def rhat_per_param(walker, take: int | None = None) -> dict[str, float]:
-    """Split R-hat per parameter across the walker ensemble."""
-    pos, _ = walker._history(take)
-    return rhat_from_history(pos, walker.spec.keys)
+    """Split R-hat per parameter (worst dataset for batched fits —
+    chains are only comparable within one dataset's population)."""
+    out = None
+    for block in _history_blocks(walker, take):
+        r = rhat_from_history(block, walker.spec.keys)
+        out = r if out is None else {k: max(out[k], r[k]) for k in r}
+    return out or {}
 
 
 def rhat_from_history(positions, keys) -> dict[str, float]:
@@ -80,14 +112,17 @@ def rank_rhat_per_param(walker, take: int | None = None) -> dict[str, tuple[floa
     The Vehtari et al. (2021) convergence standard — strictly stronger
     than :func:`rhat_per_param` (robust to heavy tails; the folded tail
     statistic catches scale-only disagreement).  Pass when
-    ``max(bulk, tail) < 1.01``.
+    ``max(bulk, tail) < 1.01``.  Batched fits report the worst dataset.
     """
-    pos, _ = walker._history(take)
-    pos = jnp.asarray(pos)
-    return {
-        k: tuple(float(v) for v in rank_normalized_rhat(pos[:, :, i]))
-        for i, k in enumerate(walker.spec.keys)
-    }
+    out = None
+    for pos in _history_blocks(walker, take):
+        r = {
+            k: tuple(float(v) for v in rank_normalized_rhat(pos[:, :, i]))
+            for i, k in enumerate(walker.spec.keys)
+        }
+        out = r if out is None else {
+            k: (max(out[k][0], r[k][0]), max(out[k][1], r[k][1])) for k in r}
+    return out or {}
 
 
 def tail_ess_per_param(walker, take: int | None = None) -> dict[str, float]:
@@ -95,24 +130,29 @@ def tail_ess_per_param(walker, take: int | None = None) -> dict[str, float]:
 
     Bulk ESS certifies the posterior mean; tail ESS certifies the
     credible-interval endpoints.  Quote interval bounds only when this
-    is comfortably above ~100.
+    is comfortably above ~100.  Batched fits report the worst dataset.
     """
-    pos, _ = walker._history(take)
-    pos = jnp.asarray(pos)
-    return {
-        k: float(tail_ess(pos[:, :, i]))
-        for i, k in enumerate(walker.spec.keys)
-    }
+    out = None
+    for pos in _history_blocks(walker, take):
+        t = {
+            k: float(tail_ess(pos[:, :, i]))
+            for i, k in enumerate(walker.spec.keys)
+        }
+        out = t if out is None else {k: min(out[k], t[k]) for k in t}
+    return out or {}
 
 
 def mcse_per_param(walker, take: int | None = None) -> dict[str, float]:
-    """Monte Carlo standard error of each parameter's posterior mean."""
-    pos, _ = walker._history(take)
-    pos = jnp.asarray(pos)
-    return {
-        k: float(mcse_mean(pos[:, :, i]))
-        for i, k in enumerate(walker.spec.keys)
-    }
+    """Monte Carlo standard error of each parameter's posterior mean
+    (worst dataset for batched fits)."""
+    out = None
+    for pos in _history_blocks(walker, take):
+        m = {
+            k: float(mcse_mean(pos[:, :, i]))
+            for i, k in enumerate(walker.spec.keys)
+        }
+        out = m if out is None else {k: max(out[k], m[k]) for k in m}
+    return out or {}
 
 
 def convergence(walker, take: int | None = None,
@@ -123,26 +163,37 @@ def convergence(walker, take: int | None = None,
     Applies the Vehtari et al. (2021) criteria per parameter —
     rank-normalized bulk AND tail R-hat below ``rhat_tol``, tail ESS
     above ``min_tail_ess`` — and returns ``{"ok": bool, "failures":
-    [...], "rank_rhat": ..., "tail_ess": ..., "mcse": ...}``.  The
-    single history fetch is shared by all four statistics.
+    [...], "rank_rhat": ..., "tail_ess": ..., "mcse": ...}``.  Batched
+    fits are judged per dataset block with the worst case reported
+    (converged means EVERY dataset converged); each block's statistics
+    share one history pass.
     """
-    pos, _ = walker._history(take)
-    pos = jnp.asarray(pos)
     keys = walker.spec.keys
     out: dict[str, Any] = {"rank_rhat": {}, "tail_ess": {}, "mcse": {}}
+    for pos in _history_blocks(walker, take):
+        for i, k in enumerate(keys):
+            x = pos[:, :, i]
+            bulk, tail = (float(v) for v in rank_normalized_rhat(x))
+            te = float(tail_ess(x))
+            mc = float(mcse_mean(x))
+            if k in out["rank_rhat"]:
+                b0, t0 = out["rank_rhat"][k]
+                out["rank_rhat"][k] = (max(b0, bulk), max(t0, tail))
+                out["tail_ess"][k] = min(out["tail_ess"][k], te)
+                out["mcse"][k] = max(out["mcse"][k], mc)
+            else:
+                out["rank_rhat"][k] = (bulk, tail)
+                out["tail_ess"][k] = te
+                out["mcse"][k] = mc
     failures = []
-    for i, k in enumerate(keys):
-        x = pos[:, :, i]
-        bulk, tail = (float(v) for v in rank_normalized_rhat(x))
-        te = float(tail_ess(x))
-        out["rank_rhat"][k] = (bulk, tail)
-        out["tail_ess"][k] = te
-        out["mcse"][k] = float(mcse_mean(x))
+    for k in keys:
+        bulk, tail = out["rank_rhat"][k]
         if max(bulk, tail) >= rhat_tol:
             failures.append(f"{k}: rank R-hat {max(bulk, tail):.4f} "
                             f">= {rhat_tol}")
-        if te < min_tail_ess:
-            failures.append(f"{k}: tail ESS {te:.0f} < {min_tail_ess:.0f}")
+        if out["tail_ess"][k] < min_tail_ess:
+            failures.append(f"{k}: tail ESS {out['tail_ess'][k]:.0f} "
+                            f"< {min_tail_ess:.0f}")
     out["ok"] = not failures
     out["failures"] = failures
     return out
@@ -156,12 +207,11 @@ def metrics(walker, take: int | None = None, elapsed_seconds: float | None = Non
     provided.
     """
     lp_best, best = walker.most_likely_step()
-    # One history fetch for everything below: _history concatenates the
-    # whole retained (T, W, d) chunk list per call, which for a long run
-    # is gigabytes of memory traffic — lp, ESS, and R-hat share it.
-    pos, lp = walker._history(take)
-    pos = jnp.asarray(pos)
-    ess = ess_from_history(pos, walker.spec.keys)
+    _, lp = walker._history(take)
+    # ESS/R-hat/MCSE go through the group-aware wrappers: a BatchedFit
+    # pools walkers targeting DIFFERENT posteriors, so the statistics
+    # must be computed within each dataset block (worst case reported).
+    ess = ess_per_param(walker, take)
     out = {
         "age": walker.age,
         "n_walkers": walker.n_walkers,
@@ -175,14 +225,8 @@ def metrics(walker, take: int | None = None, elapsed_seconds: float | None = Non
         },
         "ess": ess,
         "min_ess": min(ess.values()) if ess else 0.0,
-        "rhat": rhat_from_history(pos, walker.spec.keys),
-        # sqrt(var/ESS) from the already-fetched history: the "+-" each
-        # posterior-mean estimate should be quoted with.
-        "mcse": {
-            k: float(jnp.sqrt(jnp.var(pos[:, :, i], ddof=1)
-                              / max(ess[k], 1.0)))
-            for i, k in enumerate(walker.spec.keys)
-        },
+        "rhat": rhat_per_param(walker, take),
+        "mcse": mcse_per_param(walker, take),
     }
     if elapsed_seconds:
         out["chain_steps_per_sec"] = walker.age * walker.n_walkers / elapsed_seconds

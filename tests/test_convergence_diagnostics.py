@@ -123,6 +123,35 @@ def test_tail_ess_and_mcse_per_param(fitted):
     assert all(mc[k] > 0 for k in mc)
 
 
+def test_batched_diagnostics_per_dataset_blocks():
+    """A BatchedFit holds S populations targeting DIFFERENT posteriors;
+    pooling them reads as divergence (R-hat huge) even when every fit
+    converged. The walker-level diagnostics must compute within dataset
+    blocks and report the worst case."""
+    from lisp_mcmc_tpu.ops.reductions import split_rhat
+
+    x = np.linspace(0.0, 10.0, 40)
+    # Far-apart intercepts: pooled walkers span b=1 and b=101.
+    datasets = [(x, 2.0 * x + 1.0), (x, 2.0 * x + 101.0)]
+    fit = mfit.BatchedFit(line, datasets, [{"m": 1.8, "b": 0.5},
+                                           {"m": 1.8, "b": 100.0}],
+                          data_error=0.1, walkers_per_dataset=16, seed=0,
+                          walker_jitter=0.01)
+    fit.adaptive_steps(4000, auto=None)
+    fit.burn_steps(len(fit) // 2)
+    rr = diagnostics.rhat_per_param(fit)
+    assert rr["b"] < 1.3                    # worst per-dataset block
+    pos, _ = fit._history(None)
+    pooled = float(split_rhat(jnp.asarray(pos)[:, :, 1]))
+    assert pooled > 5.0                     # what pooling would report
+    # ESS/tail-ESS/MCSE and the one-call report go block-wise too.
+    assert diagnostics.ess_per_param(fit)["b"] > 50
+    rep = diagnostics.convergence(fit, rhat_tol=1.5, min_tail_ess=10)
+    assert rep["ok"], rep["failures"]
+    m = diagnostics.metrics(fit)
+    assert m["rhat"]["b"] < 1.3
+
+
 def test_convergence_report_pass(fitted):
     rep = diagnostics.convergence(fitted, rhat_tol=1.3, min_tail_ess=10)
     assert rep["ok"] and rep["failures"] == []
