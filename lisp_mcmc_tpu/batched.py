@@ -205,3 +205,39 @@ class BatchedFit(Walker):
         from .expressions import eval_expression
 
         return [eval_expression(expr, p) for p in self.best_params_per_dataset()]
+
+    def laplace_per_dataset(self, bounds=None, eig_floor: float = 1e-12):
+        """Per-dataset Laplace approximations from ONE vmapped Hessian.
+
+        The batched counterpart of :func:`~lisp_mcmc_tpu.laplace_approx`:
+        every dataset's curvature covariance, per-parameter sds, and
+        closed-form evidence come from a single
+        ``vmap(hessian)`` over the stacked best-fit vectors — S
+        evidences for a scan grid in one device program (compare
+        model families spectrum-by-spectrum by differencing two batched
+        fits' ``log_z`` lists).  ``bounds`` resolves from a
+        ``make_bounds_prior`` log_prior when omitted; without any
+        bounds, ``log_z`` is None and only curvature is returned.
+        Returns a list of :class:`~lisp_mcmc_tpu.LaplaceResult`.
+        """
+        from .evidence import _laplace_from_hessian, _resolve_bounds
+
+        data = self._posterior_data()
+        best = self.best_params_per_dataset()
+        thetas = jnp.asarray(
+            np.stack([np.asarray([float(p[k]) for k in self.spec.keys])
+                      for p in best]), self.dtype)
+        idx = jnp.arange(self.n_datasets)
+
+        def lp_fn(theta, s):
+            return self._custom_log_post(theta, s, data)
+
+        neg_hess = -jax.vmap(jax.hessian(lp_fn), in_axes=(0, 0))(thetas, idx)
+        lps = jax.vmap(lp_fn)(thetas, idx)
+        bounds = _resolve_bounds(self, bounds)
+        return [
+            _laplace_from_hessian(
+                float(lps[s]), best[s], np.asarray(neg_hess[s]),
+                self.spec.keys, bounds, eig_floor, "laplace_per_dataset")
+            for s in range(self.n_datasets)
+        ]

@@ -125,14 +125,46 @@ def laplace_approx(walker, bounds=None, eig_floor: float = 1e-12):
     import jax
     import jax.numpy as jnp
 
-    if getattr(walker, "aux", None) is not None:
+    if getattr(walker, "aux", None) is not None and \
+            not hasattr(walker, "laplace_per_dataset"):
         raise ValueError("laplace_approx: grouped/aux ensembles have no "
-                         "single posterior surface; use per-dataset walkers")
+                         "single posterior surface; use per-dataset walkers "
+                         "(BatchedFit has laplace_per_dataset)")
+    if hasattr(walker, "laplace_per_dataset") and \
+            getattr(walker, "n_datasets", 1) > 1:
+        raise ValueError("laplace_approx: this is a batched fit — use "
+                         "laplace_per_dataset()")
     lp_map, mode = walker.most_likely_step()
     theta = jnp.asarray(walker.spec.flatten(mode), walker.dtype)
     data = walker._posterior_data()
 
-    neg_hess = -jax.hessian(lambda v: walker._log_post_one(v, data))(theta)
+    if getattr(walker, "_custom_log_post", None) is not None and \
+            getattr(walker, "aux", None) is not None:
+        # Single-dataset batched fit: posterior takes a dataset index.
+        neg_hess = -jax.hessian(
+            lambda v: walker._custom_log_post(v, jnp.asarray(0), data))(theta)
+    else:
+        neg_hess = -jax.hessian(lambda v: walker._log_post_one(v, data))(theta)
+    bounds = _resolve_bounds(walker, bounds)
+    return _laplace_from_hessian(float(lp_map), mode, np.asarray(neg_hess),
+                                 walker.spec.keys, bounds, eig_floor,
+                                 "laplace_approx")
+
+
+def _resolve_bounds(walker, bounds):
+    if bounds is not None:
+        return bounds
+    for t in getattr(walker, "terms", []):
+        b = getattr(t.prior, "_bounds", None)
+        if b:
+            return b
+    return None
+
+
+def _laplace_from_hessian(lp_map: float, mode: dict, neg_hess: np.ndarray,
+                          keys, bounds, eig_floor: float,
+                          name: str) -> LaplaceResult:
+    """Shared Laplace core: clamped eigendecomposition -> cov/sd/log_z."""
     h = np.asarray(neg_hess, np.float64)
     h = 0.5 * (h + h.T)
     evals, evecs = np.linalg.eigh(h)
@@ -140,28 +172,20 @@ def laplace_approx(walker, bounds=None, eig_floor: float = 1e-12):
     n_clamped = int(np.sum(evals <= floor))
     evals = np.maximum(evals, floor)
     cov = (evecs / evals) @ evecs.T
-    sd = {k: float(np.sqrt(cov[i, i]))
-          for i, k in enumerate(walker.spec.keys)}
+    sd = {k: float(np.sqrt(cov[i, i])) for i, k in enumerate(keys)}
 
-    if bounds is None:
-        for t in getattr(walker, "terms", []):
-            b = getattr(t.prior, "_bounds", None)
-            if b:
-                bounds = b
-                break
     log_z = None
     if bounds is not None:
-        keys = walker.spec.keys
         missing = [k for k in keys if k not in bounds]
         if missing:
-            raise ValueError(f"laplace_approx: bounds missing {missing}")
+            raise ValueError(f"{name}: bounds missing {missing}")
         log_v = float(sum(math.log(bounds[k][1] - bounds[k][0])
                           for k in keys))
         d = len(keys)
         log_det_cov = float(-np.sum(np.log(evals)))
-        log_z = float(lp_map) + 0.5 * d * math.log(2.0 * math.pi) \
+        log_z = lp_map + 0.5 * d * math.log(2.0 * math.pi) \
             + 0.5 * log_det_cov - log_v
-    return LaplaceResult(mode=mode, lp_map=float(lp_map), cov=cov, sd=sd,
+    return LaplaceResult(mode=mode, lp_map=lp_map, cov=cov, sd=sd,
                          log_z=log_z, n_clamped=n_clamped)
 
 

@@ -90,6 +90,49 @@ def test_laplace_flags_degenerate_direction():
     assert res.n_clamped >= 1
 
 
+def test_laplace_per_dataset_batched():
+    """One vmapped Hessian gives every dataset's curvature + evidence;
+    per-dataset sds match the closed-form least-squares covariance and
+    the single-fit laplace_approx on the same data."""
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 10.0, 50)
+    noises = [0.1, 0.4]
+    datasets = [(x, 2.0 * x + 1.0 + rng.normal(0, s, 50)) for s in noises]
+    bounds = {"m": (0.0, 4.0), "b": (-5.0, 5.0)}
+    fit = mfit.BatchedFit(line, datasets, {"m": 1.8, "b": 0.8},
+                          data_error=noises,
+                          log_prior=mfit.make_bounds_prior(bounds),
+                          walkers_per_dataset=32, seed=0,
+                          walker_jitter=0.02)
+    fit.adaptive_steps(3000, auto=None)
+    fit.optimize(300)
+    results = fit.laplace_per_dataset()
+    assert len(results) == 2
+    X = np.column_stack([x, np.ones_like(x)])
+    for res, s in zip(results, noises):
+        exact = s**2 * np.linalg.inv(X.T @ X)
+        assert res.n_clamped == 0
+        assert res.sd["m"] == pytest.approx(math.sqrt(exact[0, 0]), rel=1e-2)
+        assert res.sd["b"] == pytest.approx(math.sqrt(exact[1, 1]), rel=1e-2)
+        assert res.log_z is not None and np.isfinite(res.log_z)
+    # The noisier dataset has wider parameter uncertainty.
+    assert results[1].sd["m"] > 2 * results[0].sd["m"]
+
+    # Cross-check dataset 0 against the single-fit estimator.
+    w = mfit.walker_create(function=line, data=datasets[0],
+                           params={"m": 1.8, "b": 0.8}, data_error=0.1,
+                           log_prior=mfit.make_bounds_prior(bounds),
+                           n_walkers=32, seed=0, walker_jitter=0.02)
+    w.adaptive_steps(3000, auto=None)
+    w.optimize(300)
+    single = w.laplace_approx()
+    assert results[0].log_z == pytest.approx(single.log_z, abs=0.05)
+
+    # Plain laplace_approx on a multi-dataset batch must redirect.
+    with pytest.raises(ValueError, match="laplace_per_dataset"):
+        fit.laplace_approx()
+
+
 def test_laplace_on_line_fit_matches_least_squares():
     """Linear-Gaussian model: the Laplace covariance is EXACT — it must
     reproduce the closed-form least-squares parameter covariance
