@@ -35,6 +35,46 @@ from .priors import log_prior_flat
 __all__ = ["BatchedFit"]
 
 
+class _DatasetView:
+    """Read-only single-dataset facade over one BatchedFit walker block.
+
+    Exposes exactly the surface the predictive toolchain dispatches on
+    (``steps``/``spec``/``dtype``/``terms``, no group_ids, no custom
+    posterior), with history columns mapped through the retained
+    walker-subsample when one is active — so ``diagnostics.waic/loo``
+    and ``predictive.posterior_predictive`` run unmodified per dataset.
+    """
+
+    group_ids = None
+    _custom_log_post = None
+    _custom_batched = None
+
+    def __init__(self, fit: "BatchedFit", s: int):
+        import dataclasses
+
+        self.spec = fit.spec
+        self.dtype = fit.dtype
+        self.terms = [dataclasses.replace(fit.terms[0],
+                                          dataset=fit._datasets[s])]
+        self._fit = fit
+        self._s = s
+
+    def _block_columns(self) -> np.ndarray:
+        fit = self._fit
+        g = np.asarray(fit.group_ids)
+        retained = fit._history_walker_idx()
+        if retained is not None:
+            g = g[np.asarray(retained)]
+        return np.nonzero(g == self._s)[0]
+
+    def steps(self, take=None):
+        pos, lp = self._fit._history(take)
+        cols = self._block_columns()
+        d = pos.shape[-1]
+        return (np.asarray(pos)[:, cols, :].reshape(-1, d),
+                np.asarray(lp)[:, cols].reshape(-1))
+
+
 class BatchedFit(Walker):
     """S independent same-shape fits as one ``(S*B, d)`` walker ensemble.
 
@@ -126,8 +166,10 @@ class BatchedFit(Walker):
         ])
         positions = np.repeat(init, walkers_per_dataset, axis=0)  # (W, d)
 
-        # Representative dataset (index 0) for plotting/term APIs.
+        # Representative dataset (index 0) for plotting/term APIs; the
+        # full list backs the per-dataset predictive views.
         ds0 = dsets[0]
+        self._datasets = dsets
 
         super().__init__(
             terms=[_Term(fn=function, dataset=ds0,
@@ -205,6 +247,35 @@ class BatchedFit(Walker):
         from .expressions import eval_expression
 
         return [eval_expression(expr, p) for p in self.best_params_per_dataset()]
+
+    def dataset_view(self, s: int) -> "_DatasetView":
+        """Single-dataset read-only view: dataset ``s``'s walker block
+        behind the plain-Walker surface the predictive toolchain needs
+        (``diagnostics.waic/loo``, ``posterior_predictive`` ...)."""
+        if not 0 <= s < self.n_datasets:
+            raise IndexError(f"dataset {s} of {self.n_datasets}")
+        return _DatasetView(self, s)
+
+    def waic_per_dataset(self, **kwargs) -> list:
+        """Per-dataset WAIC (``diagnostics.waic`` on each block view)."""
+        from .diagnostics import waic
+
+        return [waic(self.dataset_view(s), **kwargs)
+                for s in range(self.n_datasets)]
+
+    def loo_per_dataset(self, **kwargs) -> list:
+        """Per-dataset PSIS-LOO with Pareto-k diagnostics."""
+        from .diagnostics import loo
+
+        return [loo(self.dataset_view(s), **kwargs)
+                for s in range(self.n_datasets)]
+
+    def posterior_predictive_per_dataset(self, **kwargs) -> list:
+        """Per-dataset replicated observations (one PredictiveDraws each)."""
+        from .predictive import posterior_predictive
+
+        return [posterior_predictive(self.dataset_view(s), **kwargs)[0]
+                for s in range(self.n_datasets)]
 
     def laplace_per_dataset(self, bounds=None, eig_floor: float = 1e-12):
         """Per-dataset Laplace approximations from ONE vmapped Hessian.

@@ -87,3 +87,42 @@ def test_batched_shared_per_point_error_array():
     with pytest.raises(ValueError, match="ambiguous"):
         mfit.BatchedFit(line, two, {"m": 1.0, "b": 0.5},
                         data_error=np.array([0.1, 0.2]), walkers_per_dataset=4)
+
+
+def test_predictive_toolchain_per_dataset(rng):
+    """Batched fits are first-class for the predictive toolchain: each
+    dataset block gets its own WAIC/PSIS-LOO/replicates through the
+    single-dataset views (history columns mapped per block)."""
+    x = np.linspace(0.0, 10.0, 50)
+    noises = [0.1, 0.3]
+    datasets = [(x, 2.0 * x + 1.0 + rng.normal(0, s, 50)) for s in noises]
+    fit = mfit.BatchedFit(line, datasets, {"m": 1.8, "b": 0.8},
+                          data_error=noises, walkers_per_dataset=24,
+                          seed=0, walker_jitter=0.02)
+    fit.adaptive_steps(4000, auto=None)
+    fit.burn_steps(len(fit) // 2)
+
+    waics = fit.waic_per_dataset(max_samples=128)
+    loos = fit.loo_per_dataset(max_samples=128)
+    assert len(waics) == len(loos) == 2
+    for w_res, l_res in zip(waics, loos):
+        assert w_res.n_points == 50 and l_res.n_points == 50
+        # Same elpd target: WAIC and LOO agree on a well-behaved fit.
+        assert w_res.elpd == pytest.approx(l_res.elpd, abs=3.0)
+    # The noisier dataset predicts new points worse (lower elpd).
+    assert waics[0].elpd > waics[1].elpd + 20
+
+    draws = fit.posterior_predictive_per_dataset(max_samples=128)
+    for d_res, (_, y) in zip(draws, datasets):
+        np.testing.assert_allclose(d_res.y_obs, y)
+        assert 0.7 < d_res.coverage(0.05, 0.95) <= 1.0
+    # Replicate spreads track each dataset's own noise level.
+    s0 = draws[0].y_rep.std(axis=0).mean()
+    s1 = draws[1].y_rep.std(axis=0).mean()
+    assert s1 > 2.0 * s0
+
+    view = fit.dataset_view(1)
+    pos, lp = view.steps()
+    assert pos.shape[1] == 2 and pos.shape[0] == lp.shape[0] > 0
+    with pytest.raises(IndexError):
+        fit.dataset_view(2)
