@@ -22,7 +22,7 @@ __all__ = ["metrics", "ess_per_param", "ess_from_history", "rhat_per_param",
            "rhat_from_history", "rank_rhat_per_param", "tail_ess_per_param",
            "mcse_per_param", "convergence", "summary", "trace_profile",
            "WAICResult", "waic", "waic_compare",
-           "LOOResult", "loo", "loo_compare"]
+           "LOOResult", "loo", "loo_compare", "model_weights"]
 
 
 def trace_profile(log_dir: str = "/tmp/lisp_mcmc_tpu_trace"):
@@ -588,3 +588,65 @@ def loo_compare(a: LOOResult, b: LOOResult) -> dict[str, float]:
     (positive ``elpd_diff`` favors ``a``; per-point differencing makes
     the standard error much tighter than the marginal ``se``s)."""
     return _paired_elpd_compare(a, b, "loo_compare")
+
+
+def model_weights(results, method: str = "stacking",
+                  seed: int = 0, n_boot: int = 1000) -> np.ndarray:
+    """Model-averaging weights from WAIC/LOO results on the SAME data.
+
+    Completes the comparison story: when no single model wins decisively,
+    average their predictions instead of picking one.  Two methods
+    (Yao, Vehtari, Simpson & Gelman 2018, "Using stacking to average
+    Bayesian predictive distributions"):
+
+    - ``"stacking"`` (default, recommended): maximize the pooled
+      leave-one-out log score ``sum_i log sum_k w_k exp(elpd_ik)`` over
+      the simplex — weights reflect how models COMBINE (two models each
+      good on half the data both get weight even if one dominates on
+      totals).  Concave; solved by projected ascent on a softmax
+      parameterization.
+    - ``"pseudo-bma+"``: Bayesian-bootstrap-regularized
+      exp(elpd)-proportional weights — cheaper, but over-concentrates
+      when models are similar.
+
+    Pass >= 2 :class:`WAICResult`/:class:`LOOResult` (mixable — both
+    carry per-point ``pointwise`` elpds).  Returns weights summing to 1
+    in input order.
+    """
+    if len(results) < 2:
+        raise ValueError("model_weights: need >= 2 models")
+    n = results[0].n_points
+    if any(r.n_points != n for r in results):
+        raise ValueError("model_weights: models were scored on different "
+                         f"data ({[r.n_points for r in results]} points)")
+    elpd = np.stack([np.asarray(r.pointwise, np.float64) for r in results])
+
+    if method == "pseudo-bma+":
+        rng = np.random.default_rng(seed)
+        # Bayesian bootstrap over points: Dirichlet(1) weights.
+        alpha = rng.dirichlet(np.ones(n), size=n_boot)     # (B, n)
+        totals = alpha @ elpd.T * n                        # (B, K)
+        z = totals - totals.max(axis=1, keepdims=True)
+        w = np.exp(z) / np.exp(z).sum(axis=1, keepdims=True)
+        return w.mean(axis=0)
+
+    if method != "stacking":
+        raise ValueError(f"model_weights: unknown method {method!r}")
+    # Projected gradient ascent on softmax(theta); objective is concave
+    # in w and the simplex is tiny (K models), so this converges fast.
+    k_models = elpd.shape[0]
+    mx = elpd.max(axis=0)
+    p = np.exp(elpd - mx)                                  # (K, n)
+    theta = np.zeros(k_models)
+    lr = 1.0
+    for _ in range(2000):
+        w = np.exp(theta - theta.max())
+        w = w / w.sum()
+        mix = w @ p                                        # (n,)
+        grad_w = (p / mix).mean(axis=1)                    # d/dw mean log
+        # Chain rule through softmax.
+        grad_theta = w * (grad_w - float(w @ grad_w))
+        theta_new = theta + lr * grad_theta
+        theta = theta_new - theta_new.max()
+    w = np.exp(theta)
+    return w / w.sum()
