@@ -108,3 +108,31 @@ def test_flagship_log_posterior_at_reference_params():
     # enough for BLAS reduction-order jitter, tightly enough to catch
     # any real change.
     assert lp == pytest.approx(-38788.61811866519, abs=1e-5), lp
+
+
+def test_flagship_fit_beats_reference_optimum_f32():
+    """The same anchor under float32 — the TPU's production dtype.
+
+    Round 2 measured that f32 posteriors on extreme-SNR fits can be
+    genuinely wrong (the SBC audit fails at data_error=2e-6 where f64
+    passes, sbc.py docstring); this pins that the flagship JOURNEY
+    itself — anneal, adaptation, MAP polish — still clears the
+    reference's printed optimum at f32, so the production path cannot
+    silently rot to f64-only correctness.
+    """
+    import jax.numpy as jnp
+
+    table = mfit.read_file_data(REFERENCE_DATA)
+    x, y = mfit.create_walker_data(table, 1, 4)
+    w = mfit.walker_create(
+        function=lorder_mixed_bg, data=(x, y),
+        params={"scale": 1e-5, "linewidth": 7.0, "x0": 2200.0, "mix": 0.9,
+                "bg0": 1e-7, "bg1": 1e-9},
+        data_error=1e-7, n_walkers=256, seed=0, walker_jitter=0.05,
+        dtype=jnp.float32)
+    w.adaptive_steps(12000, temperature=10.0, auto=None)
+    w.optimize(400, rounds=2)
+    lp, best = w.most_likely_step()
+    assert lp > REFERENCE_PROB, lp
+    assert 2780.0 < best["x0"] < 2795.0
+    assert 0.1 < w.acceptance() < 0.6
