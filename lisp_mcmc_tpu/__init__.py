@@ -42,6 +42,7 @@ from .data import Dataset, clean_data, clean_data_error, create_walker_data
 from .evidence import (EvidenceResult, LaplaceResult, laplace_approx,
                        log_bayes_factor, log_evidence)
 from .nested import NestedResult, nested_sample
+from .profile import ProfileResult, profile_likelihood
 from .smc import SMCResult, smc_sample
 from .expressions import (
     expression_credible_interval,
@@ -111,6 +112,8 @@ __all__ = [
     "laplace_approx",
     "NestedResult",
     "nested_sample",
+    "ProfileResult",
+    "profile_likelihood",
     "SMCResult",
     "bound_penalty",
     "clean_data",

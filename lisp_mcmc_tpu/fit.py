@@ -1336,6 +1336,12 @@ class Walker:
 
         return nested_sample(self, bounds, **kwargs)
 
+    def profile_likelihood(self, name: str, **kwargs):
+        """Profile-likelihood CI for one parameter (batched masked Adam)."""
+        from .profile import profile_likelihood
+
+        return profile_likelihood(self, name, **kwargs)
+
     def with_expression(self, expr: str, take: int | None = 1000):
         """Derived quantity at the most-likely params (``walker-with-exp``)."""
         from .expressions import walker_with_expression
