@@ -40,6 +40,7 @@ PACKAGE_NAMES = [
     "posterior_predictive", "prior_predictive", "predict", "Prediction",
     "PredictiveDraws", "ppc_pvalue", "sbc_check", "SBCResult",
     "make_student_t_likelihood", "make_noise_scale_likelihood",
+    "profile_likelihood", "ProfileResult",
 ]
 
 WALKER_METHODS = [
@@ -62,6 +63,7 @@ WALKER_METHODS = [
     # round-2 verbs
     "laplace_approx", "nested_sample", "posterior_predictive",
     "prior_predictive", "predict", "ppc_pvalue", "ppc_plot",
+    "profile_likelihood",
 ]
 
 MODULE_NAMES = {
@@ -86,7 +88,7 @@ MODULE_NAMES = {
                   "waic", "waic_compare", "WAICResult",
                   "loo", "loo_compare", "LOOResult", "convergence",
                   "rank_rhat_per_param", "tail_ess_per_param",
-                  "mcse_per_param"],
+                  "mcse_per_param", "model_weights"],
     files: ["file_specs", "get_filename", "read_file_data"],
     linalg: ["sample_covariance", "cholesky_clamped",
              "diagonal_covariance", "haario_scale", "moments_covariance"],
