@@ -168,6 +168,8 @@ def main():
     print(f"WAIC elpd: two-peak {r2.elpd:.1f} (p={r2.p_waic:.1f})  "
           f"one-peak {r1.elpd:.1f} (p={r1.p_waic:.1f})  "
           f"diff {cmp['elpd_diff']:.1f} +- {cmp['se_diff']:.1f}")
+    wts = diagnostics.model_weights([r2, r1])
+    print(f"stacking weights: two-peak {wts[0]:.3f}, one-peak {wts[1]:.3f}")
 
     # 6. Audit the pipeline itself: simulate datasets from the one-peak
     # prior, fit ALL of them as one batched ensemble, and test that the

@@ -59,17 +59,14 @@ class _DatasetView:
         self._fit = fit
         self._s = s
 
-    def _block_columns(self) -> np.ndarray:
-        fit = self._fit
-        g = np.asarray(fit.group_ids)
-        retained = fit._history_walker_idx()
-        if retained is not None:
-            g = g[np.asarray(retained)]
-        return np.nonzero(g == self._s)[0]
-
     def steps(self, take=None):
+        from .fit import history_block_columns
+
         pos, lp = self._fit._history(take)
-        cols = self._block_columns()
+        # Width-aware mapping: the history may hold the full ensemble,
+        # the retained subsample, or (no rows collected) the live-state
+        # fallback — history_block_columns resolves which.
+        cols = history_block_columns(self._fit, pos.shape[1])[self._s]
         d = pos.shape[-1]
         return (np.asarray(pos)[:, cols, :].reshape(-1, d),
                 np.asarray(lp)[:, cols].reshape(-1))

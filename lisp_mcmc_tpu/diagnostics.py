@@ -50,18 +50,16 @@ def _history_blocks(walker, take):
     iterates the dataset blocks and reports the worst case (converged
     means every dataset converged).
     """
+    from .fit import history_block_columns
+
     pos, _ = walker._history(take)
     pos = jnp.asarray(pos)
-    groups = getattr(walker, "group_ids", None)
-    if groups is None or getattr(walker, "n_groups", 1) <= 1:
+    cols = history_block_columns(walker, pos.shape[1])
+    if len(cols) == 1:
         yield pos
         return
-    g = np.asarray(groups)
-    retained = getattr(walker, "_history_walker_idx", lambda: None)()
-    if retained is not None:
-        g = g[np.asarray(retained)]
-    for s in range(int(walker.n_groups)):
-        yield pos[:, g == s, :]
+    for c in cols:
+        yield pos[:, jnp.asarray(c), :]
 
 
 def ess_per_param(walker, take: int | None = None) -> dict[str, float]:
@@ -206,12 +204,29 @@ def metrics(walker, take: int | None = None, elapsed_seconds: float | None = Non
     log-posterior, stddevs) plus ESS/R-hat and throughput when timing is
     provided.
     """
+    from .fit import history_block_columns
+
     lp_best, best = walker.most_likely_step()
-    _, lp = walker._history(take)
-    # ESS/R-hat/MCSE go through the group-aware wrappers: a BatchedFit
-    # pools walkers targeting DIFFERENT posteriors, so the statistics
-    # must be computed within each dataset block (worst case reported).
-    ess = ess_per_param(walker, take)
+    # ONE history fetch for everything below (_history concatenates the
+    # whole retained chunk list per call — gigabytes of traffic on long
+    # runs); ESS/R-hat/MCSE compute per dataset block on it (a
+    # BatchedFit pools walkers targeting DIFFERENT posteriors), worst
+    # case reported.
+    pos, lp = walker._history(take)
+    pos = jnp.asarray(pos)
+    keys = walker.spec.keys
+    ess, rhat, mcse = None, None, None
+    for cols in history_block_columns(walker, pos.shape[1]):
+        blk = pos[:, jnp.asarray(cols), :]
+        e = ess_from_history(blk, keys)
+        r = rhat_from_history(blk, keys)
+        m = {k: float(jnp.sqrt(jnp.var(blk[:, :, i], ddof=1)
+                               / max(e[k], 1.0)))
+             for i, k in enumerate(keys)}
+        ess = e if ess is None else {k: min(ess[k], e[k]) for k in e}
+        rhat = r if rhat is None else {k: max(rhat[k], r[k]) for k in r}
+        mcse = m if mcse is None else {k: max(mcse[k], m[k]) for k in m}
+    ess, rhat, mcse = ess or {}, rhat or {}, mcse or {}
     out = {
         "age": walker.age,
         "n_walkers": walker.n_walkers,
@@ -225,8 +240,8 @@ def metrics(walker, take: int | None = None, elapsed_seconds: float | None = Non
         },
         "ess": ess,
         "min_ess": min(ess.values()) if ess else 0.0,
-        "rhat": rhat_per_param(walker, take),
-        "mcse": mcse_per_param(walker, take),
+        "rhat": rhat,
+        "mcse": mcse,
     }
     if elapsed_seconds:
         out["chain_steps_per_sec"] = walker.age * walker.n_walkers / elapsed_seconds

@@ -83,6 +83,79 @@ def _split_rhat_host(pos: np.ndarray) -> np.ndarray:
     return np.where(ok, np.sqrt(var_plus / np.where(ok, w, 1.0)), np.inf)
 
 
+def make_adam_sgdr_runner(vg, n_steps: int):
+    """Whitened-Adam with cosine warm restarts: the shared ascent core.
+
+    ``vg(pos, data) -> (values, grads)`` batched over walkers; returns
+    ``run(pos0, s, lr, data)``.  Used by :meth:`Walker.optimize` and
+    :func:`~lisp_mcmc_tpu.profile_likelihood` (which zeroes the pinned
+    coordinate through ``s`` — a zero whitening scale makes its update
+    exactly zero) so the measured tuning lives in ONE place.
+
+    Cosine-annealed warm restarts (SGDR): Adam at constant lr stalls at
+    a finite radius inside narrow correlated valleys (the line fit's
+    (m, b) trough), and one long cosine decay runs out of step before
+    reaching the bottom; cycles of decay-to-zero then fresh-moment
+    restart measured exact least-squares convergence where both
+    single-schedule variants missed at 3 decimals.
+    """
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    cycle = min(n_steps, 200)
+
+    def run(pos0, s, lr, data):
+        def step(carry, i):
+            pos, m, v = carry
+            ic = (i % cycle).astype(pos.dtype)
+            fresh = ic == 0
+            m = jnp.where(fresh, 0.0, m)
+            v = jnp.where(fresh, 0.0, v)
+            _, g = vg(pos, data)
+            gz = jnp.where(jnp.isfinite(g), g, 0.0) * s
+            m = b1 * m + (1 - b1) * gz
+            v = b2 * v + (1 - b2) * gz * gz
+            mhat = m / (1 - b1 ** (ic + 1.0))
+            vhat = v / (1 - b2 ** (ic + 1.0))
+            lr_t = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * ic / cycle))
+            pos = pos + lr_t * s * mhat / (jnp.sqrt(vhat) + eps)
+            return (pos, m, v), None
+
+        z = jnp.zeros_like(pos0)
+        (pos, _, _), _ = lax.scan(step, (pos0, z, z),
+                                  jnp.arange(n_steps), unroll=False)
+        return pos
+
+    return run
+
+
+def history_block_columns(walker, width: int) -> list[np.ndarray]:
+    """Column-index arrays, one per population, for a history of ``width``
+    walker columns.
+
+    The retained history may hold (a) every walker, or (b) the
+    evenly-spaced ``history_walkers`` subsample, or (c) — when no rows
+    were collected — ``_history``'s fallback to the FULL live ensemble.
+    Group-aware consumers (diagnostics blocks, BatchedFit dataset
+    views, the rhat stop rules) must map group ids through whichever
+    ordering actually produced ``width``; assuming the subsample when
+    the fallback fired silently scores one dataset with another's
+    walkers (review finding, round 2).
+    """
+    g = getattr(walker, "group_ids", None)
+    if g is None or getattr(walker, "n_groups", 1) <= 1:
+        return [np.arange(width)]
+    g = np.asarray(g)
+    if width != g.size:
+        retained = walker._history_walker_idx()
+        if retained is not None and width == len(np.asarray(retained)):
+            g = g[np.asarray(retained)]
+        else:
+            raise ValueError(
+                f"history width {width} matches neither the ensemble "
+                f"({g.size}) nor the retained walker subsample — "
+                "cannot map dataset blocks")
+    return [np.nonzero(g == s)[0] for s in range(int(walker.n_groups))]
+
+
 def _rank_normalize_host(pos: np.ndarray) -> np.ndarray:
     """Average-rank normal scores per parameter over a (T, W, d) block.
 
@@ -671,12 +744,23 @@ class Walker:
             pos, _ = self._history(max(settle, 1000))  # (T, W, d) numpy
             if pos.shape[0] * self._thin < settle:
                 return False
-            if cfg.auto == "rhat":
-                return float(np.max(_split_rhat_host(pos))) < 1.01
-            bulk = _split_rhat_host(_rank_normalize_host(pos))
-            folded = np.abs(pos - np.median(pos, axis=(0, 1), keepdims=True))
-            tail = _split_rhat_host(_rank_normalize_host(folded))
-            return float(max(np.max(bulk), np.max(tail))) < 1.01
+            # Per-population blocks: a BatchedFit pools walkers that
+            # target DIFFERENT posteriors, so the pooled statistic
+            # reads >> 1 forever and the stop could never fire —
+            # converged means EVERY dataset's block converged.
+            for cols in history_block_columns(self, pos.shape[1]):
+                blk = pos[:, cols, :]
+                if cfg.auto == "rhat":
+                    if float(np.max(_split_rhat_host(blk))) >= 1.01:
+                        return False
+                    continue
+                bulk = _split_rhat_host(_rank_normalize_host(blk))
+                folded = np.abs(blk - np.median(blk, axis=(0, 1),
+                                                keepdims=True))
+                tail = _split_rhat_host(_rank_normalize_host(folded))
+                if float(max(np.max(bulk), np.max(tail))) >= 1.01:
+                    return False
+            return True
         if cfg.auto == "slope-settle":
             # stable-prob-slope-p (886-887) rebuilt as a closed-form OLS
             # slope on the trace instead of the reference's nested MCMC
@@ -1127,40 +1211,7 @@ class Walker:
                                in_axes=(0, 0, None))
                 aux = self.aux
                 vg = lambda pos, data: _vg(pos, aux, data)
-            b1, b2, eps = 0.9, 0.999, 1e-8
-
-            # Cosine-annealed warm restarts (SGDR): Adam at constant lr
-            # stalls at a finite radius inside narrow correlated valleys
-            # (the line fit's (m, b) trough), and one long cosine decay
-            # runs out of step before reaching the bottom; cycles of
-            # decay-to-zero then fresh-moment restart measured exact
-            # least-squares convergence where both single-schedule
-            # variants missed at 3 decimals.
-            cycle = min(n_steps, 200)
-
-            def run(pos0, s, lr, data):
-                def step(carry, i):
-                    pos, m, v = carry
-                    ic = (i % cycle).astype(pos.dtype)
-                    fresh = ic == 0
-                    m = jnp.where(fresh, 0.0, m)
-                    v = jnp.where(fresh, 0.0, v)
-                    _, g = vg(pos, data)
-                    gz = jnp.where(jnp.isfinite(g), g, 0.0) * s
-                    m = b1 * m + (1 - b1) * gz
-                    v = b2 * v + (1 - b2) * gz * gz
-                    mhat = m / (1 - b1 ** (ic + 1.0))
-                    vhat = v / (1 - b2 ** (ic + 1.0))
-                    lr_t = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * ic / cycle))
-                    pos = pos + lr_t * s * mhat / (jnp.sqrt(vhat) + eps)
-                    return (pos, m, v), None
-
-                z = jnp.zeros_like(pos0)
-                (pos, _, _), _ = lax.scan(step, (pos0, z, z),
-                                          jnp.arange(n_steps), unroll=False)
-                return pos
-
-            fn = jax.jit(run)
+            fn = jax.jit(make_adam_sgdr_runner(vg, n_steps))
             self._runner_cache[key] = fn
 
         lr = jnp.asarray(learning_rate, self.dtype)

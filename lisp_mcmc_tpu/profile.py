@@ -20,7 +20,6 @@ sequential fits.
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import numpy as np
 
@@ -56,6 +55,12 @@ class ProfileResult:
         def cross(i_out, i_in):
             x0, x1 = self.grid[i_out], self.grid[i_in]
             y0, y1 = self.profile_lp[i_out], self.profile_lp[i_in]
+            if not np.isfinite(y0):
+                # Outer neighbor floored to -inf (non-finite posterior
+                # region at the grid edge): the crossing sits just
+                # outside x1 — return the inner point, conservatively,
+                # rather than interpolating inf/inf to NaN.
+                return float(x1)
             if y1 == y0:
                 return float(x1)
             return float(x0 + (thr - y0) * (x1 - x0) / (y1 - y0))
@@ -90,7 +95,6 @@ def profile_likelihood(walker, name: str, grid=None, n_grid: int = 21,
     """
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from .fit import _nonzero_scales
 
@@ -127,44 +131,27 @@ def profile_likelihood(walker, name: str, grid=None, n_grid: int = 21,
 
     mask = np.ones(d)
     mask[k] = 0.0
-    mask_j = jnp.asarray(mask, walker.dtype)
-    pinned = jnp.asarray(starts[:, k], walker.dtype)
+
+    from .fit import make_adam_sgdr_runner
 
     _vg = jax.vmap(jax.value_and_grad(walker._log_post_one),
                    in_axes=(0, None))
-    b1, b2, eps = 0.9, 0.999, 1e-8
-    cycle = min(n_steps, 200)
-
-    def run(pos0, s, lr, data):
-        def step(carry, i):
-            pos, m, v = carry
-            ic = (i % cycle).astype(pos.dtype)
-            fresh = ic == 0
-            m = jnp.where(fresh, 0.0, m)
-            v = jnp.where(fresh, 0.0, v)
-            _, g = _vg(pos, data)
-            gz = jnp.where(jnp.isfinite(g), g, 0.0) * s * mask_j
-            m = b1 * m + (1 - b1) * gz
-            v = b2 * v + (1 - b2) * gz * gz
-            mhat = m / (1 - b1 ** (ic + 1.0))
-            vhat = v / (1 - b2 ** (ic + 1.0))
-            lr_t = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * ic / cycle))
-            pos = pos + lr_t * s * mhat / (jnp.sqrt(vhat) + eps)
-            pos = pos.at[:, k].set(pinned)     # re-pin the profiled coord
-            return (pos, m, v), None
-
-        z = jnp.zeros_like(pos0)
-        (pos, _, _), _ = lax.scan(step, (pos0, z, z), jnp.arange(n_steps))
-        return pos
-
-    fn = jax.jit(run)
+    # The shared optimize core; the profiled coordinate is held fixed by
+    # zeroing its whitening scale (its Adam update is then exactly 0).
+    fn = jax.jit(make_adam_sgdr_runner(_vg, n_steps))
     pos = jnp.asarray(starts, walker.dtype)
     lp_eval = jax.jit(jax.vmap(walker._log_post_one, in_axes=(0, None)))
     best_pos = pos
+    # Floor the INITIAL evaluations too: a NaN start (a default grid
+    # reaching outside a parameter's domain) would otherwise poison its
+    # row forever — 'lp > nan' is never True, so no round could ever
+    # replace it (review finding, round 2).
     best_lp = lp_eval(pos, data)
+    best_lp = jnp.where(jnp.isfinite(best_lp), best_lp, -np.inf)
     for _ in range(max(1, rounds)):
         s = jnp.asarray(_nonzero_scales(
-            np.median(np.abs(np.asarray(best_pos)), axis=0)), walker.dtype)
+            np.median(np.abs(np.asarray(best_pos)), axis=0)) * mask,
+            walker.dtype)
         pos = fn(best_pos, s, jnp.asarray(learning_rate, walker.dtype), data)
         lp = lp_eval(pos, data)
         lp = jnp.where(jnp.isfinite(lp), lp, -np.inf)

@@ -126,3 +126,38 @@ def test_predictive_toolchain_per_dataset(rng):
     assert pos.shape[1] == 2 and pos.shape[0] == lp.shape[0] > 0
     with pytest.raises(IndexError):
         fit.dataset_view(2)
+
+
+def test_dataset_view_maps_live_state_fallback(rng):
+    """With no collected history, _history() falls back to the FULL
+    live ensemble; the block mapping must follow that width instead of
+    assuming the retained subsample (review finding: a stale mapping
+    silently scored one dataset with another's walkers)."""
+    x = np.linspace(0.0, 10.0, 40)
+    datasets = [(x, 1.0 * x), (x, 3.0 * x)]
+    fit = mfit.BatchedFit(line, datasets, [{"m": 1.0, "b": 0.0},
+                                           {"m": 3.0, "b": 0.0}],
+                          data_error=0.1, walkers_per_dataset=16, seed=0,
+                          walker_jitter=0.01)
+    fit.adaptive_steps(1000, auto=None, collect_history=False)
+    for s, m_true in [(0, 1.0), (1, 3.0)]:
+        pos, lp = fit.dataset_view(s).steps()
+        assert pos.shape[0] == 16          # exactly this block's walkers
+        assert np.median(pos[:, 0]) == pytest.approx(m_true, abs=0.3)
+
+
+def test_auto_rank_rhat_fires_on_batched_fit(rng):
+    """The rank-rhat stop rule judges each dataset block separately: on
+    a batched fit of two easy posteriors with far-apart intercepts the
+    POOLED statistic stays >> 1.01 forever (different targets), so a
+    pooled rule would burn the whole budget; the per-block rule stops
+    early (review finding, round 2)."""
+    x = np.linspace(0.0, 10.0, 50)
+    datasets = [(x, 2.0 * x + 1.0 + 0.05 * rng.standard_normal(50)),
+                (x, 2.0 * x + 101.0 + 0.05 * rng.standard_normal(50))]
+    fit = mfit.BatchedFit(line, datasets, [{"m": 2.0, "b": 1.0},
+                                           {"m": 2.0, "b": 100.0}],
+                          data_error=0.05, walkers_per_dataset=32, seed=0,
+                          walker_jitter=0.02)
+    fit.adaptive_steps(60000, auto="rank-rhat", temperature=2.0)
+    assert fit.age < 60000

@@ -78,6 +78,33 @@ def test_profile_grid_limited_flags(line_fit):
     assert "grid-limited" in repr(res)
 
 
+def test_profile_survives_nan_region():
+    """A default grid that reaches outside a parameter's domain (here
+    noise_scale <= 0 -> log(k) NaN) must not poison the profile: NaN
+    start evaluations are floored, the finite grid points optimize, and
+    the CI comes back finite (review finding, round 2)."""
+    rng = np.random.default_rng(5)
+    x = np.linspace(0.0, 10.0, 50)
+    y = 2.0 * x + 1.0 + rng.normal(0, 0.3, 50)
+    w = mfit.walker_create(
+        function=line, data=(x, y),
+        params={"m": 1.5, "b": 0.5, "noise_scale": 1.0}, data_error=1.0,
+        log_likelihood=mfit.make_noise_scale_likelihood(),
+        log_prior=mfit.make_bounds_prior({"noise_scale": (1e-3, 1e3)}),
+        n_walkers=32, seed=0, walker_jitter=0.05)
+    w.adaptive_steps(3000, auto=None)
+    w.optimize(200)
+    k_hat = w.most_likely_params()["noise_scale"]
+    # Grid deliberately spanning into k <= 0.
+    grid = np.linspace(-0.1, 2.5 * k_hat, 25)
+    res = w.profile_likelihood("noise_scale", grid=grid)
+    assert np.isfinite(res.lp_max)
+    lo, hi, bl, bh = res.ci(0.95)
+    assert np.isfinite(lo) and np.isfinite(hi)
+    assert lo < k_hat < hi
+    assert lo > 0.0                       # CI never extends into NaN-land
+
+
 def test_profile_validation(line_fit):
     w, _ = line_fit
     with pytest.raises(ValueError, match="unknown parameter"):
