@@ -553,9 +553,11 @@ class Walker:
                     f"{cfg.kernel} kernel: the ensemble has zero spread in "
                     "at least one coordinate (per adaptation group), which "
                     "ensemble moves can never escape — create the walker "
-                    "with walker_jitter > 0, or run an rwm anneal first "
-                    "(after reset_to_most_likely, take some rwm steps "
-                    "before switching kernels)")
+                    "with walker_jitter > 0 AND nonzero initial guesses "
+                    "(the jitter is multiplicative, so a parameter guessed "
+                    "at exactly 0 stays 0 for every walker), or run an rwm "
+                    "anneal first (after reset_to_most_likely, take some "
+                    "rwm steps before switching kernels)")
         # Each adaptive run gets a fresh annealing clock (the reference
         # indexes its temps list by the do-loop's own counter, 919-921).
         self.state = dataclasses.replace(

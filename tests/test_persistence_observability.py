@@ -247,3 +247,26 @@ def test_plots_close_figures_and_subsample(tmp_path):
     assert len(plt.get_fignums()) == before
     data = np.zeros((10, 500))
     assert plotting._subsample_walkers(data).shape[1] <= 64
+
+
+def test_demc_config_checkpoint_roundtrip(tmp_path):
+    """Round-2 FitConfig fields (kernel='demc' + demc_* knobs) survive
+    the save/load cycle and the loaded walker resumes under them."""
+    from lisp_mcmc_tpu.kernel import FitConfig
+
+    x = np.linspace(0.0, 10.0, 30)
+    y = 2.0 * x + 1.0
+    w = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 1.0, "b": 0.5},
+        data_error=0.1, n_walkers=16, seed=0, walker_jitter=0.05,
+        config=FitConfig(kernel="demc", demc_gamma=0.7,
+                         demc_jump_prob=0.2))
+    w.adaptive_steps(600, auto=None)
+    path = str(tmp_path / "demc.npz")
+    walker_save(w, path)
+    loaded = walker_load(path)
+    assert loaded.config.kernel == "demc"
+    assert loaded.config.demc_gamma == 0.7
+    assert loaded.config.demc_jump_prob == 0.2
+    loaded.adaptive_steps(600, auto=None)
+    assert 0.0 < loaded.acceptance() < 1.0
