@@ -46,6 +46,7 @@ from .profile import ProfileResult, profile_likelihood
 from .smc import SMCResult, smc_sample
 from .expressions import (
     expression_credible_interval,
+    expression_hdi,
     expression_samples,
     walker_with_expression,
 )
@@ -127,6 +128,7 @@ __all__ = [
     "enable_compilation_cache",
     "estop",
     "expression_credible_interval",
+    "expression_hdi",
     "expression_samples",
     "get_filename",
     "linspace",

@@ -36,6 +36,7 @@ __all__ = [
     "walker_with_expression",
     "expression_samples",
     "expression_credible_interval",
+    "expression_hdi",
 ]
 
 _SEXP_OPS = {
@@ -253,3 +254,19 @@ def expression_credible_interval(walker, expr: str, take: int | None = 1000,
         float(np.percentile(samples, tail)),
         float(np.percentile(samples, 100.0 - tail)),
     )
+
+
+def expression_hdi(walker, expr: str, take: int | None = 1000,
+                   level: float = 0.95):
+    """(median, low, high) HIGHEST-DENSITY interval of a derived quantity.
+
+    The shortest interval holding ``level`` of the posterior — the right
+    summary when the derived quantity's posterior is skewed (e.g. a
+    rate ``1/tau``), where the central interval trades high-density
+    points for long-tail ones; see :func:`lisp_mcmc_tpu.stats.hdi`.
+    """
+    from .stats import hdi
+
+    samples = expression_samples(walker, expr, take)
+    lo, hi = hdi(samples, level)
+    return float(np.median(samples)), lo, hi

@@ -19,6 +19,7 @@ import numpy as np
 __all__ = [
     "nth_percentile",
     "credible_interval_95",
+    "hdi",
     "iqr",
     "median",
     "mean",
@@ -33,6 +34,30 @@ __all__ = [
 def nth_percentile(x, n, axis=-1):
     """``nth-percentile`` (mcmc-fitting.lisp:1495): linear interpolation."""
     return jnp.percentile(jnp.asarray(x), n, axis=axis)
+
+
+def hdi(samples, level: float = 0.95):
+    """Highest-density interval: the SHORTEST interval holding ``level``
+    of the samples.
+
+    For skewed posteriors the central (equal-tailed) interval excludes
+    high-density points near the short tail while including low-density
+    ones in the long tail; the HDI is the decision-relevant summary
+    there (for symmetric posteriors the two coincide).  Computed by the
+    standard sliding-window minimum over the sorted samples.
+    """
+    import numpy as _np
+
+    s = _np.sort(_np.asarray(samples, float).ravel())
+    n = s.size
+    if n < 2:
+        raise ValueError("hdi: need at least 2 samples")
+    if not 0.0 < level < 1.0:
+        raise ValueError(f"hdi: level must be in (0, 1), got {level}")
+    k = max(2, int(_np.ceil(level * n)))
+    widths = s[k - 1:] - s[: n - k + 1]
+    i = int(_np.argmin(widths))
+    return float(s[i]), float(s[i + k - 1])
 
 
 def credible_interval_95(x, axis=-1):

@@ -73,3 +73,45 @@ def test_sexp_accepts_lisp_double_float_literals():
 
     assert eval_expression("(/ :a 4.4d-5)", {"a": 4.4e-5}) == 1.0
     assert eval_expression("(* 1D2 2)", {}) == 200.0
+
+
+def test_hdi_shorter_than_central_on_skewed():
+    """On a skewed posterior the HDI is strictly shorter than the
+    central interval at the same level, and on a symmetric one they
+    coincide; both cover the bulk."""
+    import numpy as np
+    from lisp_mcmc_tpu.stats import hdi
+
+    rng = np.random.default_rng(0)
+    skew = rng.lognormal(0.0, 0.8, 20000)
+    lo, hi = hdi(skew, 0.95)
+    c_lo, c_hi = np.percentile(skew, [2.5, 97.5])
+    assert (hi - lo) < (c_hi - c_lo) * 0.95
+    assert lo < np.median(skew) < hi
+    sym = rng.normal(0.0, 1.0, 20000)
+    s_lo, s_hi = hdi(sym, 0.95)
+    assert s_lo == pytest.approx(-1.96, abs=0.1)
+    assert s_hi == pytest.approx(1.96, abs=0.1)
+    with pytest.raises(ValueError, match="level"):
+        hdi(sym, 1.5)
+
+
+def test_expression_hdi_on_rate():
+    """1/tau is right-skewed: expression_hdi returns a valid interval no
+    wider than the central one and both contain the median rate."""
+    from lisp_mcmc_tpu.models import exponential_decay
+
+    rng = np.random.default_rng(3)
+    x = np.linspace(0.0, 6.0, 40)
+    y = 2.0 * np.exp(-x / 1.5) + 0.1 + 0.05 * rng.standard_normal(40)
+    w = mfit.walker_create(function=exponential_decay, data=(x, y),
+                           params={"scale": 1.5, "tau": 2.0, "bg0": 0.2},
+                           data_error=0.05, n_walkers=32, seed=0,
+                           walker_jitter=0.05)
+    w.adaptive_steps(3000, auto=None)
+    w.burn_steps(len(w) // 2)
+    med_c, lo_c, hi_c = mfit.expression_credible_interval(w, "(/ 1 :tau)")
+    med_h, lo_h, hi_h = mfit.expression_hdi(w, "(/ 1 :tau)")
+    assert med_h == pytest.approx(med_c)
+    assert lo_h < med_h < hi_h
+    assert (hi_h - lo_h) <= (hi_c - lo_c) + 1e-12
