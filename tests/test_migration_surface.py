@@ -23,7 +23,7 @@ PACKAGE_NAMES = [
     "constraint_penalty", "combine_priors", "bound_penalty",
     # expressions
     "walker_with_expression", "expression_samples",
-    "expression_credible_interval",
+    "expression_credible_interval", "expression_hdi",
     # ingestion / substrate
     "get_filename", "read_file_data", "create_walker_data",
     "clean_data", "clean_data_error", "linspace", "make_plist",
@@ -71,7 +71,8 @@ MODULE_NAMES = {
                "likelihood_plot", "autocorrelation_plot", "corner_plot",
                "all_corner_plots", "param_histogram", "show", "heatmap",
                "plot_file", "plot_set_param", "ppc_plot", "sbc_rank_plot"],
-    stats: ["median", "mean", "variance", "credible_interval_95", "iqr",
+    stats: ["median", "mean", "variance", "credible_interval_95", "hdi",
+            "iqr",
             "nth_percentile", "standard_deviation",
             "std_from_84th_percentile", "make_histogram",
             "multivariate_gaussian_random"],
