@@ -1395,6 +1395,26 @@ class Walker:
 
         return profile_likelihood(self, name, **kwargs)
 
+    def summary(self, take: int | None = None) -> str:
+        """Human-readable fit report (``diagnostics.summary``)."""
+        from .diagnostics import summary
+
+        return summary(self, take)
+
+    def metrics(self, take: int | None = None,
+                elapsed_seconds: float | None = None) -> dict:
+        """Structured metrics snapshot (``diagnostics.metrics``)."""
+        from .diagnostics import metrics
+
+        return metrics(self, take, elapsed_seconds)
+
+    def convergence(self, take: int | None = None, **kwargs) -> dict:
+        """One-call Vehtari-2021 convergence verdict
+        (``diagnostics.convergence``)."""
+        from .diagnostics import convergence
+
+        return convergence(self, take, **kwargs)
+
     def with_expression(self, expr: str, take: int | None = 1000):
         """Derived quantity at the most-likely params (``walker-with-exp``)."""
         from .expressions import walker_with_expression

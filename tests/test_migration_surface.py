@@ -63,7 +63,7 @@ WALKER_METHODS = [
     # round-2 verbs
     "laplace_approx", "nested_sample", "posterior_predictive",
     "prior_predictive", "predict", "ppc_pvalue", "ppc_plot",
-    "profile_likelihood",
+    "profile_likelihood", "summary", "metrics", "convergence",
 ]
 
 MODULE_NAMES = {
