@@ -172,8 +172,12 @@ def nested_sample(
     data = walker._posterior_data()
     loglike = jax.jit(jax.vmap(walker._log_post_one, in_axes=(0, None)))
 
+    from .kernel import _neg_floor
+
     rng = np.random.default_rng(seed)
-    neg_floor = -1e300
+    # dtype-aware: -1e300 literal overflows on cast to float32 (TPU
+    # default), spraying RuntimeWarnings on every trace.
+    neg_floor = _neg_floor(dtype)
     live = jnp.asarray(rng.uniform(lo, hi, size=(n_live, d)), dtype)
     # Same NaN floor as the refill moves: a NaN here (e.g. a Poisson
     # model going negative somewhere in the box) sorts as the BEST live
