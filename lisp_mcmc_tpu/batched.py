@@ -245,6 +245,34 @@ class BatchedFit(Walker):
 
         return [eval_expression(expr, p) for p in self.best_params_per_dataset()]
 
+    def reset_to_most_likely(self):
+        """Restart each dataset's walkers at THAT dataset's best step.
+
+        Overrides the base verb, whose single global argmax would
+        teleport every dataset's walkers to one dataset's optimum —
+        walkers evaluating a different posterior than the position they
+        were reset to (and a zero-spread ensemble per block for the
+        ensemble kernels).
+        """
+        best_lp = np.asarray(self.state.best_logprob)
+        best_pos = np.asarray(self.state.best_position)
+        B = self.walkers_per_dataset
+        pos = np.empty_like(np.asarray(self.state.position))
+        lp = np.empty_like(best_lp)
+        for s in range(self.n_datasets):
+            blk = slice(s * B, (s + 1) * B)
+            w = s * B + int(np.argmax(best_lp[blk]))
+            pos[blk] = best_pos[w]
+            lp[blk] = best_lp[w]
+        import dataclasses
+
+        self.state = dataclasses.replace(
+            self.state,
+            position=jnp.asarray(pos, self.dtype),
+            logprob=jnp.asarray(lp, self.dtype),
+        )
+        self.reset()
+
     def dataset_view(self, s: int) -> "_DatasetView":
         """Single-dataset read-only view: dataset ``s``'s walker block
         behind the plain-Walker surface the predictive toolchain needs

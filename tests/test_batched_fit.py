@@ -161,3 +161,32 @@ def test_auto_rank_rhat_fires_on_batched_fit(rng):
                           walker_jitter=0.02)
     fit.adaptive_steps(60000, auto="rank-rhat", temperature=2.0)
     assert fit.age < 60000
+
+
+def test_reset_to_most_likely_per_dataset(rng):
+    """The batched override resets each block to ITS OWN best step; the
+    base verb's global argmax would teleport every dataset's walkers to
+    one dataset's optimum (walkers evaluating a different posterior
+    than the position they hold)."""
+    x = np.linspace(0.0, 10.0, 40)
+    datasets = [(x, 1.0 * x + 0.05 * rng.standard_normal(40)),
+                (x, 3.0 * x + 0.05 * rng.standard_normal(40))]
+    fit = mfit.BatchedFit(line, datasets, [{"m": 1.0, "b": 0.1},
+                                           {"m": 3.0, "b": 0.1}],
+                          data_error=0.05, walkers_per_dataset=16, seed=0,
+                          walker_jitter=0.02)
+    fit.adaptive_steps(2000, auto=None)
+    bests = fit.best_params_per_dataset()
+    fit.reset_to_most_likely()
+    pos = np.asarray(fit.state.position)
+    for s, best in enumerate(bests):
+        blk = pos[s * 16:(s + 1) * 16]
+        np.testing.assert_allclose(
+            blk, np.broadcast_to(blk[0], blk.shape))  # block collapsed...
+        assert blk[0][0] == pytest.approx(best["m"])  # ...to ITS best
+    # ...and the two blocks differ (global broadcast would equal them).
+    assert abs(pos[0, 0] - pos[16, 0]) > 1.0
+    # Logprobs are consistent with the held positions (resumable).
+    fit.adaptive_steps(400, auto=None)
+    for tau_true, p in zip([1.0, 3.0], fit.best_params_per_dataset()):
+        assert p["m"] == pytest.approx(tau_true, abs=0.1)
