@@ -219,24 +219,22 @@ class BatchedFit(Walker):
 
     # ------------------------------------------------------------- queries
 
+    def _best_walker_per_dataset(self) -> np.ndarray:
+        """(S,) flat walker index of each dataset block's best step."""
+        best_lp = np.asarray(self.state.best_logprob)
+        B = self.walkers_per_dataset
+        local = best_lp.reshape(self.n_datasets, B).argmax(axis=1)
+        return np.arange(self.n_datasets) * B + local
+
     def best_params_per_dataset(self) -> list[dict]:
         """Per-dataset most-likely params: argmax within each walker block."""
-        best_lp = np.asarray(self.state.best_logprob)
         best_pos = np.asarray(self.state.best_position)
-        B = self.walkers_per_dataset
-        out = []
-        for s in range(self.n_datasets):
-            block = slice(s * B, (s + 1) * B)
-            w = s * B + int(np.argmax(best_lp[block]))
-            out.append(self.spec.make(best_pos[w].tolist()))
-        return out
+        return [self.spec.make(best_pos[w].tolist())
+                for w in self._best_walker_per_dataset()]
 
     def best_logprob_per_dataset(self) -> list[float]:
         best_lp = np.asarray(self.state.best_logprob)
-        B = self.walkers_per_dataset
-        return [
-            float(best_lp[s * B:(s + 1) * B].max()) for s in range(self.n_datasets)
-        ]
+        return [float(best_lp[w]) for w in self._best_walker_per_dataset()]
 
     def expressions_per_dataset(self, expr: str) -> list[float]:
         """Evaluate a derived-quantity expression at each dataset's best fit
@@ -254,18 +252,14 @@ class BatchedFit(Walker):
         were reset to (and a zero-spread ensemble per block for the
         ensemble kernels).
         """
+        import dataclasses
+
         best_lp = np.asarray(self.state.best_logprob)
         best_pos = np.asarray(self.state.best_position)
         B = self.walkers_per_dataset
-        pos = np.empty_like(np.asarray(self.state.position))
-        lp = np.empty_like(best_lp)
-        for s in range(self.n_datasets):
-            blk = slice(s * B, (s + 1) * B)
-            w = s * B + int(np.argmax(best_lp[blk]))
-            pos[blk] = best_pos[w]
-            lp[blk] = best_lp[w]
-        import dataclasses
-
+        bests = self._best_walker_per_dataset()
+        pos = np.repeat(best_pos[bests], B, axis=0)
+        lp = np.repeat(best_lp[bests], B)
         self.state = dataclasses.replace(
             self.state,
             position=jnp.asarray(pos, self.dtype),

@@ -44,19 +44,21 @@ def hdi(samples, level: float = 0.95):
     high-density points near the short tail while including low-density
     ones in the long tail; the HDI is the decision-relevant summary
     there (for symmetric posteriors the two coincide).  Computed by the
-    standard sliding-window minimum over the sorted samples.
+    standard sliding-window minimum over the sorted samples.  Non-finite
+    samples (a derived expression undefined on part of the posterior)
+    are dropped — NaNs sort to the end, poison the window widths, and
+    argmin would return a NaN-anchored garbage interval otherwise.
     """
-    import numpy as _np
-
-    s = _np.sort(_np.asarray(samples, float).ravel())
+    s = np.asarray(samples, float).ravel()
+    s = np.sort(s[np.isfinite(s)])
     n = s.size
     if n < 2:
-        raise ValueError("hdi: need at least 2 samples")
+        raise ValueError("hdi: need at least 2 finite samples")
     if not 0.0 < level < 1.0:
         raise ValueError(f"hdi: level must be in (0, 1), got {level}")
-    k = max(2, int(_np.ceil(level * n)))
+    k = max(2, int(np.ceil(level * n)))
     widths = s[k - 1:] - s[: n - k + 1]
-    i = int(_np.argmin(widths))
+    i = int(np.argmin(widths))
     return float(s[i]), float(s[i + k - 1])
 
 
