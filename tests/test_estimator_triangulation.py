@@ -1,0 +1,56 @@
+"""Four evidence estimators, one fit, one convention — the headline
+cross-check (examples/modern_workflow.py) pinned in CI.
+
+Ladder stepping-stone, tempered SMC, Laplace, and nested sampling all
+estimate log[(∫_box L)/V]; on a smooth unimodal Gaussian-peak fit they
+must mutually agree.  Each pair has DIFFERENT failure modes (ladder:
+schedule/rungs; SMC: resampling noise; Laplace: non-Gaussianity;
+nested: refill correlation), so four-way agreement is strong evidence
+none of them is silently broken.
+"""
+
+import numpy as np
+import pytest
+
+import lisp_mcmc_tpu as mfit
+from lisp_mcmc_tpu.models import gaussian_peak
+
+BOUNDS = {"scale": (0.1, 10.0), "x0": (-4.0, 4.0), "sigma": (0.3, 5.0)}
+
+
+@pytest.fixture(scope="module")
+def peak_fit():
+    rng = np.random.default_rng(0)
+    x = np.linspace(-5.0, 5.0, 120)
+    y = 3.0 * np.exp(-0.5 * ((x - 0.7) / 1.3) ** 2) \
+        + 0.05 * rng.standard_normal(120)
+    w = mfit.walker_create(
+        function=gaussian_peak, data=(x, y),
+        params={"scale": 1.0, "x0": 0.0, "sigma": 1.0},
+        data_error=0.05, log_prior=mfit.make_bounds_prior(BOUNDS),
+        n_walkers=256, seed=0, walker_jitter=0.2)
+    w.adaptive_steps(6000, auto=None)
+    w.optimize(300)
+    return w
+
+
+def test_four_estimators_agree(peak_fit):
+    w = peak_fit
+    lap = w.laplace_approx()
+    assert lap.n_clamped == 0
+
+    ns = w.nested_sample(n_live=512, seed=0)
+    assert ns.log_z == pytest.approx(lap.log_z, abs=4 * ns.log_z_err + 0.3)
+
+    smc = w.smc_sample(BOUNDS, n_move=300, seed=1)
+    assert smc.log_z == pytest.approx(lap.log_z, abs=1.0)
+
+    # The fit-seeded ladder reads a couple of log-units high on stiff
+    # fits (documented tradeoff, evidence.py docstring; measured +1.7
+    # here) — tolerance reflects that known bias, not slack.
+    ladder = w.log_evidence(n_steps=10000, rungs=16, t_max=1e4)
+    assert ladder.log_z == pytest.approx(lap.log_z, abs=2.5)
+
+    # All four within a tight absolute band of each other.
+    zs = [lap.log_z, ns.log_z, smc.log_z, ladder.log_z]
+    assert max(zs) - min(zs) < 3.0, zs
