@@ -57,6 +57,7 @@ from .likelihoods import (
     create_log_likelihood_function,
     make_noise_scale_likelihood,
     make_student_t_likelihood,
+    make_x_error_likelihood,
     log_likelihood_normal,
     log_likelihood_normal_cutoff,
     log_likelihood_normal_weighted,
@@ -145,6 +146,7 @@ __all__ = [
     "make_bounds_prior",
     "make_noise_scale_likelihood",
     "make_student_t_likelihood",
+    "make_x_error_likelihood",
     "make_plist",
     "map_tree",
     "mcmc_fit",

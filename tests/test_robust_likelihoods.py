@@ -150,3 +150,66 @@ def test_noise_scale_pointwise_sums_to_reduction():
 def test_student_t_nu_validation():
     with pytest.raises(ValueError, match="nu"):
         mfit.make_student_t_likelihood(nu=0.0)
+
+
+# ------------------------------------------------------------ x errors
+def test_x_error_likelihood_fixes_regression_dilution():
+    """Steep line with large x-noise: the standard likelihood biases the
+    slope toward zero by ~1/(1 + sx^2/Var(x)) (regression dilution); the
+    errors-in-variables likelihood (autodiff df/dx per point) recovers
+    the true slope."""
+    rng = np.random.default_rng(7)
+    n = 200
+    x_true = np.linspace(0.0, 10.0, n)
+    sx = 1.0
+    x_obs = x_true + rng.normal(0, sx, n)
+    y = 5.0 * x_true + 1.0 + rng.normal(0, 0.5, n)
+    dilution = 1.0 / (1.0 + sx**2 / np.var(x_true))     # ~0.89 here
+
+    w_naive = _fit(x_obs, y, None, n_steps=4000)
+    m_naive = w_naive.most_likely_params()["m"]
+    assert m_naive == pytest.approx(5.0 * dilution, rel=0.05)
+    assert m_naive < 4.7                                 # visibly diluted
+
+    w_xe = mfit.walker_create(
+        function=line, data=(x_obs, y), params={"m": 4.0, "b": 0.5},
+        data_error=0.5, log_likelihood=mfit.make_x_error_likelihood(sx),
+        n_walkers=32, seed=0, walker_jitter=0.05)
+    w_xe.adaptive_steps(4000, auto=None)
+    m_xe = w_xe.most_likely_params()["m"]
+    assert m_xe == pytest.approx(5.0, rel=0.04)
+    assert abs(m_xe - 5.0) < abs(m_naive - 5.0)
+
+
+def test_x_error_pointwise_sums_to_reduction():
+    lik = mfit.make_x_error_likelihood(0.3)
+    x = np.linspace(0.0, 5.0, 30)
+    w = mfit.walker_create(
+        function=line, data=(x, 2.0 * x + 1.0),
+        params={"m": 2.0, "b": 1.0}, data_error=0.2,
+        log_likelihood=lik, n_walkers=8, seed=0)
+    t = w.terms[0]
+    import jax.numpy as jnp_
+    params = {"m": jnp_.asarray(1.9), "b": jnp_.asarray(1.1)}
+    total = float(lik(t.fn, params, t.dataset))
+    pw = float(jnp_.sum(pointwise_log_likelihood(lik, t.fn, params,
+                                                 t.dataset)))
+    assert pw == pytest.approx(total, rel=1e-10)
+
+
+def test_x_error_predictive_spread_tracks_slope():
+    """The predictive sampler maps x-error through the local slope:
+    replicates of a steep line spread wider than sigma_y alone."""
+    rng = np.random.default_rng(8)
+    x = np.linspace(0.0, 10.0, 60)
+    y = 5.0 * x + 1.0 + rng.normal(0, 0.2, 60)
+    w = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 4.5, "b": 0.5},
+        data_error=0.2, log_likelihood=mfit.make_x_error_likelihood(0.5),
+        n_walkers=16, seed=0, walker_jitter=0.02)
+    w.adaptive_steps(2000, auto=None)
+    w.burn_steps(len(w) // 2)
+    (d,) = w.posterior_predictive(max_samples=128)
+    spread = d.y_rep.std(axis=0).mean()
+    # sigma_eff ~ sqrt(0.2^2 + (5*0.5)^2) ~ 2.5 >> 0.2
+    assert spread > 1.5
