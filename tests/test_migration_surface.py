@@ -40,6 +40,7 @@ PACKAGE_NAMES = [
     "posterior_predictive", "prior_predictive", "predict", "Prediction",
     "PredictiveDraws", "ppc_pvalue", "sbc_check", "SBCResult",
     "make_student_t_likelihood", "make_noise_scale_likelihood",
+    "make_x_error_likelihood",
     "profile_likelihood", "ProfileResult",
 ]
 
