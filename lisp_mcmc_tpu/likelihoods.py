@@ -223,7 +223,7 @@ def make_noise_scale_likelihood(key: str = "noise_scale"):
     return likelihood
 
 
-def make_x_error_likelihood(x_error):
+def make_x_error_likelihood(sigma_x):
     """Errors-in-variables (York/ODR) likelihood: x AND y uncertain.
 
     Ordinary least squares with noisy abscissae suffers regression
@@ -247,14 +247,40 @@ def make_x_error_likelihood(x_error):
 
     ``jax.jvp`` supplies the elementwise df/dx for ANY model at one
     extra forward pass — no user derivative, something the Lisp
-    reference could never offer generically.  ``x_error``: scalar or
-    per-point sigma_x.  Note this is a pseudo-likelihood (normalization
-    anchored at sigma_y): per-point values support WAIC/LOO comparison
-    only between models sharing the same x_error structure.
+    reference could never offer generically.  ``sigma_x``: scalar or
+    per-point (the user's N points; lane padding is handled here).
+    1-D x only — with linked multi-column abscissae an isotropic
+    sigma_x is ambiguous (and the all-ones jvp tangent would sum
+    partials across columns).  Note this is a pseudo-likelihood
+    (normalization anchored at sigma_y): per-point values support
+    WAIC/LOO comparison only between models sharing the same sigma_x
+    structure.
     """
     import jax
 
-    x_error = jnp.asarray(x_error)
+    sigma_x = jnp.asarray(sigma_x)
+    if sigma_x.ndim > 1:
+        raise ValueError("make_x_error_likelihood: sigma_x must be a "
+                         "scalar or a 1-D per-point array")
+
+    def _xe(dataset: Dataset):
+        """sigma_x aligned to the dataset's padded lane length."""
+        if jnp.ndim(dataset.x) != 1:
+            raise ValueError(
+                "make_x_error_likelihood: multi-column x is unsupported "
+                "(an isotropic sigma_x is ambiguous across columns)")
+        if sigma_x.ndim == 0:
+            return sigma_x
+        p = dataset.sigma.shape[0]
+        n = sigma_x.shape[0]
+        if n > p:
+            raise ValueError(
+                f"make_x_error_likelihood: sigma_x has {n} entries but "
+                f"the dataset holds {int(dataset.n)} points")
+        if n < p:                      # pad lanes carry 0 (masked anyway)
+            return jnp.concatenate(
+                [sigma_x, jnp.zeros(p - n, sigma_x.dtype)])
+        return sigma_x
 
     def _mu_dmu(fn, params, x):
         return jax.jvp(lambda xx: _model_eval(fn, params, xx),
@@ -262,7 +288,7 @@ def make_x_error_likelihood(x_error):
 
     def _per_point(fn, params, dataset: Dataset):
         mu, dmu = _mu_dmu(fn, params, dataset.x)
-        var_eff = dataset.sigma**2 + (dmu * x_error) ** 2
+        var_eff = dataset.sigma**2 + (dmu * _xe(dataset)) ** 2
         r = dataset.y - mu
         return (dataset.log_norm_const_point
                 - 0.5 * r * r / var_eff) * dataset.mask
@@ -274,20 +300,27 @@ def make_x_error_likelihood(x_error):
         # mu here is the (S, P) curve block; the effective sigma needs
         # dmu per sample — approximate with the per-point y-sigma plus
         # the x-error mapped through the local finite slope of each
-        # sampled curve (cheap and sample-consistent).
+        # sampled curve.  The spacing's SIGN is irrelevant (dx is
+        # squared below), so clamp its magnitude — clamping the signed
+        # value turned descending-x grids into 1e-300 spacings and
+        # infinite replicates (review finding).
         import jax as _jax
 
-        sigma_y = jnp.asarray(dataset.sigma)[None, : mu.shape[1]]
-        x = jnp.asarray(dataset.x)[: mu.shape[1]]
-        dx = jnp.gradient(mu, axis=1) / jnp.maximum(
-            jnp.gradient(x)[None, :], 1e-300)
-        sig = jnp.sqrt(sigma_y**2 + (dx * x_error) ** 2)
+        p = mu.shape[1]
+        sigma_y = jnp.asarray(dataset.sigma)[None, :p]
+        x = jnp.asarray(dataset.x)[:p]
+        spacing = jnp.gradient(x)
+        spacing = jnp.where(jnp.abs(spacing) < 1e-30, 1e-30, spacing)
+        dx = jnp.gradient(mu, axis=1) / spacing[None, :]
+        xe = _xe(dataset)
+        xe = xe[None, :p] if xe.ndim else xe
+        sig = jnp.sqrt(sigma_y**2 + (dx * xe) ** 2)
         return mu + sig * _jax.random.normal(key, mu.shape, mu.dtype)
 
     likelihood.__name__ = "x_error_likelihood"
     likelihood._pointwise = _per_point
     likelihood._predictive_sampler = _sampler
-    likelihood._x_error = x_error
+    likelihood._sigma_x = sigma_x
     return likelihood
 
 

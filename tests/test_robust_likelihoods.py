@@ -213,3 +213,59 @@ def test_x_error_predictive_spread_tracks_slope():
     spread = d.y_rep.std(axis=0).mean()
     # sigma_eff ~ sqrt(0.2^2 + (5*0.5)^2) ~ 2.5 >> 0.2
     assert spread > 1.5
+
+
+def test_x_error_per_point_sigma_and_padding():
+    """Per-point sigma_x with a non-lane-multiple dataset: the factory
+    must align it to the padded length (review finding: broadcast crash
+    unless N was a multiple of 128)."""
+    n = 50                                     # pads to 128
+    rng = np.random.default_rng(9)
+    x = np.linspace(0.0, 10.0, n)
+    y = 3.0 * x + 1.0 + rng.normal(0, 0.2, n)
+    sx = np.full(n, 0.4)
+    lik = mfit.make_x_error_likelihood(sx)
+    w = mfit.walker_create(function=line, data=(x, y),
+                           params={"m": 2.5, "b": 0.5}, data_error=0.2,
+                           log_likelihood=lik, n_walkers=16, seed=0,
+                           walker_jitter=0.05)
+    w.adaptive_steps(1000, auto=None)
+    assert np.isfinite(w.most_likely_step()[0])
+    # Too-long sigma_x is a clear error.
+    with pytest.raises(ValueError, match="entries"):
+        bad = mfit.make_x_error_likelihood(np.full(500, 0.4))
+        mfit.walker_create(function=line, data=(x, y),
+                           params={"m": 2.5, "b": 0.5}, data_error=0.2,
+                           log_likelihood=bad, n_walkers=4, seed=0)
+
+
+def test_x_error_descending_x_replicates_finite():
+    """Descending abscissae (spectra recorded high-to-low): the sampler
+    must not clamp the signed spacing to 1e-300 and return infinite
+    replicates (review finding)."""
+    rng = np.random.default_rng(10)
+    x = np.linspace(10.0, 0.0, 60)             # descending
+    y = 5.0 * x + 1.0 + rng.normal(0, 0.2, 60)
+    w = mfit.walker_create(
+        function=line, data=(x, y), params={"m": 4.5, "b": 0.5},
+        data_error=0.2, log_likelihood=mfit.make_x_error_likelihood(0.5),
+        n_walkers=16, seed=0, walker_jitter=0.02)
+    w.adaptive_steps(1500, auto=None)
+    w.burn_steps(len(w) // 2)
+    (d,) = w.posterior_predictive(max_samples=64)
+    assert np.isfinite(d.y_rep).all()
+    assert 1.5 < d.y_rep.std(axis=0).mean() < 5.0
+
+
+def test_x_error_multicolumn_x_rejected():
+    def plane(x, p):
+        return p["a"] * x[..., 0] + p["b"] * x[..., 1]
+
+    x1 = np.linspace(0, 1, 20)
+    x2 = np.linspace(1, 2, 20)
+    y = x1 + 2 * x2
+    with pytest.raises(ValueError, match="multi-column"):
+        mfit.walker_create(function=plane, data=(x1, x2, y),
+                           params={"a": 1.0, "b": 1.0}, data_error=0.1,
+                           log_likelihood=mfit.make_x_error_likelihood(0.1),
+                           n_walkers=4, seed=0)
