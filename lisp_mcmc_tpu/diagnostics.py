@@ -10,7 +10,7 @@ metric pair is chain-steps/sec and ESS/sec (BASELINE.md).
 
 from __future__ import annotations
 
-from typing import Any, Mapping
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np

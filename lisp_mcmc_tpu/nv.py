@@ -29,7 +29,6 @@ from __future__ import annotations
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from .batched import BatchedFit
 from .fit import Walker, walker_create

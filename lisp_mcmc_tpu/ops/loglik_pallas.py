@@ -26,7 +26,6 @@ kernel work (e.g. whole-chunk-in-VMEM stepping).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

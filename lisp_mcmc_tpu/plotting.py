@@ -21,8 +21,6 @@ from __future__ import annotations
 import os
 import shutil
 import subprocess
-from typing import Sequence
-
 import numpy as np
 
 import matplotlib

@@ -22,7 +22,7 @@ evaluation; there is no host-side control flow.
 
 from __future__ import annotations
 
-from typing import Callable, Mapping, Sequence
+from typing import Callable, Mapping
 
 import jax.numpy as jnp
 

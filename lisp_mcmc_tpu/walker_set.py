@@ -11,7 +11,6 @@ not k (SURVEY §3.4).
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Sequence
 
 from .fit import Walker
 
