@@ -40,6 +40,30 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Fail fast if the remote executor is wedged (observed on the axon
+    # tunnel: device enumeration works but every execution hangs until a
+    # ~30-60 min remote watchdog fires).  A tiny probe with a deadline
+    # turns an indefinite driver hang into a clear exit.
+    import threading
+
+    probe_ok = threading.Event()
+
+    def _probe():
+        try:
+            jax.block_until_ready(jnp.ones((8, 8)).sum())
+            probe_ok.set()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    if not probe_ok.wait(timeout=180.0):
+        print("bench.py: device probe did not complete within 180 s — "
+              "the accelerator appears wedged (known axon remote-executor "
+              "state; it recovers by itself in ~30-60 min). Exiting "
+              "instead of hanging.", file=sys.stderr)
+        os._exit(2)
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import lisp_mcmc_tpu as mfit
 
