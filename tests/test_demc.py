@@ -164,6 +164,45 @@ def test_demc_batched_fit():
         assert p["tau"] == pytest.approx(tau, rel=0.15)
 
 
+def test_demc_beats_stretch_per_step_at_high_d():
+    """The design claim behind the kernel (pinned at CPU scale; the TPU
+    d=48 table measures 2.4x): at high dimension the stretch move's
+    single-line proposals thin out while demc's full-rank pair
+    differences keep decorrelating — demc's min-ESS per step must beat
+    stretch's on the same correlated target."""
+    import jax.numpy as jnp
+
+    from lisp_mcmc_tpu.diagnostics import ess_per_param
+
+    d = 16
+    rng = np.random.default_rng(4)
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    scales = np.geomspace(1.0, 100.0, d) ** 0.5
+    cov = (q * scales**2) @ q.T
+    prec = jnp.asarray(np.linalg.inv(cov))
+    keys = [f"p{i}" for i in range(d)]
+
+    def model(x, p):
+        return jnp.zeros_like(x)
+
+    def loglik(fn, params, dataset):
+        v = jnp.stack([params[k] for k in keys])
+        return -0.5 * v @ prec @ v
+
+    ess = {}
+    for kern in ("stretch", "demc"):
+        w = mfit.walker_create(
+            function=model, data=([0.0, 1.0], [0.0, 0.0]),
+            params={k: 0.1 for k in keys}, log_likelihood=loglik,
+            n_walkers=128, seed=0, walker_jitter=1.0,
+            config=FitConfig(kernel=kern))
+        w.adaptive_steps(3000, temperature=1.0, auto=None,
+                         collect_history=False)
+        w.adaptive_steps(3000, temperature=1.0, auto=None)
+        ess[kern] = min(ess_per_param(w).values())
+    assert ess["demc"] > 1.3 * ess["stretch"], ess
+
+
 def test_demc_rejects_collapsed_ensemble():
     """Pure ensemble moves cannot create spread they do not have: a
     zero-jitter start (or reset_to_most_likely) must raise, not silently
