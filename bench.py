@@ -57,10 +57,13 @@ def main():
         except Exception:
             pass
 
+    # 45 s: the deadline must sit BELOW the driver's ~120 s process
+    # timeout or the fail-fast can never fire before the kill (round-2
+    # artifacts both died rc=124 with a 180 s deadline).
     t = threading.Thread(target=_probe, daemon=True)
     t.start()
-    if not probe_ok.wait(timeout=180.0):
-        print("bench.py: device probe did not complete within 180 s — "
+    if not probe_ok.wait(timeout=45.0):
+        print("bench.py: device probe did not complete within 45 s — "
               "the accelerator appears wedged (known axon remote-executor "
               "state; it recovers by itself eventually). Exiting "
               "instead of hanging.", file=sys.stderr)
@@ -187,7 +190,12 @@ def main():
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
         "ess_per_sec": round(ess_per_sec, 1),
         "min_ess": round(min_ess, 1),
+        # mfu_pct is utilization of the MEASURED v5e VPU f32 FMA issue
+        # ceiling (the denominator below; benchmarks/roofline.py), not of
+        # the chip's headline matmul peak — this workload has no matmuls.
         "mfu_pct": round(mfu_pct, 2),
+        "mfu_denominator_tflops": vpu_fma_ceiling / 1e12,
+        "mfu_denominator": "measured v5e VPU f32 FMA issue ceiling (no-matmul workload)",
     }
     # Cache the good run for the wedge fallback (see _LAST_GOOD_PATH).
     try:
