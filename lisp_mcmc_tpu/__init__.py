@@ -50,7 +50,7 @@ from .expressions import (
     expression_samples,
     walker_with_expression,
 )
-from .fit import Walker, default_dtype, mcmc_fit, walker_create
+from .fit import Walker, default_dtype, mcmc_fit, unit_cube_view, walker_create
 from .io import get_filename, read_file_data
 from .kernel import FitConfig, WalkerState, temperature_schedule
 from .likelihoods import (
@@ -69,6 +69,11 @@ from .predictive import (PredictiveDraws, Prediction, posterior_predictive,
                          ppc_pvalue, predict, prior_predictive)
 from .sbc import SBCResult, sbc_check
 from .priors import (
+    Gaussian,
+    LogNormal,
+    PriorSpec,
+    Uniform,
+    as_prior_spec,
     bound_penalty,
     combine_priors,
     constraint_penalty,
@@ -117,6 +122,12 @@ __all__ = [
     "ProfileResult",
     "profile_likelihood",
     "SMCResult",
+    "PriorSpec",
+    "Uniform",
+    "Gaussian",
+    "LogNormal",
+    "as_prior_spec",
+    "unit_cube_view",
     "bound_penalty",
     "clean_data",
     "clean_data_error",

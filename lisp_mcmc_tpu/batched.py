@@ -103,6 +103,10 @@ class BatchedFit(Walker):
         S = len(datasets)
         if S == 0:
             raise ValueError("no datasets provided")
+        from .priors import PriorSpec
+
+        if isinstance(log_prior, PriorSpec):
+            log_prior = log_prior.as_log_prior()
         prior = log_prior or log_prior_flat
 
         n0 = len(np.asarray(datasets[0][0]))
@@ -296,7 +300,45 @@ class BatchedFit(Walker):
         return [posterior_predictive(self.dataset_view(s), **kwargs)[0]
                 for s in range(self.n_datasets)]
 
-    def laplace_per_dataset(self, bounds=None, eig_floor: float = 1e-12):
+    def convergence(self, take: int | None = None, **kwargs) -> dict:
+        """Per-dataset convergence verdict for the whole batch, one call.
+
+        The batched-scaling quality gate: returns the worst-case
+        :func:`~lisp_mcmc_tpu.diagnostics.convergence` report (``ok`` is
+        True only when EVERY dataset block passes) plus
+        ``"per_dataset"`` — one verdict dict per dataset, failures
+        prefixed with their dataset index so a failing spectrum in a
+        scan grid is identifiable (and re-runnable) without restarting
+        the grid.  Accepts the same ``rhat_tol`` / ``min_tail_ess``
+        knobs as the base verdict.
+        """
+        from .diagnostics import convergence_per_dataset
+
+        per = convergence_per_dataset(self, take, **kwargs)
+        keys = self.spec.keys
+        out = {"rank_rhat": {}, "tail_ess": {}, "mcse": {}}
+        failures = []
+        for s, v in enumerate(per):
+            for k in keys:
+                if k in out["rank_rhat"]:
+                    b0, t0 = out["rank_rhat"][k]
+                    b1, t1 = v["rank_rhat"][k]
+                    out["rank_rhat"][k] = (max(b0, b1), max(t0, t1))
+                    out["tail_ess"][k] = min(out["tail_ess"][k],
+                                             v["tail_ess"][k])
+                    out["mcse"][k] = max(out["mcse"][k], v["mcse"][k])
+                else:
+                    out["rank_rhat"][k] = v["rank_rhat"][k]
+                    out["tail_ess"][k] = v["tail_ess"][k]
+                    out["mcse"][k] = v["mcse"][k]
+            failures.extend(f"dataset {s}: {msg}" for msg in v["failures"])
+        out["ok"] = not failures
+        out["failures"] = failures
+        out["per_dataset"] = per
+        return out
+
+    def laplace_per_dataset(self, bounds=None, prior=None,
+                            eig_floor: float = 1e-12):
         """Per-dataset Laplace approximations from ONE vmapped Hessian.
 
         The batched counterpart of :func:`~lisp_mcmc_tpu.laplace_approx`:
@@ -310,7 +352,8 @@ class BatchedFit(Walker):
         bounds, ``log_z`` is None and only curvature is returned.
         Returns a list of :class:`~lisp_mcmc_tpu.LaplaceResult`.
         """
-        from .evidence import _laplace_from_hessian, _resolve_bounds
+        from .evidence import _laplace_from_hessian
+        from .priors import resolve_prior_spec
 
         data = self._posterior_data()
         best = self.best_params_per_dataset()
@@ -324,10 +367,10 @@ class BatchedFit(Walker):
 
         neg_hess = -jax.vmap(jax.hessian(lp_fn), in_axes=(0, 0))(thetas, idx)
         lps = jax.vmap(lp_fn)(thetas, idx)
-        bounds = _resolve_bounds(self, bounds)
+        spec = resolve_prior_spec(self, prior, bounds)
         return [
             _laplace_from_hessian(
                 float(lps[s]), best[s], np.asarray(neg_hess[s]),
-                self.spec.keys, bounds, eig_floor, "laplace_per_dataset")
+                self.spec.keys, spec, eig_floor, "laplace_per_dataset")
             for s in range(self.n_datasets)
         ]

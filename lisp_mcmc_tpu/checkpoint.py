@@ -73,8 +73,14 @@ def _register_domain_priors():
 
 
 def _prior_meta(prior) -> dict:
-    """Serializable recipe for a prior: bounds-table closures carry their
-    own bounds + the extra hook's NAME; everything else is a bare name."""
+    """Serializable recipe for a prior: PriorSpec closures carry the full
+    spec, bounds-table closures their bounds + the extra hook's NAME;
+    everything else is a bare name."""
+    spec = getattr(prior, "_prior_spec", None)
+    if spec is not None and not spec.is_uniform:
+        # Pure-uniform specs round-trip as the (older) bounds recipe
+        # below — the two priors are behaviorally identical.
+        return {"prior": "prior_spec", "prior_spec": spec.to_meta()}
     bounds = getattr(prior, "_bounds", None)
     if bounds is not None:
         extra = getattr(prior, "_extra", None)
@@ -91,6 +97,10 @@ def _resolve_prior(meta: dict, supplied, quiet: bool):
     """Prior from a ``_prior_meta`` dict: explicit > recipe > registry."""
     if supplied is not None:
         return supplied
+    if meta.get("prior") == "prior_spec" and "prior_spec" in meta:
+        from .priors import PriorSpec
+
+        return PriorSpec.from_meta(meta["prior_spec"]).as_log_prior()
     if meta.get("prior") == "bounds_prior" and "prior_bounds" in meta:
         from .priors import make_bounds_prior
 

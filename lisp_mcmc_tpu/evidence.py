@@ -101,7 +101,7 @@ class LaplaceResult:
                 f"n_clamped={self.n_clamped})")
 
 
-def laplace_approx(walker, bounds=None, eig_floor: float = 1e-12):
+def laplace_approx(walker, bounds=None, prior=None, eig_floor: float = 1e-12):
     """Curvature uncertainty + instant evidence from one Hessian.
 
     The quadratic expansion of the log-posterior at the best step: one
@@ -145,26 +145,27 @@ def laplace_approx(walker, bounds=None, eig_floor: float = 1e-12):
             lambda v: walker._custom_log_post(v, jnp.asarray(0), data))(theta)
     else:
         neg_hess = -jax.hessian(lambda v: walker._log_post_one(v, data))(theta)
-    bounds = _resolve_bounds(walker, bounds)
+    from .priors import resolve_prior_spec
+
+    spec = resolve_prior_spec(walker, prior, bounds)
     return _laplace_from_hessian(float(lp_map), mode, np.asarray(neg_hess),
-                                 walker.spec.keys, bounds, eig_floor,
+                                 walker.spec.keys, spec, eig_floor,
                                  "laplace_approx")
 
 
-def _resolve_bounds(walker, bounds):
-    if bounds is not None:
-        return bounds
-    for t in getattr(walker, "terms", []):
-        b = getattr(t.prior, "_bounds", None)
-        if b:
-            return b
-    return None
-
-
 def _laplace_from_hessian(lp_map: float, mode: dict, neg_hess: np.ndarray,
-                          keys, bounds, eig_floor: float,
+                          keys, spec, eig_floor: float,
                           name: str) -> LaplaceResult:
-    """Shared Laplace core: clamped eigendecomposition -> cov/sd/log_z."""
+    """Shared Laplace core: clamped eigendecomposition -> cov/sd/log_z.
+
+    ``spec``: a resolved :class:`~lisp_mcmc_tpu.priors.PriorSpec` (or
+    None for no evidence).  The evidence correction follows the shared
+    convention (priors.py): the MAP expansion integrates
+    ``exp(logpost)``, and the declared measure contributes
+    ``-log(width)`` for each Uniform component only — named components'
+    normalized densities are already inside ``logpost`` via
+    ``as_log_prior`` and cancel against the measure exactly.
+    """
     h = np.asarray(neg_hess, np.float64)
     h = 0.5 * (h + h.T)
     evals, evecs = np.linalg.eigh(h)
@@ -175,12 +176,15 @@ def _laplace_from_hessian(lp_map: float, mode: dict, neg_hess: np.ndarray,
     sd = {k: float(np.sqrt(cov[i, i])) for i, k in enumerate(keys)}
 
     log_z = None
-    if bounds is not None:
-        missing = [k for k in keys if k not in bounds]
+    if spec is not None:
+        from .priors import Uniform, as_prior_spec
+
+        spec = as_prior_spec(spec)
+        missing = [k for k in keys if k not in spec]
         if missing:
-            raise ValueError(f"{name}: bounds missing {missing}")
-        log_v = float(sum(math.log(bounds[k][1] - bounds[k][0])
-                          for k in keys))
+            raise ValueError(f"{name}: prior/bounds missing {missing}")
+        log_v = float(sum(math.log(spec[k].high - spec[k].low)
+                          for k in keys if isinstance(spec[k], Uniform)))
         d = len(keys)
         log_det_cov = float(-np.sum(np.log(evals)))
         log_z = lp_map + 0.5 * d * math.log(2.0 * math.pi) \
@@ -191,7 +195,7 @@ def _laplace_from_hessian(lp_map: float, mode: dict, neg_hess: np.ndarray,
 
 def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
                  t_max: float = 1e5, burn: float = 0.5,
-                 n_error_batches: int = 8, bounds=None,
+                 n_error_batches: int = 8, bounds=None, prior=None,
                  seed: int = 0) -> EvidenceResult:
     """Estimate ``log Z`` for the walker's posterior (see module docs).
 
@@ -220,7 +224,28 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
         raise ValueError(f"rungs must be in [2, n_walkers], got {rungs}")
     if not 0.0 <= burn < 1.0:
         raise ValueError(f"burn must be in [0, 1), got {burn}")
-    if bounds is not None:
+    from .priors import resolve_prior_spec
+
+    spec = resolve_prior_spec(walker, prior, bounds)
+    if spec is not None and not spec.is_uniform:
+        # Named (non-box) prior: run the SAME ladder on the unit-cube
+        # view, where the declared prior is the Lebesgue measure — the
+        # estimate is then the true Bayesian evidence integral L * pi
+        # (see priors.py "Convention" and fit.unit_cube_view).  The
+        # original walker's ensemble is untouched (the ladder spreads
+        # the view's ensemble instead).  Explicit prior=/bounds= keeps
+        # the prior-seeded semantics; a spec recovered from the fitted
+        # terms keeps the fit-seeded default.
+        from .fit import unit_cube_view
+
+        uw = unit_cube_view(walker, spec)
+        ubox = {k: (0.0, 1.0) for k in walker.spec.keys} \
+            if (prior is not None or bounds is not None) else None
+        return log_evidence(uw, n_steps=n_steps, rungs=rungs, t_max=t_max,
+                            burn=burn, n_error_batches=n_error_batches,
+                            bounds=ubox, seed=seed)
+    if prior is not None or bounds is not None:
+        bounds = spec.bounds  # uniform spec: the historical box path
         from .smc import seed_prior_box
 
         try:

@@ -45,7 +45,8 @@ from .ops.linalg import cholesky_clamped, sample_covariance
 from .params import ParamSpec, normalize_params
 from .priors import log_prior_flat, resolve_prior
 
-__all__ = ["Walker", "walker_create", "mcmc_fit", "default_dtype"]
+__all__ = ["Walker", "walker_create", "mcmc_fit", "default_dtype",
+           "unit_cube_view"]
 
 
 def default_dtype():
@@ -855,7 +856,7 @@ class Walker:
         return _log_evidence(self, n_steps=n_steps, rungs=rungs,
                              t_max=t_max, **kwargs)
 
-    def smc_sample(self, bounds, **kwargs):
+    def smc_sample(self, bounds=None, **kwargs):
         """Tempered Sequential Monte Carlo: prior box -> posterior.
 
         Re-draws the ensemble uniform in ``bounds``, then runs the
@@ -1425,6 +1426,82 @@ class Walker:
 # ------------------------------------------------------------------ factories
 
 
+def unit_cube_view(walker, prior_spec) -> "Walker":
+    """A u-space view of a fit: the declared prior becomes the unit cube.
+
+    Every parameter is reparameterized through its prior's inverse CDF
+    (``theta = F^-1(u)``), so on the returned walker the declared
+    :class:`~lisp_mcmc_tpu.priors.PriorSpec` is exactly the Lebesgue
+    measure on ``(0, 1)^d`` — which is what the box-based evidence
+    machinery (ladder stepping-stone, SMC, nested sampling) assumes.
+    Its posterior is
+
+        ``logpost_u(u) = logpost(F^-1(u)) - installed(F^-1(u)) + wall(u)``
+
+    where ``installed`` is the prior density term
+    :meth:`PriorSpec.as_log_prior` adds (so the u-posterior is the pure
+    likelihood against the prior measure: ``exp(logpost_u) du =
+    L(theta) pi(theta) dtheta`` inside the cube) and ``wall`` the
+    unit-rate exterior penalty.  The u-ensemble starts at the CDF image
+    of the walker's current ensemble (the "fit-seeded" option); the
+    estimators re-seed it uniform when prior-seeding is requested.
+
+    The returned Walker shares the original's datasets, config, dtype,
+    grouping, and custom-posterior structure; stepping it never touches
+    the original fit's state.
+    """
+    from .priors import as_prior_spec, unit_cube_wall
+
+    spec = as_prior_spec(prior_spec)
+    keys = walker.spec.keys
+    missing = [k for k in keys if k not in spec]
+    if missing:
+        raise ValueError(f"unit_cube_view: prior spec missing {missing}")
+    base = walker._log_post_one
+
+    def _theta(u):
+        return spec.transform(u, keys)
+
+    def _loglike_shift(u, th):
+        return -spec.installed_vec(th, keys) + unit_cube_wall(u)
+
+    if walker.aux is None:
+        def log_post_u(u, data):
+            th = _theta(u)
+            return base(th, data) + _loglike_shift(u, th)
+    else:
+        def log_post_u(u, aux_w, data):
+            th = _theta(u)
+            return base(th, aux_w, data) + _loglike_shift(u, th)
+
+    batched_u = None
+    if getattr(walker, "_custom_batched", None) is not None:
+        base_batched = walker._custom_batched
+
+        def batched_u(positions, data):
+            th = jax.vmap(_theta)(positions)
+            shift = jax.vmap(_loglike_shift)(positions, th)
+            return base_batched(th, data) + shift
+
+    # CDF image of the current ensemble, clamped off the cube faces
+    # (a start pinned AT 0/1 maps to +-inf parameters).
+    eps = 1e-12 if walker.dtype == jnp.float64 else 1e-6
+    u0 = np.clip(np.asarray(spec.inverse(walker.state.position, keys),
+                            np.float64), eps, 1.0 - eps)
+    uw = Walker(
+        [], walker.spec, u0,
+        config=walker.config, dtype=walker.dtype,
+        aux=walker.aux, group_ids=walker.group_ids, n_groups=walker.n_groups,
+        log_posterior=log_post_u, posterior_data=walker._posterior_data(),
+        batched_log_posterior=batched_u,
+    )
+    if getattr(walker, "mesh", None) is not None:
+        uw.shard(walker.mesh)
+    uw._unit_cube_spec = spec
+    uw._theta_of_u = jax.jit(jax.vmap(_theta))
+    return uw
+
+
 def walker_create(
     *,
     function,
@@ -1459,10 +1536,18 @@ def walker_create(
         likelihoods = [ll or log_likelihood_normal for ll in log_likelihood]
     else:
         likelihoods = [log_likelihood or log_likelihood_normal] * len(functions)
+    from .priors import PriorSpec
+
+    def _coerce_prior(lp):
+        # A PriorSpec is accepted anywhere a prior callable is: the term
+        # fits with its as_log_prior() density, and the evidence layer
+        # recovers the full spec from the callable's _prior_spec.
+        return lp.as_log_prior() if isinstance(lp, PriorSpec) else lp
+
     if isinstance(log_prior, (list, tuple)):
-        priors = [lp or log_prior_flat for lp in log_prior]
+        priors = [_coerce_prior(lp) or log_prior_flat for lp in log_prior]
     else:
-        priors = [log_prior or log_prior_flat] * len(functions)
+        priors = [_coerce_prior(log_prior) or log_prior_flat] * len(functions)
     if not (len(functions) == len(cleaned) == len(likelihoods) == len(priors)):
         raise ValueError("walker_create: function/data/likelihood/prior counts must match")
 

@@ -108,11 +108,20 @@ def nested_sample(
     stop_frac: float = 1e-4,
     max_iter: int = 10_000,
     seed: int = 0,
+    prior=None,
 ) -> NestedResult:
     """Run batched nested sampling on the walker's posterior.
 
-    ``bounds``: box prior table (recovered from a ``make_bounds_prior``
-    term when omitted, like :func:`~lisp_mcmc_tpu.prior_predictive`).
+    ``bounds``: box prior table; ``prior``: a
+    :class:`~lisp_mcmc_tpu.priors.PriorSpec` for named (Gaussian /
+    log-normal / truncated) priors — the run then happens in the
+    unit-cube parameterization (the classic nested-sampling prior
+    transform: ``theta = F^-1(u)``, live set uniform in u), the
+    constrained walks move in u, and ``log_z`` is the true evidence
+    ``integral L * pi`` under the shared framework convention
+    (priors.py).  Either may be omitted when the fitted terms carry a
+    recoverable prior recipe (``make_bounds_prior`` / ``PriorSpec``).
+    ``samples`` are always returned in PHYSICAL parameter space.
     ``k_batch`` points (default ``n_live // 4``) are deleted and
     refilled per round; ``n_repeat`` constrained DE moves (default
     ``2 d + 16``) decorrelate each refill from its parent clone.
@@ -123,7 +132,8 @@ def nested_sample(
 
     Validated against: analytic Gaussian evidences, equal/unequal-mass
     bimodal mass splits, and the other three estimators on the same
-    fit (tests/test_nested.py).
+    fit (tests/test_nested.py; Gaussian-prior conjugate anchor in
+    tests/test_prior_spec.py).
     """
     import jax
     import jax.numpy as jnp
@@ -132,19 +142,16 @@ def nested_sample(
     if getattr(walker, "aux", None) is not None:
         raise ValueError("nested_sample: batched/grouped fits run one "
                          "sampler per dataset — use per-dataset walkers")
-    if bounds is None:
-        for t in getattr(walker, "terms", []):
-            b = getattr(t.prior, "_bounds", None)
-            if b:
-                bounds = b
-                break
-        if bounds is None:
-            raise ValueError("nested_sample: pass bounds= (no "
-                             "make_bounds_prior table found on the fit)")
+    from .priors import resolve_prior_spec
+
+    spec = resolve_prior_spec(walker, prior, bounds)
+    if spec is None:
+        raise ValueError("nested_sample: pass bounds= or prior= (no "
+                         "prior recipe found on the fitted terms)")
     keys = walker.spec.keys
-    missing = [k for k in keys if k not in bounds]
+    missing = [k for k in keys if k not in spec]
     if missing:
-        raise ValueError(f"nested_sample: bounds missing {missing}")
+        raise ValueError(f"nested_sample: prior/bounds missing {missing}")
     d = len(keys)
     if k_batch is None:
         k_batch = max(1, n_live // 4)
@@ -166,11 +173,32 @@ def nested_sample(
         # k_batch chains and cost seconds.
         n_repeat = 8 * d + 16
 
-    lo = np.asarray([bounds[k][0] for k in keys], np.float64)
-    hi = np.asarray([bounds[k][1] for k in keys], np.float64)
     dtype = walker.dtype
     data = walker._posterior_data()
-    loglike = jax.jit(jax.vmap(walker._log_post_one, in_axes=(0, None)))
+    if spec.is_uniform:
+        box = spec.bounds
+        lo = np.asarray([box[k][0] for k in keys], np.float64)
+        hi = np.asarray([box[k][1] for k in keys], np.float64)
+        log_post_one = walker._log_post_one
+        to_theta = None
+    else:
+        # Named prior: the classic prior transform.  The run lives in
+        # u-space (live set + walks uniform under the prior measure);
+        # the u-posterior is logpost(F^-1(u)) - installed + wall, i.e.
+        # the pure likelihood against the prior (see priors.py).
+        from .priors import unit_cube_wall
+
+        lo = np.zeros(d)
+        hi = np.ones(d)
+        base = walker._log_post_one
+
+        def log_post_one(u, data):
+            th = spec.transform(u, keys)
+            return base(th, data) - spec.installed_vec(th, keys) \
+                + unit_cube_wall(u)
+
+        to_theta = jax.jit(jax.vmap(lambda u: spec.transform(u, keys)))
+    loglike = jax.jit(jax.vmap(log_post_one, in_axes=(0, None)))
 
     from .kernel import _neg_floor
 
@@ -329,6 +357,10 @@ def nested_sample(
     logw_all.append(logw_live[order])
 
     samples = np.concatenate(dead_pos_all)
+    if to_theta is not None:
+        # Dead points were collected in u-space; report physical params.
+        samples = np.asarray(to_theta(jnp.asarray(samples, dtype)),
+                             np.float64)
     logl = np.concatenate(dead_lp_all)
     logw = np.concatenate(logw_all)
     wn = np.exp(logw - logw.max())

@@ -95,9 +95,9 @@ class Prediction:
         return (np.quantile(src, lo, axis=0), np.quantile(src, hi, axis=0))
 
 
-def predict(walker, x, term_index: int = 0, noise=None,
+def predict(walker, x, term_index: int | None = 0, noise=None,
             take: int | None = None, max_samples: int = 256,
-            seed: int = 0) -> Prediction:
+            seed: int = 0) -> "Prediction | list[Prediction]":
     """Posterior prediction at NEW abscissae (interpolation/extrapolation).
 
     :func:`posterior_predictive` replicates at the dataset's own x;
@@ -110,6 +110,10 @@ def predict(walker, x, term_index: int = 0, noise=None,
     interval for new observations; omitted, bands are credible
     intervals for the curve itself.  One vmap on device; only (S, N)
     transfers.
+
+    Global multi-term fits (test.lisp:58-70): ``term_index=None``
+    predicts EVERY term's model on the same grid from the same shared
+    posterior draws (one list, one call); an integer picks one term.
     """
     _check_decomposable(walker, "predict")
     pos, _ = walker.steps(take)
@@ -119,22 +123,26 @@ def predict(walker, x, term_index: int = 0, noise=None,
     idx = np.unique(np.linspace(0, n_avail - 1,
                                 min(max_samples, n_avail)).astype(int))
     samples = jnp.asarray(np.asarray(pos)[idx], walker.dtype)
-    term = walker.terms[term_index]
+    terms = walker.terms if term_index is None \
+        else [walker.terms[term_index]]
     x_arr = jnp.asarray(np.asarray(x, np.float64), walker.dtype)
     spec = walker.spec
+    rng = np.random.default_rng(seed)
 
-    def curve(vec, xg):
-        return term.fn(xg, spec.unflatten(vec))
+    out = []
+    for term in terms:
+        def curve(vec, xg, _t=term):
+            return _t.fn(xg, spec.unflatten(vec))
 
-    mu = np.asarray(jax.jit(jax.vmap(curve, in_axes=(0, None)))(
-        samples, x_arr))
-    y_rep = None
-    if noise is not None:
-        sigma = np.broadcast_to(np.asarray(noise, np.float64),
-                                mu.shape[1:])
-        rng = np.random.default_rng(seed)
-        y_rep = mu + sigma * rng.standard_normal(mu.shape)
-    return Prediction(x=np.asarray(x), mu=mu, y_rep=y_rep)
+        mu = np.asarray(jax.jit(jax.vmap(curve, in_axes=(0, None)))(
+            samples, x_arr))
+        y_rep = None
+        if noise is not None:
+            sigma = np.broadcast_to(np.asarray(noise, np.float64),
+                                    mu.shape[1:])
+            y_rep = mu + sigma * rng.standard_normal(mu.shape)
+        out.append(Prediction(x=np.asarray(x), mu=mu, y_rep=y_rep))
+    return out if term_index is None else out[0]
 
 
 def _gaussian_sampler(key, mu, dataset):
@@ -186,7 +194,7 @@ def posterior_predictive(walker, take: int | None = None,
 
 def prior_predictive(walker, bounds=None, n_samples: int = 256,
                      seed: int = 0, sampler: Callable | None = None,
-                     ) -> list[PredictiveDraws]:
+                     prior=None) -> list[PredictiveDraws]:
     """Draw replicated datasets from the PRIOR — the before-fitting check.
 
     The first step of the standard Bayesian workflow: simulate what the
@@ -199,26 +207,20 @@ def prior_predictive(walker, bounds=None, n_samples: int = 256,
     terms.  Same noise-model dispatch as :func:`posterior_predictive`.
     """
     _check_decomposable(walker, "prior_predictive")
-    if bounds is None:
-        for t in walker.terms:
-            b = getattr(t.prior, "_bounds", None)
-            if b:
-                bounds = b
-                break
-        if bounds is None:
-            raise ValueError(
-                "prior_predictive: pass bounds= (the walker's prior is not "
-                "a make_bounds_prior table, so there is nothing to draw "
-                "parameters from)")
+    from .priors import resolve_prior_spec
+
+    spec = resolve_prior_spec(walker, prior, bounds)
+    if spec is None:
+        raise ValueError(
+            "prior_predictive: pass bounds= or prior= (the walker's prior "
+            "carries no recipe, so there is nothing to draw parameters "
+            "from)")
     keys = walker.spec.keys
-    missing = [k for k in keys if k not in bounds]
+    missing = [k for k in keys if k not in spec]
     if missing:
-        raise ValueError(f"prior_predictive: bounds missing {missing}")
+        raise ValueError(f"prior_predictive: prior/bounds missing {missing}")
     rng = np.random.default_rng(seed)
-    lo = np.asarray([bounds[k][0] for k in keys], np.float64)
-    hi = np.asarray([bounds[k][1] for k in keys], np.float64)
-    samples = jnp.asarray(rng.uniform(lo, hi, size=(n_samples, len(keys))),
-                          walker.dtype)
+    samples = jnp.asarray(spec.sample(rng, n_samples, keys), walker.dtype)
     return _replicate(walker, samples, seed, sampler, "prior_predictive")
 
 

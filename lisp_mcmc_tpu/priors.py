@@ -22,6 +22,8 @@ evaluation; there is no host-side control flow.
 
 from __future__ import annotations
 
+import dataclasses
+import math
 from typing import Callable, Mapping
 
 import jax.numpy as jnp
@@ -34,6 +36,12 @@ __all__ = [
     "constraint_penalty",
     "combine_priors",
     "resolve_prior",
+    "Uniform",
+    "Gaussian",
+    "LogNormal",
+    "PriorSpec",
+    "as_prior_spec",
+    "resolve_prior_spec",
 ]
 
 # Exact constants from mcmc-fitting.lisp:360.
@@ -132,3 +140,460 @@ def resolve_prior(prior, params, dataset):
     if callable(result):
         return result
     return prior
+
+
+# --------------------------------------------------------------------------
+# Named prior specs (round-3: non-box priors through the evidence layer).
+#
+# The reference's prior contract is a log-density TERM added to the
+# posterior (prior-bounds-let, mcmc-fitting.lisp:346-369; data-dependent
+# fixers 837-845) — the MCMC core here accepts that already.  What it
+# cannot express is the *measure* side: evidence estimators, SBC, and
+# prior-predictive checks need to SAMPLE the prior and know its
+# normalization.  A :class:`PriorSpec` carries both halves for a product
+# of independent 1-D distributions:
+#
+#   - ``sample``   — exact draws (host RNG; seeding, SBC truths,
+#     prior-predictive parameters);
+#   - ``log_pdf``  — the normalized log-density (reporting, u-space math);
+#   - ``installed``— the density term :meth:`PriorSpec.as_log_prior` adds
+#     to the posterior (0 for Uniform, matching the reference's
+#     zero-inside-bounds behavior; the normalized log-pdf for named
+#     distributions);
+#   - ``transform``/``inverse`` — the per-parameter inverse-CDF map from
+#     the unit cube, the TPU-friendly reduction that lets every existing
+#     box-based estimator (ladder, SMC, nested) run unchanged on a
+#     u-space view of the fit where the declared prior IS the unit
+#     Lebesgue measure (see fit.unit_cube_view).
+#
+# Convention (shared by evidence.py / smc.py / nested.py): the declared
+# prior pi is the beta=0 reference measure and the "likelihood" is
+# exp(logpost - installed), so the estimated Z is
+#     Z = integral exp(logpost(theta) - installed(theta)) pi(theta) dtheta.
+# For a pure-Uniform spec (installed = 0, pi = 1/V in the box) this is
+# exactly the historical uniform-in-bounds convention; for a fit whose
+# prior term is ``spec.as_log_prior()`` it is the true Bayesian evidence
+# integral L * pi.
+
+
+def _ndtr_np(x):
+    from scipy.special import ndtr
+
+    return ndtr(x)
+
+
+def _ndtri_np(x):
+    from scipy.special import ndtri
+
+    return ndtri(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class Uniform:
+    """Uniform(low, high) — the reference's flat-in-bounds prior as a spec."""
+
+    low: float
+    high: float
+
+    def __post_init__(self):
+        if not self.high > self.low:
+            raise ValueError(f"Uniform: need high > low, got ({self.low}, {self.high})")
+
+    @property
+    def support(self):
+        return (float(self.low), float(self.high))
+
+    def sample(self, rng, n):
+        return rng.uniform(self.low, self.high, size=n)
+
+    def log_pdf(self, x):
+        x = jnp.asarray(x)
+        inside = (self.low < x) & (x < self.high)
+        return jnp.where(inside, -math.log(self.high - self.low), -jnp.inf)
+
+    def installed_log_pdf(self, x):
+        # Reference behavior: a bounds prior adds 0 inside the box
+        # (normalization lives in the declared measure, not the term).
+        return jnp.zeros_like(jnp.asarray(x, jnp.result_type(float)))
+
+    def wall(self, x):
+        return bound_penalty(x, self.low, self.high)
+
+    def icdf(self, u):
+        return self.low + (self.high - self.low) * u
+
+    def cdf(self, x):
+        return jnp.clip((x - self.low) / (self.high - self.low), 0.0, 1.0)
+
+    def to_meta(self):
+        return {"kind": "uniform", "low": float(self.low), "high": float(self.high)}
+
+
+def _trunc_z(mu, sigma, low, high):
+    """(z_low, z_high) CDF values of the truncation points."""
+    za = 0.0 if math.isinf(low) else float(_ndtr_np((low - mu) / sigma))
+    zb = 1.0 if math.isinf(high) else float(_ndtr_np((high - mu) / sigma))
+    if not zb > za:
+        raise ValueError(
+            f"truncation ({low}, {high}) leaves no mass under "
+            f"N({mu}, {sigma}^2)")
+    return za, zb
+
+
+@dataclasses.dataclass(frozen=True)
+class Gaussian:
+    """Gaussian(mu, sigma), optionally truncated to (low, high)."""
+
+    mu: float
+    sigma: float
+    low: float = -math.inf
+    high: float = math.inf
+
+    def __post_init__(self):
+        if not self.sigma > 0:
+            raise ValueError(f"Gaussian: need sigma > 0, got {self.sigma}")
+        if not self.high > self.low:
+            raise ValueError(f"Gaussian: need high > low, got ({self.low}, {self.high})")
+        _trunc_z(self.mu, self.sigma, self.low, self.high)  # validate mass
+
+    @property
+    def support(self):
+        return (float(self.low), float(self.high))
+
+    @property
+    def _log_mass(self):
+        za, zb = _trunc_z(self.mu, self.sigma, self.low, self.high)
+        return math.log(zb - za)
+
+    def sample(self, rng, n):
+        za, zb = _trunc_z(self.mu, self.sigma, self.low, self.high)
+        u = rng.uniform(za, zb, size=n)
+        return self.mu + self.sigma * _ndtri_np(u)
+
+    def _smooth_log_pdf(self, x):
+        z = (jnp.asarray(x) - self.mu) / self.sigma
+        return (-0.5 * z * z
+                - math.log(self.sigma) - 0.5 * math.log(2.0 * math.pi)
+                - self._log_mass)
+
+    def log_pdf(self, x):
+        x = jnp.asarray(x)
+        inside = (self.low < x) & (x < self.high)
+        return jnp.where(inside, self._smooth_log_pdf(x), -jnp.inf)
+
+    def installed_log_pdf(self, x):
+        return self._smooth_log_pdf(x)
+
+    def wall(self, x):
+        if math.isinf(self.low) and math.isinf(self.high):
+            return jnp.zeros_like(jnp.asarray(x, jnp.result_type(float)))
+        lo = self.mu - 1e15 * self.sigma if math.isinf(self.low) else self.low
+        hi = self.mu + 1e15 * self.sigma if math.isinf(self.high) else self.high
+        return bound_penalty(x, lo, hi)
+
+    def icdf(self, u):
+        from jax.scipy.special import ndtri
+
+        za, zb = _trunc_z(self.mu, self.sigma, self.low, self.high)
+        return self.mu + self.sigma * ndtri(za + (zb - za) * u)
+
+    def cdf(self, x):
+        from jax.scipy.special import ndtr
+
+        za, zb = _trunc_z(self.mu, self.sigma, self.low, self.high)
+        z = ndtr((jnp.asarray(x) - self.mu) / self.sigma)
+        return jnp.clip((z - za) / (zb - za), 0.0, 1.0)
+
+    def to_meta(self):
+        return {"kind": "gaussian", "mu": float(self.mu), "sigma": float(self.sigma),
+                "low": None if math.isinf(self.low) else float(self.low),
+                "high": None if math.isinf(self.high) else float(self.high)}
+
+
+@dataclasses.dataclass(frozen=True)
+class LogNormal:
+    """LogNormal: ``log x ~ N(mu, sigma^2)``, optionally truncated to (low, high)."""
+
+    mu: float
+    sigma: float
+    low: float = 0.0
+    high: float = math.inf
+
+    def __post_init__(self):
+        if not self.sigma > 0:
+            raise ValueError(f"LogNormal: need sigma > 0, got {self.sigma}")
+        if self.low < 0 or not self.high > self.low:
+            raise ValueError(
+                f"LogNormal: need 0 <= low < high, got ({self.low}, {self.high})")
+        self._trunc_z()  # validate mass
+
+    def _trunc_z(self):
+        lo = -math.inf if self.low <= 0.0 else math.log(self.low)
+        hi = math.inf if math.isinf(self.high) else math.log(self.high)
+        return _trunc_z(self.mu, self.sigma, lo, hi)
+
+    @property
+    def support(self):
+        return (float(self.low), float(self.high))
+
+    @property
+    def _log_mass(self):
+        za, zb = self._trunc_z()
+        return math.log(zb - za)
+
+    def sample(self, rng, n):
+        import numpy as np
+
+        za, zb = self._trunc_z()
+        u = rng.uniform(za, zb, size=n)
+        return np.exp(self.mu + self.sigma * _ndtri_np(u))
+
+    def _smooth_log_pdf(self, x):
+        # Clamped log keeps the trace NaN-free at x <= 0; the quadratic
+        # term then drives the density to -inf-like values there anyway.
+        lx = jnp.log(jnp.maximum(jnp.asarray(x), 1e-300))
+        z = (lx - self.mu) / self.sigma
+        return (-lx - 0.5 * z * z
+                - math.log(self.sigma) - 0.5 * math.log(2.0 * math.pi)
+                - self._log_mass)
+
+    def log_pdf(self, x):
+        x = jnp.asarray(x)
+        inside = (x > self.low) & (x < self.high)
+        return jnp.where(inside, self._smooth_log_pdf(x), -jnp.inf)
+
+    def installed_log_pdf(self, x):
+        return self._smooth_log_pdf(x)
+
+    def wall(self, x):
+        hi = math.exp(self.mu + 1e3 * self.sigma) if math.isinf(self.high) \
+            else self.high
+        return bound_penalty(x, self.low, hi) if not math.isinf(self.high) \
+            or self.low > 0 else jnp.zeros_like(jnp.asarray(x, jnp.result_type(float)))
+
+    def icdf(self, u):
+        from jax.scipy.special import ndtri
+
+        za, zb = self._trunc_z()
+        return jnp.exp(self.mu + self.sigma * ndtri(za + (zb - za) * u))
+
+    def cdf(self, x):
+        from jax.scipy.special import ndtr
+
+        za, zb = self._trunc_z()
+        lx = jnp.log(jnp.maximum(jnp.asarray(x), 1e-300))
+        z = ndtr((lx - self.mu) / self.sigma)
+        return jnp.clip((z - za) / (zb - za), 0.0, 1.0)
+
+    def to_meta(self):
+        return {"kind": "lognormal", "mu": float(self.mu), "sigma": float(self.sigma),
+                "low": float(self.low),
+                "high": None if math.isinf(self.high) else float(self.high)}
+
+
+_DIST_KINDS = {"uniform": Uniform, "gaussian": Gaussian, "lognormal": LogNormal}
+
+
+def _dist_from_meta(meta: dict):
+    kind = meta["kind"]
+    cls = _DIST_KINDS[kind]
+    kwargs = {k: v for k, v in meta.items() if k != "kind"}
+    if kind == "gaussian":
+        kwargs["low"] = -math.inf if kwargs.get("low") is None else kwargs["low"]
+        kwargs["high"] = math.inf if kwargs.get("high") is None else kwargs["high"]
+    if kind == "lognormal":
+        kwargs["high"] = math.inf if kwargs.get("high") is None else kwargs["high"]
+    return cls(**kwargs)
+
+
+class PriorSpec(Mapping):
+    """A named prior: one independent 1-D distribution per parameter.
+
+    Values may be :class:`Uniform`/:class:`Gaussian`/:class:`LogNormal`
+    instances or ``(low, high)`` tuples (coerced to :class:`Uniform`, so
+    every existing bounds table is a valid spec).  Mapping protocol
+    exposes the distributions; :meth:`as_log_prior` builds the posterior
+    term to fit with; the evidence/SBC/predictive layer consumes the
+    spec directly (``prior=`` arguments, or recovery from a fitted
+    term's ``_prior_spec``).
+    """
+
+    def __init__(self, dists: Mapping):
+        out = {}
+        for k, v in dists.items():
+            key = k[1:] if isinstance(k, str) and k.startswith(":") else k
+            if isinstance(v, (Uniform, Gaussian, LogNormal)):
+                out[key] = v
+            elif isinstance(v, (tuple, list)) and len(v) == 2:
+                out[key] = Uniform(float(v[0]), float(v[1]))
+            else:
+                raise ValueError(
+                    f"PriorSpec: parameter {key!r} must be a distribution or "
+                    f"a (low, high) tuple, got {v!r}")
+        self._dists = out
+
+    # Mapping protocol — lets a PriorSpec stand in for a bounds dict
+    # anywhere only .keys() iteration order matters (e.g. sbc_check).
+    def __getitem__(self, k):
+        return self._dists[k]
+
+    def __iter__(self):
+        return iter(self._dists)
+
+    def __len__(self):
+        return len(self._dists)
+
+    def __repr__(self):
+        inner = ", ".join(f"{k}: {v}" for k, v in self._dists.items())
+        return f"PriorSpec({{{inner}}})"
+
+    def __eq__(self, other):
+        return isinstance(other, PriorSpec) and self._dists == other._dists
+
+    @classmethod
+    def from_bounds(cls, bounds: Mapping[str, tuple]) -> "PriorSpec":
+        return cls(bounds)
+
+    @property
+    def is_uniform(self) -> bool:
+        return all(isinstance(d, Uniform) for d in self._dists.values())
+
+    @property
+    def bounds(self):
+        """Box table when every support is finite, else None."""
+        box = {}
+        for k, d in self._dists.items():
+            lo, hi = d.support
+            if math.isinf(lo) or math.isinf(hi):
+                return None
+            box[k] = (lo, hi)
+        return box
+
+    def _ordered(self, keys):
+        missing = [k for k in keys if k not in self._dists]
+        if missing:
+            raise ValueError(f"PriorSpec: missing parameters {missing}")
+        return [self._dists[k] for k in keys]
+
+    # ------------------------------------------------------------- sampling
+    def sample(self, rng, n: int, keys=None):
+        """(n, d) exact prior draws (host numpy RNG), columns in ``keys`` order."""
+        import numpy as np
+
+        keys = list(keys) if keys is not None else list(self._dists)
+        cols = [np.asarray(d.sample(rng, n)) for d in self._ordered(keys)]
+        return np.stack(cols, axis=-1)
+
+    # ------------------------------------------------------------ densities
+    def log_pdf(self, params: Mapping, dataset=None):
+        """Normalized log prior density at a params dict (jnp scalar)."""
+        total = jnp.asarray(0.0)
+        for k, d in self._dists.items():
+            total = total + d.log_pdf(params[k])
+        return total
+
+    def installed_vec(self, theta, keys):
+        """Sum of installed density terms at a (d,) parameter vector."""
+        total = jnp.asarray(0.0, theta.dtype)
+        for i, d in enumerate(self._ordered(keys)):
+            total = total + d.installed_log_pdf(theta[i])
+        return total
+
+    # ------------------------------------------------------ unit-cube maps
+    def transform(self, u, keys):
+        """Inverse-CDF map: (d,) unit-cube point -> (d,) parameter vector.
+
+        ``u`` is clamped away from {0, 1} so the map stays finite when a
+        proposal steps outside the cube (the wall term rejects it).
+        """
+        eps = 1e-12 if jnp.asarray(u).dtype == jnp.float64 else 1e-6
+        uc = jnp.clip(u, eps, 1.0 - eps)
+        cols = [d.icdf(uc[i]) for i, d in enumerate(self._ordered(keys))]
+        return jnp.stack(cols).astype(u.dtype)
+
+    def inverse(self, theta, keys):
+        """CDF map: (..., d) parameter array -> (..., d) unit-cube points."""
+        theta = jnp.asarray(theta)
+        cols = [d.cdf(theta[..., i]) for i, d in enumerate(self._ordered(keys))]
+        return jnp.stack(cols, axis=-1)
+
+    # ----------------------------------------------------------- fit priors
+    def as_log_prior(self) -> Callable:
+        """The posterior prior TERM to fit with.
+
+        Uniform components contribute the reference's exterior bound
+        penalty (0 inside — mcmc-fitting.lisp:358-360); named components
+        contribute their normalized log-density (+ a penalty wall at any
+        truncation edge).  The returned callable carries ``_prior_spec``
+        (and, for pure-uniform specs, ``_bounds``) so the evidence layer
+        and checkpointing can recover the recipe.
+        """
+        dists = self._dists
+
+        def prior(params, dataset=None):
+            total = jnp.asarray(0.0)
+            for k, d in dists.items():
+                total = total + d.installed_log_pdf(params[k]) + d.wall(params[k])
+            return total
+
+        prior._prior_spec = self
+        prior.__name__ = "prior_spec"
+        if self.is_uniform:
+            prior._bounds = {k: d.support for k, d in dists.items()}
+            prior._extra = None
+        return prior
+
+    # -------------------------------------------------------- serialization
+    def to_meta(self) -> dict:
+        return {k: d.to_meta() for k, d in self._dists.items()}
+
+    @classmethod
+    def from_meta(cls, meta: dict) -> "PriorSpec":
+        return cls({k: _dist_from_meta(m) for k, m in meta.items()})
+
+
+def as_prior_spec(prior_or_bounds) -> "PriorSpec":
+    """Coerce a PriorSpec | bounds dict | dist dict into a PriorSpec."""
+    if isinstance(prior_or_bounds, PriorSpec):
+        return prior_or_bounds
+    if isinstance(prior_or_bounds, Mapping):
+        return PriorSpec(prior_or_bounds)
+    raise ValueError(
+        f"expected a PriorSpec or a {{param: (low, high) | distribution}} "
+        f"mapping, got {type(prior_or_bounds).__name__}")
+
+
+def resolve_prior_spec(walker, prior=None, bounds=None):
+    """Resolution order shared by the evidence/calibration layer.
+
+    explicit ``prior=`` > explicit ``bounds=`` (as a Uniform spec) >
+    a ``_prior_spec`` on a fitted term's prior > a ``_bounds`` table on a
+    fitted term's prior (``make_bounds_prior``) > None.
+    """
+    if prior is not None:
+        return as_prior_spec(prior)
+    if bounds is not None:
+        return as_prior_spec(bounds)
+    for t in getattr(walker, "terms", None) or []:
+        s = getattr(t.prior, "_prior_spec", None)
+        if s is not None:
+            return s
+        b = getattr(t.prior, "_bounds", None)
+        if b:
+            return PriorSpec.from_bounds(b)
+    return None
+
+
+def unit_cube_wall(u):
+    """Exterior penalty keeping a u-space walk inside the unit cube.
+
+    The reference penalty's 1e-5 rate (mcmc-fitting.lisp:360) is tuned
+    for physical parameter scales; on the unit cube it is too shallow to
+    stay impenetrable at the evidence ladder's hottest rung
+    (beta_min ~ 1e-5), so the u-space wall uses a unit rate:
+    ``-1e10 * expm1(dist)`` is ~1e8 one percent outside the cube, which
+    beta_min scales to ~1e3 — still a hard wall.
+    """
+    u = jnp.asarray(u)
+    dist = jnp.maximum(jnp.maximum(-u, u - 1.0), 0.0)
+    return jnp.sum(jnp.where(dist > 0, _PENALTY_SCALE * jnp.expm1(dist), 0.0))

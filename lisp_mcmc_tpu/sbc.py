@@ -137,18 +137,20 @@ def sbc_check(
     enabled) to isolate precision from provisioning.
     """
     from .batched import BatchedFit
-    from .priors import make_bounds_prior
+    from .priors import as_prior_spec
 
     if n_bins is None:
         # >= 5 expected counts per bin keeps the chi-square approximation
         # honest; at tiny n_sims that means FEWER bins, never a floor
         # that undercuts it (n_sims=10 -> 2 bins of 5, not 4 of 2.5).
         n_bins = int(max(2, min(20, n_sims // 5)))
-    keys = tuple(bounds.keys())
-    lo = np.asarray([bounds[k][0] for k in keys], np.float64)
-    hi = np.asarray([bounds[k][1] for k in keys], np.float64)
+    # ``bounds`` may be a box table or any PriorSpec (named Gaussian /
+    # log-normal priors calibrate the same way: truths and guesses draw
+    # from the spec, and the fit's prior term is its as_log_prior()).
+    spec = as_prior_spec(bounds)
+    keys = tuple(spec.keys())
     rng = np.random.default_rng(seed)
-    truths = rng.uniform(lo, hi, size=(n_sims, len(keys)))
+    truths = spec.sample(rng, n_sims, keys)
 
     x = np.asarray(x, np.float64)
     sim_err = None if callable(simulate) else np.broadcast_to(
@@ -163,12 +165,12 @@ def sbc_check(
         datasets.append((x, y))
         # Independent prior draw as the guess: starting AT the truth
         # would mask burn-in defects, which are part of what SBC audits.
-        guesses.append(dict(zip(keys, rng.uniform(lo, hi))))
+        guesses.append(dict(zip(keys, spec.sample(rng, 1, keys)[0])))
 
     if fit is None:
         fit = BatchedFit(
             function, datasets, guesses, data_error=data_error,
-            log_prior=make_bounds_prior(dict(bounds)),
+            log_prior=spec.as_log_prior(),
             walkers_per_dataset=walkers_per_dataset, seed=seed,
             walker_jitter=0.0, config=config, dtype=dtype,
         )

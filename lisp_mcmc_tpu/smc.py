@@ -119,13 +119,19 @@ def _next_beta(lp: np.ndarray, beta: float, target_ress: float) -> float:
     return beta + max(lo, 1e-9)
 
 
-def smc_sample(walker, bounds, n_move: int = 400, target_ress: float = 0.5,
-               max_stages: int = 200, seed: int = 0) -> SMCResult:
+def smc_sample(walker, bounds=None, n_move: int = 400, target_ress: float = 0.5,
+               max_stages: int = 200, seed: int = 0, prior=None) -> SMCResult:
     """Run tempered SMC; leaves the walker's ensemble ~ posterior.
 
     ``bounds``: ``{param: (low, high)}`` for EVERY parameter — defines
     the ``beta = 0`` uniform reference the particles start from (and the
-    measure ``log_z`` is taken against).  ``n_move``: MCMC steps per
+    measure ``log_z`` is taken against).  ``prior``: a
+    :class:`~lisp_mcmc_tpu.priors.PriorSpec` instead — named (Gaussian /
+    log-normal / truncated) priors run the SAME schedule on the
+    unit-cube view (:func:`~lisp_mcmc_tpu.fit.unit_cube_view`), where
+    the declared prior is the beta=0 measure, so ``log_z`` is the true
+    evidence integral ``L * pi``; one of the two is required (or a
+    recoverable spec on the fitted terms).  ``n_move``: MCMC steps per
     stage (rounded up to whole chunks; the stage temperature rides the
     runtime override so every stage reuses one compiled runner).
     ``target_ress``: relative weight-ESS that picks each ``dbeta``.
@@ -137,6 +143,31 @@ def smc_sample(walker, bounds, n_move: int = 400, target_ress: float = 0.5,
     """
     if not 0.0 < target_ress < 1.0:
         raise ValueError(f"target_ress must be in (0, 1), got {target_ress}")
+    from .priors import resolve_prior_spec
+
+    spec = resolve_prior_spec(walker, prior, bounds)
+    if spec is None:
+        raise ValueError("smc_sample: pass bounds= or prior= (no prior "
+                         "recipe found on the fitted terms)")
+    if not spec.is_uniform:
+        from .fit import unit_cube_view
+
+        uw = unit_cube_view(walker, spec)
+        ubox = {k: (0.0, 1.0) for k in walker.spec.keys}
+        result = smc_sample(uw, ubox, n_move=n_move, target_ress=target_ress,
+                            max_stages=max_stages, seed=seed)
+        # Keep this function's contract: the ORIGINAL ensemble ends
+        # posterior-distributed.  Map the u-particles back to theta and
+        # install them with the same reset semantics as seed_prior_box.
+        theta = uw._theta_of_u(uw.state.position).astype(walker.dtype)
+        walker.state = dataclasses.replace(walker.state, position=theta)
+        lp = walker._eval_batch(theta)
+        walker.reset()
+        walker.state = dataclasses.replace(
+            walker.state, position=theta, logprob=lp,
+            best_position=theta, best_logprob=lp)
+        return result
+    bounds = spec.bounds
 
     W = walker.n_walkers
 
