@@ -92,6 +92,18 @@ def main():
 
     from lisp_mcmc_tpu import diagnostics
 
+    # Quality gate before comparing anything: the per-dataset convergence
+    # verdict (BatchedFit.convergence) — a failing spectrum would make
+    # its WAIC/Laplace row meaningless, and the verdict names WHICH
+    # spectrum to rerun instead of restarting the grid.
+    conv = fit2.convergence(min_tail_ess=50.0)
+    print(f"two-peak fit convergence: ok={conv['ok']} "
+          f"({len(conv['per_dataset'])} datasets"
+          + (f"; failures: {conv['failures'][:3]}" if conv["failures"]
+             else "") + ")")
+    assert len(conv["per_dataset"]) == fit2.n_datasets
+    assert conv["ok"], f"gate failed: {conv['failures']}"
+
     lap2 = fit2.laplace_per_dataset()
     lap1 = fit1.laplace_per_dataset()
     waic2 = fit2.waic_per_dataset(max_samples=256)

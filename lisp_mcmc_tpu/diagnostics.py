@@ -20,7 +20,8 @@ from .ops.reductions import (effective_sample_size, mcse_mean,
 
 __all__ = ["metrics", "ess_per_param", "ess_from_history", "rhat_per_param",
            "rhat_from_history", "rank_rhat_per_param", "tail_ess_per_param",
-           "mcse_per_param", "convergence", "summary", "trace_profile",
+           "mcse_per_param", "convergence", "convergence_per_dataset",
+           "summary", "trace_profile",
            "WAICResult", "waic", "waic_compare",
            "LOOResult", "loo", "loo_compare", "model_weights"]
 
@@ -153,36 +154,16 @@ def mcse_per_param(walker, take: int | None = None) -> dict[str, float]:
     return out or {}
 
 
-def convergence(walker, take: int | None = None,
-                rhat_tol: float = 1.01, min_tail_ess: float = 100.0
-                ) -> dict[str, Any]:
-    """One-call convergence report with a pass/fail verdict.
-
-    Applies the Vehtari et al. (2021) criteria per parameter —
-    rank-normalized bulk AND tail R-hat below ``rhat_tol``, tail ESS
-    above ``min_tail_ess`` — and returns ``{"ok": bool, "failures":
-    [...], "rank_rhat": ..., "tail_ess": ..., "mcse": ...}``.  Batched
-    fits are judged per dataset block with the worst case reported
-    (converged means EVERY dataset converged); each block's statistics
-    share one history pass.
-    """
-    keys = walker.spec.keys
+def _block_verdict(pos, keys, rhat_tol: float, min_tail_ess: float
+                   ) -> dict[str, Any]:
+    """Vehtari-2021 pass/fail verdict for ONE (T, B, d) history block."""
     out: dict[str, Any] = {"rank_rhat": {}, "tail_ess": {}, "mcse": {}}
-    for pos in _history_blocks(walker, take):
-        for i, k in enumerate(keys):
-            x = pos[:, :, i]
-            bulk, tail = (float(v) for v in rank_normalized_rhat(x))
-            te = float(tail_ess(x))
-            mc = float(mcse_mean(x))
-            if k in out["rank_rhat"]:
-                b0, t0 = out["rank_rhat"][k]
-                out["rank_rhat"][k] = (max(b0, bulk), max(t0, tail))
-                out["tail_ess"][k] = min(out["tail_ess"][k], te)
-                out["mcse"][k] = max(out["mcse"][k], mc)
-            else:
-                out["rank_rhat"][k] = (bulk, tail)
-                out["tail_ess"][k] = te
-                out["mcse"][k] = mc
+    for i, k in enumerate(keys):
+        x = pos[:, :, i]
+        bulk, tail = (float(v) for v in rank_normalized_rhat(x))
+        out["rank_rhat"][k] = (bulk, tail)
+        out["tail_ess"][k] = float(tail_ess(x))
+        out["mcse"][k] = float(mcse_mean(x))
     failures = []
     for k in keys:
         bulk, tail = out["rank_rhat"][k]
@@ -195,6 +176,69 @@ def convergence(walker, take: int | None = None,
     out["ok"] = not failures
     out["failures"] = failures
     return out
+
+
+def convergence(walker, take: int | None = None,
+                rhat_tol: float = 1.01, min_tail_ess: float = 100.0
+                ) -> dict[str, Any]:
+    """One-call convergence report with a pass/fail verdict.
+
+    Applies the Vehtari et al. (2021) criteria per parameter —
+    rank-normalized bulk AND tail R-hat below ``rhat_tol``, tail ESS
+    above ``min_tail_ess`` — and returns ``{"ok": bool, "failures":
+    [...], "rank_rhat": ..., "tail_ess": ..., "mcse": ...}``.  Batched
+    fits are judged per dataset block with the worst case reported
+    (converged means EVERY dataset converged); each block's statistics
+    share one history pass.  For the per-block breakdown use
+    :func:`convergence_per_dataset` (or the first-class
+    ``BatchedFit.convergence``, which returns both).
+    """
+    keys = walker.spec.keys
+    out: dict[str, Any] = {"rank_rhat": {}, "tail_ess": {}, "mcse": {}}
+    failures: list[str] = []
+    for pos in _history_blocks(walker, take):
+        v = _block_verdict(pos, keys, rhat_tol, min_tail_ess)
+        for k in keys:
+            if k in out["rank_rhat"]:
+                b0, t0 = out["rank_rhat"][k]
+                b1, t1 = v["rank_rhat"][k]
+                out["rank_rhat"][k] = (max(b0, b1), max(t0, t1))
+                out["tail_ess"][k] = min(out["tail_ess"][k],
+                                         v["tail_ess"][k])
+                out["mcse"][k] = max(out["mcse"][k], v["mcse"][k])
+            else:
+                out["rank_rhat"][k] = v["rank_rhat"][k]
+                out["tail_ess"][k] = v["tail_ess"][k]
+                out["mcse"][k] = v["mcse"][k]
+    for k in keys:
+        bulk, tail = out["rank_rhat"][k]
+        if max(bulk, tail) >= rhat_tol:
+            failures.append(f"{k}: rank R-hat {max(bulk, tail):.4f} "
+                            f">= {rhat_tol}")
+        if out["tail_ess"][k] < min_tail_ess:
+            failures.append(f"{k}: tail ESS {out['tail_ess'][k]:.0f} "
+                            f"< {min_tail_ess:.0f}")
+    out["ok"] = not failures
+    out["failures"] = failures
+    return out
+
+
+def convergence_per_dataset(walker, take: int | None = None,
+                            rhat_tol: float = 1.01,
+                            min_tail_ess: float = 100.0
+                            ) -> list[dict[str, Any]]:
+    """Per-dataset-block convergence verdicts for grouped/batched fits.
+
+    One :func:`convergence`-shaped dict per dataset block (a plain fit
+    returns a single-element list).  The batched scaling workflow's
+    quality gate (nv-specific.lisp:58-66 is the reference's one-at-a-
+    time analogue): a scan-grid fit is DONE when every block's ``ok``
+    is True — and when one is not, its index says which spectrum to
+    rerun rather than restarting the whole grid.
+    """
+    keys = walker.spec.keys
+    return [_block_verdict(pos, keys, rhat_tol, min_tail_ess)
+            for pos in _history_blocks(walker, take)]
 
 
 def metrics(walker, take: int | None = None, elapsed_seconds: float | None = None) -> dict[str, Any]:

@@ -190,3 +190,32 @@ def test_reset_to_most_likely_per_dataset(rng):
     fit.adaptive_steps(400, auto=None)
     for tau_true, p in zip([1.0, 3.0], fit.best_params_per_dataset()):
         assert p["m"] == pytest.approx(tau_true, abs=0.1)
+
+
+def test_batched_convergence_per_dataset(rng):
+    """First-class BatchedFit.convergence: worst-case + per-dataset gate."""
+    datasets = _decays(rng, [1.5, 4.0])
+    fit = mfit.BatchedFit(
+        exponential_decay, datasets, {"scale": 1.5, "tau": 2.0, "bg0": 0.2},
+        data_error=0.01, walkers_per_dataset=48, seed=1)
+    fit.adaptive_steps(5000, auto=None, collect_history=False)
+    fit.reset_to_most_likely()
+    fit.adaptive_steps(4000, temperature=1.0, auto=None)
+
+    conv = fit.convergence(min_tail_ess=50.0)
+    assert len(conv["per_dataset"]) == 2
+    assert conv["ok"] == all(v["ok"] for v in conv["per_dataset"])
+    assert conv["ok"], conv["failures"]
+    # aggregate really is the worst case over blocks
+    for k in fit.spec.keys:
+        assert conv["tail_ess"][k] == pytest.approx(
+            min(v["tail_ess"][k] for v in conv["per_dataset"]))
+
+    # an honest verdict on an UNCONVERGED batch: tiny history, hot phase
+    fit2 = mfit.BatchedFit(
+        exponential_decay, datasets, {"scale": 1.5, "tau": 2.0, "bg0": 0.2},
+        data_error=0.01, walkers_per_dataset=48, seed=2)
+    fit2.adaptive_steps(600, temperature=20.0, auto=None)
+    conv2 = fit2.convergence()
+    assert not conv2["ok"]
+    assert any(msg.startswith("dataset ") for msg in conv2["failures"])
