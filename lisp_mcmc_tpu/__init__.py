@@ -70,6 +70,7 @@ from .predictive import (PredictiveDraws, Prediction, posterior_predictive,
 from .sbc import SBCResult, sbc_check
 from .priors import (
     Gaussian,
+    MVGaussian,
     LogNormal,
     PriorSpec,
     Uniform,
@@ -125,6 +126,7 @@ __all__ = [
     "PriorSpec",
     "Uniform",
     "Gaussian",
+    "MVGaussian",
     "LogNormal",
     "as_prior_spec",
     "unit_cube_view",

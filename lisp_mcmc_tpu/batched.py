@@ -103,9 +103,7 @@ class BatchedFit(Walker):
         S = len(datasets)
         if S == 0:
             raise ValueError("no datasets provided")
-        from .priors import PriorSpec
-
-        if isinstance(log_prior, PriorSpec):
+        if hasattr(log_prior, "as_log_prior"):   # PriorSpec / MVGaussian
             log_prior = log_prior.as_log_prior()
         prior = log_prior or log_prior_flat
 

@@ -1536,13 +1536,11 @@ def walker_create(
         likelihoods = [ll or log_likelihood_normal for ll in log_likelihood]
     else:
         likelihoods = [log_likelihood or log_likelihood_normal] * len(functions)
-    from .priors import PriorSpec
-
     def _coerce_prior(lp):
-        # A PriorSpec is accepted anywhere a prior callable is: the term
-        # fits with its as_log_prior() density, and the evidence layer
-        # recovers the full spec from the callable's _prior_spec.
-        return lp.as_log_prior() if isinstance(lp, PriorSpec) else lp
+        # A PriorSpec/MVGaussian is accepted anywhere a prior callable
+        # is: the term fits with its as_log_prior() density, and the
+        # evidence layer recovers the full spec from _prior_spec.
+        return lp.as_log_prior() if hasattr(lp, "as_log_prior") else lp
 
     if isinstance(log_prior, (list, tuple)):
         priors = [_coerce_prior(lp) or log_prior_flat for lp in log_prior]

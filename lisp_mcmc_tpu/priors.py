@@ -42,6 +42,7 @@ __all__ = [
     "PriorSpec",
     "as_prior_spec",
     "resolve_prior_spec",
+    "MVGaussian",
 ]
 
 # Exact constants from mcmc-fitting.lisp:360.
@@ -548,13 +549,20 @@ class PriorSpec(Mapping):
         return {k: d.to_meta() for k, d in self._dists.items()}
 
     @classmethod
-    def from_meta(cls, meta: dict) -> "PriorSpec":
+    def from_meta(cls, meta: dict) -> "PriorSpec | MVGaussian":
+        if "__mv_gaussian__" in meta:          # correlated-prior recipe
+            return MVGaussian.from_meta(meta)
         return cls({k: _dist_from_meta(m) for k, m in meta.items()})
 
 
 def as_prior_spec(prior_or_bounds) -> "PriorSpec":
-    """Coerce a PriorSpec | bounds dict | dist dict into a PriorSpec."""
-    if isinstance(prior_or_bounds, PriorSpec):
+    """Coerce a PriorSpec | bounds dict | dist dict into a PriorSpec.
+
+    An :class:`MVGaussian` passes through untouched — coercing it via
+    its Mapping face would keep only the marginals and silently drop
+    the correlations it exists to carry.
+    """
+    if isinstance(prior_or_bounds, (PriorSpec, MVGaussian)):
         return prior_or_bounds
     if isinstance(prior_or_bounds, Mapping):
         return PriorSpec(prior_or_bounds)
@@ -597,3 +605,191 @@ def unit_cube_wall(u):
     u = jnp.asarray(u)
     dist = jnp.maximum(jnp.maximum(-u, u - 1.0), 0.0)
     return jnp.sum(jnp.where(dist > 0, _PENALTY_SCALE * jnp.expm1(dist), 0.0))
+
+
+class MVGaussian(Mapping):
+    """Correlated Gaussian prior over several parameters jointly.
+
+    The experiment-chaining prior: the posterior of one fit (summarized
+    by :func:`~lisp_mcmc_tpu.laplace_approx` — see :meth:`from_laplace`)
+    becomes the prior of the next, CORRELATIONS INCLUDED, which a
+    product of 1-D :class:`Gaussian` components cannot express.
+
+    Implements the same protocol as :class:`PriorSpec` (sample /
+    log_pdf / installed / unit-cube transform+inverse / as_log_prior /
+    recipe serialization), so it flows through every estimator the same
+    way.  The unit-cube map is ``theta = mean + L @ ndtri(u)`` with
+    ``L`` the covariance Cholesky — exactly Gaussian with the declared
+    covariance, and still a coordinatewise-monotone-in-u bijection, so
+    the u-space machinery (walls, live-set uniformity) is unchanged.
+
+    Mapping access returns the 1-D MARGINAL ``Gaussian(mu_k,
+    sqrt(cov_kk))`` — for display and component classification only
+    (the joint density is what ``log_pdf``/``installed`` use).
+    """
+
+    def __init__(self, mean: Mapping, cov):
+        import numpy as np
+
+        self._keys = [k[1:] if isinstance(k, str) and k.startswith(":")
+                      else k for k in mean]
+        self._mean = np.asarray([float(mean[k]) for k in mean], np.float64)
+        self._cov = np.asarray(cov, np.float64)
+        d = len(self._keys)
+        if self._cov.shape != (d, d):
+            raise ValueError(
+                f"MVGaussian: cov shape {self._cov.shape} != ({d}, {d})")
+        self._cov = 0.5 * (self._cov + self._cov.T)
+        try:
+            self._chol = np.linalg.cholesky(self._cov)
+        except np.linalg.LinAlgError:
+            raise ValueError("MVGaussian: covariance is not positive "
+                             "definite") from None
+        self._log_norm = -0.5 * d * math.log(2.0 * math.pi) \
+            - float(np.sum(np.log(np.diag(self._chol))))
+
+    @classmethod
+    def from_laplace(cls, laplace, inflate: float = 1.0) -> "MVGaussian":
+        """Chain experiments: a LaplaceResult as the next fit's prior.
+
+        ``inflate`` scales the standard deviations (covariance by its
+        square) — a mild >1 hedges against the quadratic expansion
+        being too confident.  Refuse degenerate curvature: a clamped
+        Hessian direction means the 'posterior' never constrained it.
+        """
+        if getattr(laplace, "n_clamped", 0):
+            raise ValueError(
+                f"MVGaussian.from_laplace: {laplace.n_clamped} Hessian "
+                "direction(s) were clamped — the Laplace covariance is "
+                "unreliable along them; fix the fit (or build the prior "
+                "by hand) instead of chaining a degenerate curvature")
+        return cls(laplace.mode, float(inflate) ** 2 * laplace.cov)
+
+    # ---- Mapping protocol (marginals)
+    def __getitem__(self, k):
+        import numpy as np
+
+        i = self._keys.index(k)
+        return Gaussian(float(self._mean[i]),
+                        float(np.sqrt(self._cov[i, i])))
+
+    def __iter__(self):
+        return iter(self._keys)
+
+    def __len__(self):
+        return len(self._keys)
+
+    def __repr__(self):
+        return f"MVGaussian(keys={self._keys}, mean={list(self._mean)})"
+
+    def __eq__(self, other):
+        import numpy as np
+
+        return (isinstance(other, MVGaussian)
+                and self._keys == other._keys
+                and np.array_equal(self._mean, other._mean)
+                and np.array_equal(self._cov, other._cov))
+
+    @property
+    def is_uniform(self) -> bool:
+        return False
+
+    @property
+    def bounds(self):
+        return None
+
+    def _perm(self, keys):
+        """Index of each requested key in the internal order."""
+        keys = list(keys)
+        missing = [k for k in keys if k not in self._keys]
+        if missing:
+            raise ValueError(f"MVGaussian: missing parameters {missing}")
+        if len(keys) != len(self._keys):
+            raise ValueError(
+                "MVGaussian: a correlated prior covers ALL its parameters "
+                f"jointly; asked for {keys}, declared {self._keys}")
+        return [self._keys.index(k) for k in keys]      # internal -> keys
+
+    # ---- sampling / densities
+    def sample(self, rng, n: int, keys=None):
+        import numpy as np
+
+        keys = list(keys) if keys is not None else list(self._keys)
+        p = self._perm(keys)
+        z = rng.standard_normal((n, len(self._keys)))
+        th = self._mean + z @ self._chol.T                  # internal order
+        return th[:, p]
+
+    def _theta_internal(self, theta, keys):
+        p = self._perm(keys)
+        inv = [0] * len(p)
+        for j, i in enumerate(p):
+            inv[i] = j
+        return theta[..., jnp.asarray(inv)]
+
+    def log_pdf(self, params: Mapping, dataset=None):
+        theta = jnp.stack([jnp.asarray(params[k]) for k in self._keys])
+        return self._installed_internal(theta)
+
+    def _installed_internal(self, th_i):
+        from jax.scipy.linalg import solve_triangular
+
+        chol = jnp.asarray(self._chol, th_i.dtype)
+        z = solve_triangular(chol, th_i - jnp.asarray(self._mean,
+                                                      th_i.dtype),
+                             lower=True)
+        return -0.5 * jnp.sum(z * z) + jnp.asarray(self._log_norm,
+                                                   th_i.dtype)
+
+    def installed_vec(self, theta, keys):
+        return self._installed_internal(self._theta_internal(theta, keys))
+
+    # ---- unit-cube maps
+    def transform(self, u, keys):
+        from jax.scipy.special import ndtri
+
+        p = self._perm(keys)
+        eps = 1e-12 if jnp.asarray(u).dtype == jnp.float64 else 1e-6
+        z_k = ndtri(jnp.clip(u, eps, 1.0 - eps))            # keys order
+        inv = [0] * len(p)
+        for j, i in enumerate(p):
+            inv[i] = j
+        z_i = z_k[jnp.asarray(inv)]                         # internal order
+        th_i = jnp.asarray(self._mean, u.dtype) \
+            + jnp.asarray(self._chol, u.dtype) @ z_i
+        return th_i[jnp.asarray(p)].astype(u.dtype)
+
+    def inverse(self, theta, keys):
+        from jax.scipy.special import ndtr
+
+        theta = jnp.asarray(theta)
+        from jax.scipy.linalg import solve_triangular
+
+        th_i = self._theta_internal(theta, keys)
+        chol = jnp.asarray(self._chol, theta.dtype)
+        z = solve_triangular(chol, (th_i - jnp.asarray(
+            self._mean, theta.dtype))[..., None], lower=True)[..., 0]
+        u_i = ndtr(z)
+        p = self._perm(keys)
+        return u_i[..., jnp.asarray(p)]
+
+    # ---- fit prior + recipe
+    def as_log_prior(self) -> Callable:
+        def prior(params, dataset=None):
+            return self.log_pdf(params)
+
+        prior._prior_spec = self
+        prior.__name__ = "mv_gaussian_prior"
+        return prior
+
+    def to_meta(self) -> dict:
+        return {"__mv_gaussian__": {
+            "keys": list(self._keys),
+            "mean": [float(v) for v in self._mean],
+            "cov": [[float(v) for v in row] for row in self._cov],
+        }}
+
+    @classmethod
+    def from_meta(cls, meta: dict) -> "MVGaussian":
+        m = meta["__mv_gaussian__"]
+        return cls(dict(zip(m["keys"], m["mean"])), m["cov"])

@@ -296,3 +296,108 @@ def test_lognormal_prior_through_nested():
     assert ns.log_z == pytest.approx(log_z_ref,
                                      abs=max(0.3, 4 * ns.log_z_err))
     assert (ns.samples > 0).all()
+
+
+# ----------------------------------------------- correlated (MV) priors
+
+from lisp_mcmc_tpu.priors import MVGaussian
+
+
+def test_mv_gaussian_protocol():
+    cov = np.array([[0.09, 0.04], [0.04, 0.16]])
+    mv = MVGaussian({"a": 1.0, "b": -0.5}, cov)
+    rng = np.random.default_rng(0)
+    s = mv.sample(rng, 100000, ["a", "b"])
+    assert np.allclose(s.mean(axis=0), [1.0, -0.5], atol=0.01)
+    assert np.allclose(np.cov(s.T), cov, atol=0.01)
+    # unit-cube roundtrip, including a permuted key order
+    u = jnp.asarray([0.3, 0.8])
+    th = mv.transform(u, ["a", "b"])
+    assert np.allclose(np.asarray(mv.inverse(th, ["a", "b"])),
+                       np.asarray(u), atol=1e-10)
+    th_ba = mv.transform(u[::-1], ["b", "a"])
+    assert np.allclose(np.asarray(th_ba), np.asarray(th)[::-1])
+    # joint density vs scipy
+    from scipy.stats import multivariate_normal
+
+    ref = multivariate_normal([1.0, -0.5], cov).logpdf([1.2, -0.3])
+    got = float(mv.log_pdf({"a": jnp.asarray(1.2), "b": jnp.asarray(-0.3)}))
+    assert got == pytest.approx(ref, rel=1e-12)
+    # recipe roundtrip through the PriorSpec dispatcher
+    assert PriorSpec.from_meta(mv.to_meta()) == mv
+    # the Mapping face exposes MARGINALS, but coercion must NOT flatten
+    assert isinstance(mv["a"], Gaussian)
+    assert as_prior_spec(mv) is mv
+    with pytest.raises(ValueError):
+        MVGaussian({"a": 0.0, "b": 0.0}, np.array([[1.0, 2.0], [2.0, 1.0]]))
+    with pytest.raises(ValueError):
+        mv.transform(u, ["a"])       # a correlated prior is all-or-nothing
+
+
+def test_mv_gaussian_evidence_conjugate(conjugate):
+    """Correlated prior through Laplace + nested vs 2-d quadrature."""
+    x, y, _, _ = conjugate
+    cov = np.array([[4.0, 1.5], [1.5, 2.25]])       # correlated!
+    mv = MVGaussian({"m": 0.0, "b": 0.0}, cov)
+
+    mg = np.linspace(-8, 8, 641)
+    bg = np.linspace(-6, 6, 641)
+    M, B = np.meshgrid(mg, bg, indexing="ij")
+    ll = np.zeros_like(M)
+    for xi, yi in zip(x, y):
+        ll += (-0.5 * ((yi - (M + B * xi)) / SIGMA) ** 2
+               - 0.5 * np.log(2 * np.pi * SIGMA ** 2))
+    from scipy.stats import multivariate_normal
+
+    lp = ll + multivariate_normal([0.0, 0.0], cov).logpdf(
+        np.stack([M, B], axis=-1))
+    peak = lp.max()
+    log_z_ref = peak + np.log(np.trapezoid(
+        np.trapezoid(np.exp(lp - peak), bg, axis=1), mg))
+
+    w = mfit.walker_create(function=_line, data=(x, y),
+                           params={"m": 0.5, "b": 0.1}, data_error=SIGMA,
+                           n_walkers=128, seed=4, walker_jitter=0.3,
+                           log_prior=mv)
+    w.adaptive_steps(2000, temperature=2.0, auto=None)
+    w.optimize(300)
+    la = w.laplace_approx()          # mv recovered from the fitted term
+    assert la.log_z == pytest.approx(log_z_ref, abs=2e-3)   # conjugate: exact
+    ns = w.nested_sample(n_live=400, stop_frac=1e-5, seed=2)
+    assert ns.log_z == pytest.approx(log_z_ref,
+                                     abs=max(0.3, 4 * ns.log_z_err))
+
+
+def test_experiment_chaining_from_laplace(conjugate):
+    """Fit 1's Laplace posterior becomes fit 2's prior, correlations kept."""
+    x, y, _, _ = conjugate
+    flat = mfit.make_bounds_prior({"m": (-5, 5), "b": (-5, 5)})
+    w1 = mfit.walker_create(function=_line, data=(x, y),
+                            params={"m": 0.5, "b": 0.1}, data_error=SIGMA,
+                            n_walkers=128, seed=0, walker_jitter=0.3,
+                            log_prior=flat)
+    w1.adaptive_steps(2000, temperature=2.0, auto=None)
+    w1.optimize(300)
+    la1 = w1.laplace_approx()
+    chained = MVGaussian.from_laplace(la1, inflate=1.0)
+
+    # second, independent dataset from the SAME truth
+    rng = np.random.default_rng(99)
+    y2 = 1.3 + SIGMA * rng.standard_normal(len(x))
+    w2 = mfit.walker_create(function=_line, data=(x, y2),
+                            params={"m": 0.5, "b": 0.1}, data_error=SIGMA,
+                            n_walkers=128, seed=1, walker_jitter=0.3,
+                            log_prior=chained)
+    w2.adaptive_steps(2000, temperature=2.0, auto=None)
+    w2.optimize(300)
+    la2 = w2.laplace_approx()
+    # chaining two equal-information experiments halves the covariance
+    assert np.all(np.diag(la2.cov) < 0.6 * np.diag(la1.cov))
+    assert np.isfinite(la2.log_z)
+
+    # from_laplace refuses degenerate curvature
+    import dataclasses as dc
+
+    degenerate = dc.replace(la1, n_clamped=1)
+    with pytest.raises(ValueError):
+        MVGaussian.from_laplace(degenerate)
