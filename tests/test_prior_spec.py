@@ -401,3 +401,42 @@ def test_experiment_chaining_from_laplace(conjugate):
     degenerate = dc.replace(la1, n_clamped=1)
     with pytest.raises(ValueError):
         MVGaussian.from_laplace(degenerate)
+
+
+def test_batched_named_prior_smc_per_dataset_evidence():
+    """Grouped fits through the u-space view: per-dataset true evidences."""
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 1, 24)
+    SIG = 0.3
+    ys = [1.0 + 0.5 * x + SIG * rng.standard_normal(24),
+          -0.5 + 2.0 * x + SIG * rng.standard_normal(24)]
+    spec = PriorSpec({"m": Gaussian(0.0, 2.0), "b": Gaussian(0.0, 2.0)})
+    fit = mfit.BatchedFit(_line, [(x, y) for y in ys], {"m": 0.2, "b": 0.2},
+                          data_error=SIG, log_prior=spec,
+                          walkers_per_dataset=256, seed=0)
+    res = fit.smc_sample(prior=spec, n_move=150)
+    assert res.log_z_per_group is not None and len(res.log_z_per_group) == 2
+
+    for s, y in enumerate(ys):
+        mg = np.linspace(-8, 8, 561)
+        bg = np.linspace(-8, 8, 561)
+        M, B = np.meshgrid(mg, bg, indexing="ij")
+        ll = np.zeros_like(M)
+        for xi, yi in zip(x, y):
+            ll += (-0.5 * ((yi - (M + B * xi)) / SIG) ** 2
+                   - 0.5 * np.log(2 * np.pi * SIG ** 2))
+        lp = ll + (-0.5 * (M / 2) ** 2 - np.log(2 * np.sqrt(2 * np.pi))) \
+                + (-0.5 * (B / 2) ** 2 - np.log(2 * np.sqrt(2 * np.pi)))
+        pk = lp.max()
+        zr = pk + np.log(np.trapezoid(
+            np.trapezoid(np.exp(lp - pk), bg, axis=1), mg))
+        assert res.log_z_per_group[s] == pytest.approx(zr, abs=0.5)
+
+    # push-back contract: each block's ensemble ~ ITS posterior in theta
+    pos = np.asarray(fit.state.position).reshape(2, 256, 2)
+    A = np.stack([np.ones_like(x), x], axis=1)
+    prior_prec = np.diag([0.25, 0.25])
+    for s, y in enumerate(ys):
+        post_mean = np.linalg.solve(prior_prec + A.T @ A / SIG ** 2,
+                                    A.T @ y / SIG ** 2)
+        assert np.allclose(pos[s].mean(axis=0), post_mean, atol=0.25), s
