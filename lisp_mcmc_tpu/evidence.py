@@ -206,6 +206,14 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
     leading fraction of the history (per-rung proposal adaptation +
     ladder equilibration).  ``t_max`` sets ``beta_min = 1/t_max``.
 
+    ``prior``: a :class:`~lisp_mcmc_tpu.priors.PriorSpec` (or
+    ``MVGaussian``) — named priors run the same ladder on the unit-cube
+    view and ``log_z`` is the true Bayesian integral ``L * pi``; a spec
+    recovered from a ``log_prior=spec`` fit is used automatically (the
+    only correct reading for an unbounded named prior — the theta-space
+    hot limit has no equilibrium).  In that mode the ORIGINAL ensemble
+    is untouched; the ladder spreads the view's ensemble instead.
+
     ``bounds`` (``{param: (low, high)}``, every parameter): re-draw the
     starting ensemble uniform in the prior box.  Seeding is a real
     tradeoff on STIFF posteriors, measured on a 6-param spectrum fit

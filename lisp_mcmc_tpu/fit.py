@@ -846,11 +846,15 @@ class Walker:
         """Marginal-likelihood estimate off the tempering ladder.
 
         Stepping-stone + thermodynamic-integration estimates of ``log Z``
-        under the implied uniform-in-bounds prior (requires every
-        parameter bounded — see :mod:`lisp_mcmc_tpu.evidence` for the
-        measure-theoretic fine print and diagnostics).  Mutates the
-        ensemble (it ends spread over the ladder); re-anneal or
-        :meth:`reset_to_most_likely` before drawing posterior samples.
+        under the implied uniform-in-bounds prior — or, with a named
+        ``prior=`` :class:`~lisp_mcmc_tpu.PriorSpec` (recovered
+        automatically from a ``log_prior=spec`` fit), the true Bayesian
+        integral ``L * pi`` (see :mod:`lisp_mcmc_tpu.evidence` for the
+        measure-theoretic fine print and diagnostics).  The box path
+        mutates the ensemble (it ends spread over the ladder) — re-anneal
+        or :meth:`reset_to_most_likely` before drawing posterior samples;
+        the named-prior path runs on a u-space view and leaves this
+        ensemble untouched.
         """
         from .evidence import log_evidence as _log_evidence
         return _log_evidence(self, n_steps=n_steps, rungs=rungs,
@@ -859,7 +863,8 @@ class Walker:
     def smc_sample(self, bounds=None, **kwargs):
         """Tempered Sequential Monte Carlo: prior box -> posterior.
 
-        Re-draws the ensemble uniform in ``bounds``, then runs the
+        Re-draws the ensemble from the prior (uniform in ``bounds``, or
+        exact draws from a named ``prior=`` spec), then runs the
         adaptive reweight/resample/move schedule of
         :func:`lisp_mcmc_tpu.smc.smc_sample` (which see).  Returns an
         ``SMCResult`` with the evidence estimate; the ensemble is left
