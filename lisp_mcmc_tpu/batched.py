@@ -73,14 +73,17 @@ class _DatasetView:
 
 
 class BatchedFit(Walker):
-    """S independent same-shape fits as one ``(S*B, d)`` walker ensemble.
+    """S independent fits as one ``(S*B, d)`` walker ensemble.
 
     ``function``: one model ``f(x, params) -> y`` shared by all datasets.
-    ``datasets``: list of ``(x, y)`` pairs, all the same length (each may
-    have its own x grid).  ``params``: one guess dict (shared) or a list
-    of per-dataset guess dicts.  ``data_error``: scalar, per-dataset
-    scalars, or per-point arrays.  ``log_prior``: one prior callable
-    applied per walker (with ``dataset=None``).
+    ``datasets``: list of ``(x, y)`` pairs — lengths and x grids may
+    differ (ragged batches pad to the longest dataset's lane-aligned
+    shape; each dataset's mask keeps its reduction exact, and the
+    per-dataset toolchain reports true lengths).  ``params``: one guess
+    dict (shared) or a list of per-dataset guess dicts.  ``data_error``:
+    scalar, per-dataset scalars, or per-point arrays.  ``log_prior``:
+    one prior callable or :class:`~lisp_mcmc_tpu.PriorSpec`, applied per
+    walker (with ``dataset=None``).
     """
 
     def __init__(
@@ -107,7 +110,6 @@ class BatchedFit(Walker):
             log_prior = log_prior.as_log_prior()
         prior = log_prior or log_prior_flat
 
-        n0 = len(np.asarray(datasets[0][0]))
         guesses = params if isinstance(params, (list, tuple)) else [params] * S
         if len(guesses) != S:
             raise ValueError(f"{len(guesses)} parameter guesses for {S} datasets")
@@ -116,14 +118,13 @@ class BatchedFit(Walker):
         # One Dataset per input — padding, masking, and the cached
         # likelihood constants all come from the single source of truth
         # (Dataset.create / __post_init__); the batch is just their stack.
-        dsets = []
-        for (x, y), err in zip(datasets, errors):
-            if len(np.asarray(x)) != n0 or len(np.asarray(y)) != n0:
-                raise ValueError(
-                    "BatchedFit requires same-length datasets; fit ragged "
-                    "data individually (WalkerSet)"
-                )
-            dsets.append(Dataset.create(x, y, err, dtype=dtype))
+        # Ragged inputs are fine: every dataset pads to the batch maximum
+        # (min_len) so the stack is one static shape, and the per-dataset
+        # masks keep each reduction exact (padded lanes carry
+        # inv_sigma = 0 and masked constants — they contribute nothing).
+        n_max = max(len(np.asarray(d[0])) for d in datasets)
+        dsets = [Dataset.create(x, y, err, dtype=dtype, min_len=n_max)
+                 for (x, y), err in zip(datasets, errors)]
 
         spec = ParamSpec.from_params(guesses[0])
         batch_data = {
@@ -190,33 +191,43 @@ class BatchedFit(Walker):
 
     @staticmethod
     def _normalize_errors(data_error, datasets):
-        n = len(np.asarray(datasets[0][0]))
+        lens = [len(np.asarray(d[0])) for d in datasets]
         S = len(datasets)
         if data_error is None:
-            return [np.ones(n) for _ in range(S)]
+            return [np.ones(n) for n in lens]
         if np.isscalar(data_error):
-            return [np.full(n, float(data_error)) for _ in range(S)]
+            return [np.full(n, float(data_error)) for n in lens]
         try:
             arr = np.asarray(data_error, np.float64)
         except (ValueError, TypeError):
             arr = None  # ragged per-dataset list (mixed scalars/arrays)
-        if arr is not None and arr.ndim == 1 and arr.shape[0] == n:
+        same_len = all(n == lens[0] for n in lens)
+        if arr is not None and arr.ndim == 1 and same_len \
+                and arr.shape[0] == lens[0]:
             # One shared per-POINT error array (the single-fit API's
             # natural shape).  Without this branch its elements would be
             # misread as per-DATASET scalars.  When n == S the two
             # readings collide — demand an explicit list of S entries.
-            if n == S:
+            if lens[0] == S:
                 raise ValueError(
-                    f"data_error of length {n} is ambiguous with "
-                    f"{S} datasets of {n} points; pass a list of "
+                    f"data_error of length {lens[0]} is ambiguous with "
+                    f"{S} datasets of {lens[0]} points; pass a list of "
                     f"per-dataset entries")
             return [arr.copy() for _ in range(S)]
         out = []
-        for e in data_error:
+        for i, e in enumerate(data_error):
             e = np.asarray(e, np.float64)
-            out.append(np.full(n, float(e)) if e.ndim == 0 else e)
+            if e.ndim == 0:
+                out.append(np.full(lens[min(i, S - 1)], float(e)))
+            else:
+                out.append(e)
         if len(out) != S:
             raise ValueError(f"{len(out)} errors for {S} datasets")
+        for i, (e, n) in enumerate(zip(out, lens)):
+            if e.shape[0] != n:
+                raise ValueError(
+                    f"dataset {i}: error array length {e.shape[0]} != "
+                    f"{n} points")
         return out
 
     # ------------------------------------------------------------- queries

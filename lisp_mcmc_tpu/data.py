@@ -81,7 +81,12 @@ class Dataset:
             object.__setattr__(self, "log_fact_y", gammaln(self.y + 1.0) * self.mask)
 
     @classmethod
-    def create(cls, x, y, sigma=None, dtype=jnp.float64, pad_multiple: int = LANE):
+    def create(cls, x, y, sigma=None, dtype=jnp.float64, pad_multiple: int = LANE,
+               min_len: int = 0):
+        """``min_len``: pad at least this many points (before lane
+        alignment) — ragged batched fits pass the batch maximum so every
+        dataset lands on one static shape; the mask keeps the reduction
+        exact regardless of padding length."""
         x = np.asarray(x, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
         if y.ndim != 1:
@@ -104,7 +109,7 @@ class Dataset:
             raise ValueError(
                 f"data_error must be positive everywhere; got "
                 f"{sigma[bad]} at point {bad}")
-        p = pad_to(n, pad_multiple)
+        p = pad_to(max(n, int(min_len)), pad_multiple)
         pad = [(0, p - n)] + [(0, 0)] * (x.ndim - 1)
         xp = np.pad(x, pad, mode="edge")
         yp = np.pad(y, (0, p - n), mode="edge")

@@ -64,10 +64,36 @@ def test_batched_fit_validations(rng):
     with pytest.raises(ValueError, match="parameter guesses"):
         mfit.BatchedFit(exponential_decay, datasets,
                         [{"scale": 1.0, "tau": 1.0, "bg0": 0.1}])
-    ragged = [datasets[0], (np.arange(10.0), np.arange(10.0))]
-    with pytest.raises(ValueError, match="same-length"):
-        mfit.BatchedFit(exponential_decay, ragged,
-                        {"scale": 1.0, "tau": 1.0, "bg0": 0.1})
+    with pytest.raises(ValueError, match="error array length"):
+        mfit.BatchedFit(exponential_decay, datasets,
+                        {"scale": 1.0, "tau": 1.0, "bg0": 0.1},
+                        data_error=[np.ones(5), 0.01])
+
+
+def test_batched_fit_ragged_lengths(rng):
+    """Different-length datasets batch fine: each pads to the batch max
+    with its own mask, so padded lanes contribute nothing (round 3 —
+    previously refused with 'same-length')."""
+    x1 = np.linspace(0.0, 10.0, 96)
+    x2 = np.linspace(0.0, 8.0, 41)           # shorter AND different grid
+    y1 = 2.0 * np.exp(-x1 / 1.5) + 0.1 + 0.01 * rng.standard_normal(96)
+    y2 = 2.0 * np.exp(-x2 / 4.0) + 0.1 + 0.01 * rng.standard_normal(41)
+    fit = mfit.BatchedFit(
+        exponential_decay, [(x1, y1), (x2, y2)],
+        {"scale": 1.5, "tau": 2.0, "bg0": 0.2},
+        data_error=0.01, walkers_per_dataset=48, seed=0)
+    # both padded to one static shape, masks carry the true counts
+    assert fit._datasets[0].x.shape == fit._datasets[1].x.shape
+    assert fit._datasets[0].n == 96 and fit._datasets[1].n == 41
+    fit.adaptive_steps(8000, auto=None)
+    taus = [p["tau"] for p in fit.best_params_per_dataset()]
+    assert taus[0] == pytest.approx(1.5, rel=0.1)
+    assert taus[1] == pytest.approx(4.0, rel=0.15)
+    # the per-dataset toolchain respects each block's true length
+    draws = fit.posterior_predictive_per_dataset(max_samples=64)
+    assert draws[0].y_obs.shape == (96,) and draws[1].y_obs.shape == (41,)
+    w0, w1 = fit.waic_per_dataset(max_samples=64)
+    assert np.isfinite(w0.elpd) and np.isfinite(w1.elpd)
 
 
 def test_batched_shared_per_point_error_array():
