@@ -224,8 +224,10 @@ class BatchedNVFit(BatchedFit):
         for x, _ in spectra:
             if len(x) != len(x0) or not np.allclose(x, x0):
                 raise ValueError(
-                    "BatchedNVFit requires a shared frequency grid; "
-                    "use fit_nv_file for ragged spectra"
+                    "BatchedNVFit requires a shared frequency grid (its "
+                    "scan-grid exports/heatmaps assume one); for ragged "
+                    "spectra use fit_nv_file per file, or a plain "
+                    "BatchedFit (which pads ragged batches)"
                 )
         if prior is None:
             # Amplitude boxes scaled to the pooled y range of all spectra.
