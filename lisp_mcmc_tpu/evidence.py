@@ -246,7 +246,7 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
         # terms keeps the fit-seeded default.
         from .fit import unit_cube_view
 
-        uw = unit_cube_view(walker, spec)
+        uw = unit_cube_view(walker, spec, seed=seed)
         ubox = {k: (0.0, 1.0) for k in walker.spec.keys} \
             if (prior is not None or bounds is not None) else None
         return log_evidence(uw, n_steps=n_steps, rungs=rungs, t_max=t_max,

@@ -1431,7 +1431,7 @@ class Walker:
 # ------------------------------------------------------------------ factories
 
 
-def unit_cube_view(walker, prior_spec) -> "Walker":
+def unit_cube_view(walker, prior_spec, seed: int = 0) -> "Walker":
     """A u-space view of a fit: the declared prior becomes the unit cube.
 
     Every parameter is reparameterized through its prior's inverse CDF
@@ -1494,7 +1494,7 @@ def unit_cube_view(walker, prior_spec) -> "Walker":
     u0 = np.clip(np.asarray(spec.inverse(walker.state.position, keys),
                             np.float64), eps, 1.0 - eps)
     uw = Walker(
-        [], walker.spec, u0,
+        [], walker.spec, u0, seed=seed,
         config=walker.config, dtype=walker.dtype,
         aux=walker.aux, group_ids=walker.group_ids, n_groups=walker.n_groups,
         log_posterior=log_post_u, posterior_data=walker._posterior_data(),

@@ -152,7 +152,7 @@ def smc_sample(walker, bounds=None, n_move: int = 400, target_ress: float = 0.5,
     if not spec.is_uniform:
         from .fit import unit_cube_view
 
-        uw = unit_cube_view(walker, spec)
+        uw = unit_cube_view(walker, spec, seed=seed)
         ubox = {k: (0.0, 1.0) for k in walker.spec.keys}
         result = smc_sample(uw, ubox, n_move=n_move, target_ress=target_ress,
                             max_stages=max_stages, seed=seed)
