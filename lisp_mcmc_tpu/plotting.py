@@ -184,7 +184,7 @@ def plot_residuals(walker, term_index: int = 0, filename: str | None = None):
     return _save(fig, filename)
 
 
-def ppc_plot(walker, term_index: int = 0, take: int | None = None,
+def ppc_plot(walker, term_index: int | None = 0, take: int | None = None,
              max_samples: int = 256, seed: int = 0,
              lo: float = 0.05, hi: float = 0.95,
              filename: str | None = None):
@@ -196,27 +196,35 @@ def ppc_plot(walker, term_index: int = 0, take: int | None = None,
     observation noise is in the band: a calibrated fit covers ~90% of
     its points at the default band, and the title reports the actual
     coverage next to that target.
+
+    ``term_index=None`` on a global multi-term fit (test.lisp:58-70)
+    panels EVERY term's check in one figure from one replicate pass.
     """
     from .predictive import posterior_predictive
 
-    d = posterior_predictive(walker, take=take, max_samples=max_samples,
-                             seed=seed)[term_index]
-    x = d.x if d.x.ndim == 1 else d.x[:, 0]
-    order = np.argsort(x)
-    b_lo, b_hi = d.band(lo, hi)
-    med = np.quantile(d.y_rep, 0.5, axis=0)
+    draws = posterior_predictive(walker, take=take, max_samples=max_samples,
+                                 seed=seed)
+    draws = draws if term_index is None else [draws[term_index]]
 
-    fig, ax = plt.subplots(figsize=(8, 5))
-    ax.fill_between(x[order], b_lo[order], b_hi[order], color="tab:blue",
-                    alpha=0.25, label=f"{lo:.0%}-{hi:.0%} predictive band")
-    ax.plot(x[order], med[order], "b-", lw=1, label="predictive median")
-    ax.plot(x, d.y_obs, "k.", ms=3, label="data")
-    ax.set_xlabel("x")
-    ax.set_ylabel("y")
-    ax.legend()
-    ax.set_title(f"posterior predictive check (term {term_index}): "
-                 f"coverage {d.coverage(lo, hi):.1%} "
-                 f"vs {hi - lo:.0%} target")
+    fig, axes = plt.subplots(len(draws), 1,
+                             figsize=(8, 4.2 * len(draws)), squeeze=False)
+    for ax, d in zip(axes[:, 0], draws):
+        x = d.x if d.x.ndim == 1 else d.x[:, 0]
+        order = np.argsort(x)
+        b_lo, b_hi = d.band(lo, hi)
+        med = np.quantile(d.y_rep, 0.5, axis=0)
+        ax.fill_between(x[order], b_lo[order], b_hi[order], color="tab:blue",
+                        alpha=0.25,
+                        label=f"{lo:.0%}-{hi:.0%} predictive band")
+        ax.plot(x[order], med[order], "b-", lw=1, label="predictive median")
+        ax.plot(x, d.y_obs, "k.", ms=3, label="data")
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        ax.legend()
+        ax.set_title(f"posterior predictive check (term {d.term_index}): "
+                     f"coverage {d.coverage(lo, hi):.1%} "
+                     f"vs {hi - lo:.0%} target")
+    fig.tight_layout()
     return _save(fig, filename)
 
 

@@ -81,3 +81,15 @@ def test_predict_noise_band_per_term(global_fit):
     for pr in preds:
         lo, hi = pr.band(0.05, 0.95)
         assert np.all(hi - lo > NOISE)      # prediction interval > curve CI
+
+
+def test_ppc_plot_all_terms(global_fit, tmp_path):
+    out = str(tmp_path / "ppc_all.png")
+    global_fit.ppc_plot(term_index=None, filename=out)
+    import os
+
+    assert os.path.exists(out)
+    # single-term call keeps working
+    out1 = str(tmp_path / "ppc_one.png")
+    global_fit.ppc_plot(term_index=1, filename=out1)
+    assert os.path.exists(out1)
