@@ -288,9 +288,9 @@ class Gaussian:
     def wall(self, x):
         if math.isinf(self.low) and math.isinf(self.high):
             return jnp.zeros_like(jnp.asarray(x, jnp.result_type(float)))
-        lo = self.mu - 1e15 * self.sigma if math.isinf(self.low) else self.low
-        hi = self.mu + 1e15 * self.sigma if math.isinf(self.high) else self.high
-        return bound_penalty(x, lo, hi)
+        # bound_penalty handles an infinite edge exactly: |v - inf| = inf
+        # loses every min() and the inside test stays correct.
+        return bound_penalty(x, self.low, self.high)
 
     def icdf(self, u):
         from jax.scipy.special import ndtri
@@ -367,10 +367,11 @@ class LogNormal:
         return self._smooth_log_pdf(x)
 
     def wall(self, x):
-        hi = math.exp(self.mu + 1e3 * self.sigma) if math.isinf(self.high) \
-            else self.high
-        return bound_penalty(x, self.low, hi) if not math.isinf(self.high) \
-            or self.low > 0 else jnp.zeros_like(jnp.asarray(x, jnp.result_type(float)))
+        if self.low <= 0.0 and math.isinf(self.high):
+            # Untruncated: the smooth density already collapses at x <= 0
+            # (clamped-log quadratic), no wall needed.
+            return jnp.zeros_like(jnp.asarray(x, jnp.result_type(float)))
+        return bound_penalty(x, self.low, self.high)
 
     def icdf(self, u):
         from jax.scipy.special import ndtri

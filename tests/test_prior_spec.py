@@ -440,3 +440,17 @@ def test_batched_named_prior_smc_per_dataset_evidence():
         post_mean = np.linalg.solve(prior_prec + A.T @ A / SIG ** 2,
                                     A.T @ y / SIG ** 2)
         assert np.allclose(pos[s].mean(axis=0), post_mean, atol=0.25), s
+
+
+def test_truncated_wide_lognormal_wall_no_overflow():
+    """Regression: LogNormal(sigma>0.7, low>0) walls used math.exp(mu+1e3*sigma)
+    -> OverflowError; bound_penalty takes the infinite edge directly."""
+    d = LogNormal(0.0, 1.0, low=0.1)
+    w_in = float(d.wall(jnp.asarray(1.0)))
+    w_out = float(d.wall(jnp.asarray(0.01)))
+    assert w_in == 0.0 and w_out < 0.0
+    g = Gaussian(0.0, 1.0, low=-1.0)          # half-open truncation
+    assert float(g.wall(jnp.asarray(0.0))) == 0.0
+    assert float(g.wall(jnp.asarray(-2.0))) < 0.0
+    p = PriorSpec({"a": d}).as_log_prior()
+    assert np.isfinite(float(p({"a": jnp.asarray(0.5)})))
