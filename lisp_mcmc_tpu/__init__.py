@@ -106,6 +106,14 @@ def enable_compilation_cache(path: str | None = None) -> str:
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        # The XLA:CPU AOT-result cache can SIGILL when the loader's
+        # host-feature probe disagrees with the compile-time probe
+        # (warning observed live on this image); the jaxpr-level cache
+        # is the one that matters for remote-TPU compiles anyway.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception:
+        pass  # older jax without the knob
     return path
 
 __all__ = [

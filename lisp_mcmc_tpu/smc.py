@@ -119,8 +119,9 @@ def _next_beta(lp: np.ndarray, beta: float, target_ress: float) -> float:
     return beta + max(lo, 1e-9)
 
 
-def smc_sample(walker, bounds=None, n_move: int = 400, target_ress: float = 0.5,
-               max_stages: int = 200, seed: int = 0, prior=None) -> SMCResult:
+def smc_sample(walker, bounds=None, n_move: int = 200, target_ress: float = 0.5,
+               max_stages: int = 200, seed: int = 0, prior=None,
+               target_moves: float | None = 120.0) -> SMCResult:
     """Run tempered SMC; leaves the walker's ensemble ~ posterior.
 
     ``bounds``: ``{param: (low, high)}`` for EVERY parameter — defines
@@ -135,6 +136,17 @@ def smc_sample(walker, bounds=None, n_move: int = 400, target_ress: float = 0.5,
     stage (rounded up to whole chunks; the stage temperature rides the
     runtime override so every stage reuses one compiled runner).
     ``target_ress``: relative weight-ESS that picks each ``dbeta``.
+    ``target_moves`` (the default policy): adaptive per-stage budget —
+    after the ``n_move`` floor, keep stepping until the expected
+    ACCEPTED moves per particle reach this count (capped at 10x the
+    floor).  Fixed budgets under-serve exactly the sticky stages where
+    diversity matters; measured on the stiff two-peak fit (4 seeds vs
+    the Laplace anchor): fixed 200 -> log_z sd 43.7, fixed 800 ->
+    sd 0.36 at 50 s/run, adaptive 120-over-200 -> sd 0.41 at 20 s/run —
+    large-fixed-budget quality at 40% of its cost, and CHEAPER than the
+    old fixed-400 default on easy stages (high acceptance reaches the
+    target in one chunk).  ``target_moves=None`` restores a fixed
+    ``n_move`` budget.
 
     The walker's configured kernel drives the moves; per-stage
     L-adaptation runs as usual, so proposals re-tune as the target
@@ -155,7 +167,8 @@ def smc_sample(walker, bounds=None, n_move: int = 400, target_ress: float = 0.5,
         uw = unit_cube_view(walker, spec, seed=seed)
         ubox = {k: (0.0, 1.0) for k in walker.spec.keys}
         result = smc_sample(uw, ubox, n_move=n_move, target_ress=target_ress,
-                            max_stages=max_stages, seed=seed)
+                            max_stages=max_stages, seed=seed,
+                            target_moves=target_moves)
         # Keep this function's contract: the ORIGINAL ensemble ends
         # posterior-distributed.  Map the u-particles back to theta and
         # install them with the same reset semantics as seed_prior_box.
@@ -233,12 +246,29 @@ def smc_sample(walker, bounds=None, n_move: int = 400, target_ress: float = 0.5,
         )
 
         # Diversify: MCMC move steps held at T = 1/beta via the runtime
-        # temperature override (see kernel.resolve_temp).
+        # temperature override (see kernel.resolve_temp).  With
+        # target_moves set, keep stepping past the n_move floor until
+        # the particles have actually MOVED that many times (expected
+        # accepted moves/particle = sum of per-chunk acceptance x chunk)
+        # — a fixed budget under-serves exactly the sticky stages where
+        # diversity matters (measured on the stiff two-peak fit, 4 seeds:
+        # n_move=200 -> log_z sd 43.7 / bias -30 vs the Laplace anchor;
+        # 400 -> sd 1.8; 800 -> sd 0.36; adaptivity buys the tight
+        # budget only where needed).
         temp_override = 1.0 / new_beta
         out = None
-        for _ in range(n_chunks):
+        moved = 0.0
+        chunks_done = 0
+        while True:
             walker.state, out = runner(
                 walker.state, True, True, temp_override, data)
+            chunks_done += 1
+            moved += float(out["accept_rate"]) * chunk
+            if chunks_done < n_chunks:
+                continue
+            if target_moves is None or moved >= target_moves \
+                    or chunks_done >= 10 * n_chunks:
+                break
         beta = new_beta
         betas.append(beta)
         accs.append(float(out["accept_rate"]))
