@@ -109,6 +109,7 @@ def nested_sample(
     max_iter: int = 10_000,
     seed: int = 0,
     prior=None,
+    on_round=None,
 ) -> NestedResult:
     """Run batched nested sampling on the walker's posterior.
 
@@ -128,7 +129,10 @@ def nested_sample(
     Stops when the live set's maximum remaining contribution
     ``max L_live * X`` drops below ``stop_frac`` of the accumulated
     evidence.  The walker's ensemble state is untouched — nested
-    sampling runs on its own live set.
+    sampling runs on its own live set.  ``on_round(info)``: per-round
+    observability hook with ``{"round", "log_x", "log_z_partial",
+    "acceptance", "scale", "logl_max_live"}``; returning True closes
+    the run early with the live set (a valid, less converged estimate).
 
     Validated against: analytic Gaussian evidences, equal/unequal-mass
     bimodal mass splits, and the other three estimators on the same
@@ -338,6 +342,14 @@ def nested_sample(
 
         # Termination: remaining max contribution vs accumulated Z.
         logl_max_live = float(jnp.max(live_lp))
+        if on_round is not None and on_round({
+                "round": n_iter, "log_x": log_x_cur,
+                "log_z_partial": float(log_z), "acceptance": acc_f,
+                "scale": scale, "logl_max_live": logl_max_live}):
+            # Observability hook requested an early close: unlike SMC's
+            # ladder, a truncated nested run closed with its live set is
+            # still a VALID (just less converged) estimate.
+            break
         if logl_max_live + log_x_cur < log_z + math.log(stop_frac):
             break
 

@@ -121,7 +121,8 @@ def _next_beta(lp: np.ndarray, beta: float, target_ress: float) -> float:
 
 def smc_sample(walker, bounds=None, n_move: int = 200, target_ress: float = 0.5,
                max_stages: int = 200, seed: int = 0, prior=None,
-               target_moves: float | None = 120.0) -> SMCResult:
+               target_moves: float | None = 120.0,
+               on_stage=None) -> SMCResult:
     """Run tempered SMC; leaves the walker's ensemble ~ posterior.
 
     ``bounds``: ``{param: (low, high)}`` for EVERY parameter — defines
@@ -148,6 +149,12 @@ def smc_sample(walker, bounds=None, n_move: int = 200, target_ress: float = 0.5,
     target in one chunk).  ``target_moves=None`` restores a fixed
     ``n_move`` budget.
 
+    ``on_stage(info)``: per-stage observability hook (the ``on_chunk``
+    of this sampler): called at each stage boundary with ``{"stage",
+    "beta", "dbeta", "acceptance", "moved", "chunks", "log_z_partial"}``;
+    return True to request a graceful stop (raises like estop — a
+    partial ladder is not a valid evidence).
+
     The walker's configured kernel drives the moves; per-stage
     L-adaptation runs as usual, so proposals re-tune as the target
     sharpens.  Raises if the schedule fails to reach ``beta = 1`` within
@@ -168,7 +175,7 @@ def smc_sample(walker, bounds=None, n_move: int = 200, target_ress: float = 0.5,
         ubox = {k: (0.0, 1.0) for k in walker.spec.keys}
         result = smc_sample(uw, ubox, n_move=n_move, target_ress=target_ress,
                             max_stages=max_stages, seed=seed,
-                            target_moves=target_moves)
+                            target_moves=target_moves, on_stage=on_stage)
         # Keep this function's contract: the ORIGINAL ensemble ends
         # posterior-distributed.  Map the u-particles back to theta and
         # install them with the same reset semantics as seed_prior_box.
@@ -272,6 +279,13 @@ def smc_sample(walker, bounds=None, n_move: int = 200, target_ress: float = 0.5,
         beta = new_beta
         betas.append(beta)
         accs.append(float(out["accept_rate"]))
+        if on_stage is not None and on_stage({
+                "stage": len(accs), "beta": beta, "dbeta": dbeta,
+                "acceptance": accs[-1], "moved": moved,
+                "chunks": chunks_done, "log_z_partial": float(log_z.sum())}):
+            raise RuntimeError(
+                f"smc_sample: on_stage requested stop at beta={beta:.4f}; "
+                f"partial evidence discarded")
         if beta >= 1.0:
             break
     else:

@@ -454,3 +454,47 @@ def test_truncated_wide_lognormal_wall_no_overflow():
     assert float(g.wall(jnp.asarray(-2.0))) < 0.0
     p = PriorSpec({"a": d}).as_log_prior()
     assert np.isfinite(float(p({"a": jnp.asarray(0.5)})))
+
+
+def test_checkpoint_roundtrip_mv_gaussian(tmp_path, conjugate):
+    from lisp_mcmc_tpu.checkpoint import walker_load, walker_save
+
+    x, y, _, _ = conjugate
+    mv = MVGaussian({"m": 0.0, "b": 0.0},
+                    np.array([[4.0, 1.5], [1.5, 2.25]]))
+    w = mfit.walker_create(function=_line, data=(x, y),
+                           params={"m": 0.5, "b": 0.1}, data_error=SIGMA,
+                           n_walkers=16, seed=8, walker_jitter=0.2,
+                           log_prior=mv)
+    w.adaptive_steps(400, temperature=2.0, auto=None)
+    path = str(tmp_path / "mv_fit.npz")
+    walker_save(w, path)
+    w2 = walker_load(path, function=_line)
+    assert getattr(w2.terms[0].prior, "_prior_spec", None) == mv
+    lp1 = np.asarray(w._eval_batch(w.state.position))
+    lp2 = np.asarray(w2._eval_batch(w.state.position))
+    assert np.allclose(lp1, lp2, rtol=1e-12)
+
+
+def test_observability_hooks_smc_and_nested(conjugate):
+    """on_stage / on_round fire with the documented payloads."""
+    x, y, spec, _ = conjugate
+    w = _make_fit(x, y, spec, seed=12, n_walkers=64)
+    stages = []
+    w.smc_sample(prior=spec, n_move=100,
+                 on_stage=lambda info: stages.append(info) and False)
+    assert stages and stages[-1]["beta"] == pytest.approx(1.0)
+    assert {"stage", "dbeta", "acceptance", "moved", "chunks",
+            "log_z_partial"} <= set(stages[0])
+
+    rounds = []
+    w.nested_sample(prior=spec, n_live=200, stop_frac=1e-3, seed=1,
+                    on_round=lambda info: rounds.append(info) and False)
+    assert rounds and rounds[0]["round"] == 1
+    # early close: a truncated run still returns a finite estimate
+    ns = w.nested_sample(prior=spec, n_live=200, seed=1,
+                         on_round=lambda info: info["round"] >= 5)
+    assert ns.n_iter == 5 and np.isfinite(ns.log_z)
+
+    with pytest.raises(RuntimeError, match="on_stage requested stop"):
+        w.smc_sample(prior=spec, n_move=100, on_stage=lambda info: True)
