@@ -321,25 +321,14 @@ class BatchedFit(Walker):
         the grid.  Accepts the same ``rhat_tol`` / ``min_tail_ess``
         knobs as the base verdict.
         """
-        from .diagnostics import convergence_per_dataset
+        from .diagnostics import convergence_per_dataset, merge_worst_verdict
 
         per = convergence_per_dataset(self, take, **kwargs)
         keys = self.spec.keys
         out = {"rank_rhat": {}, "tail_ess": {}, "mcse": {}}
         failures = []
         for s, v in enumerate(per):
-            for k in keys:
-                if k in out["rank_rhat"]:
-                    b0, t0 = out["rank_rhat"][k]
-                    b1, t1 = v["rank_rhat"][k]
-                    out["rank_rhat"][k] = (max(b0, b1), max(t0, t1))
-                    out["tail_ess"][k] = min(out["tail_ess"][k],
-                                             v["tail_ess"][k])
-                    out["mcse"][k] = max(out["mcse"][k], v["mcse"][k])
-                else:
-                    out["rank_rhat"][k] = v["rank_rhat"][k]
-                    out["tail_ess"][k] = v["tail_ess"][k]
-                    out["mcse"][k] = v["mcse"][k]
+            merge_worst_verdict(out, v, keys)
             failures.extend(f"dataset {s}: {msg}" for msg in v["failures"])
         out["ok"] = not failures
         out["failures"] = failures

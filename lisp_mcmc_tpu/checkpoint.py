@@ -382,6 +382,11 @@ def batched_save(fit, path: str, take: int | None = None) -> None:
         "n_walkers": fit.n_walkers,
         "n_datasets": int(fit.n_datasets),
         "n_points": int(fit.terms[0].dataset.n),
+        # Ragged batches: every dataset's TRUE length (pre-padding).
+        # n_points alone (dataset 0) would slice longer datasets short
+        # (silent truncation) or leave zero-error pad lanes in shorter
+        # ones (Dataset.create rejects them at load).
+        "n_points_per_dataset": [int(ds.n) for ds in fit._datasets],
         "walkers_per_dataset": int(fit.walkers_per_dataset),
         "prng_impl": str(__import__("jax").random.key_impl(fit.state.key)),
         "dtype": np.dtype(fit.dtype).name,
@@ -427,10 +432,8 @@ def batched_load(path: str, *, function=None, log_prior=None, quiet: bool = Fals
     # on the pad rows; feeding those to BatchedFit as real data would
     # rebuild them as zero-error points (inf inv_sigma -> NaN posterior).
     # Slice back to the true length and let Dataset.create re-pad.
-    n = header["n_points"]
-    x = arrays["batch_x"][:, :n]
-    y = arrays["batch_y"][:, :n]
-    err = arrays["batch_err"][:, :n]
+    ns = header.get("n_points_per_dataset") or [header["n_points"]] * S
+    x, y, err = arrays["batch_x"], arrays["batch_y"], arrays["batch_err"]
     # Any valid guess works — the saved state replaces it — so use each
     # block's best walker.
     best_lp = arrays["best_logprob"].reshape(S, B)
@@ -440,8 +443,8 @@ def batched_load(path: str, *, function=None, log_prior=None, quiet: bool = Fals
         for g in range(S)
     ]
     fit = BatchedFit(
-        fns[0], [(x[g], y[g]) for g in range(S)], guesses,
-        data_error=[err[g] for g in range(S)],
+        fns[0], [(x[g, :ns[g]], y[g, :ns[g]]) for g in range(S)], guesses,
+        data_error=[err[g, :ns[g]] for g in range(S)],
         log_prior=None if header["prior"] == "log_prior_flat" else prior,
         walkers_per_dataset=B, dtype=dtype,
         config=FitConfig(**header["config"]),

@@ -154,6 +154,43 @@ def mcse_per_param(walker, take: int | None = None) -> dict[str, float]:
     return out or {}
 
 
+def merge_worst_verdict(out: dict[str, Any], v: dict[str, Any],
+                        keys) -> None:
+    """Fold verdict ``v`` into ``out`` in place, keeping the worst case
+    per key (max rank-R-hat, min tail ESS, max MCSE).
+
+    The single source of the worst-case policy — :func:`convergence`
+    (block loop) and ``BatchedFit.convergence`` (per-dataset loop) both
+    call it, so a policy change cannot silently diverge the two.
+    """
+    for k in keys:
+        if k in out["rank_rhat"]:
+            b0, t0 = out["rank_rhat"][k]
+            b1, t1 = v["rank_rhat"][k]
+            out["rank_rhat"][k] = (max(b0, b1), max(t0, t1))
+            out["tail_ess"][k] = min(out["tail_ess"][k], v["tail_ess"][k])
+            out["mcse"][k] = max(out["mcse"][k], v["mcse"][k])
+        else:
+            out["rank_rhat"][k] = v["rank_rhat"][k]
+            out["tail_ess"][k] = v["tail_ess"][k]
+            out["mcse"][k] = v["mcse"][k]
+
+
+def _verdict_failures(out, keys, rhat_tol: float, min_tail_ess: float
+                      ) -> list[str]:
+    """Vehtari-2021 threshold checks on an accumulated verdict dict."""
+    failures = []
+    for k in keys:
+        bulk, tail = out["rank_rhat"][k]
+        if max(bulk, tail) >= rhat_tol:
+            failures.append(f"{k}: rank R-hat {max(bulk, tail):.4f} "
+                            f">= {rhat_tol}")
+        if out["tail_ess"][k] < min_tail_ess:
+            failures.append(f"{k}: tail ESS {out['tail_ess'][k]:.0f} "
+                            f"< {min_tail_ess:.0f}")
+    return failures
+
+
 def _block_verdict(pos, keys, rhat_tol: float, min_tail_ess: float
                    ) -> dict[str, Any]:
     """Vehtari-2021 pass/fail verdict for ONE (T, B, d) history block."""
@@ -164,15 +201,7 @@ def _block_verdict(pos, keys, rhat_tol: float, min_tail_ess: float
         out["rank_rhat"][k] = (bulk, tail)
         out["tail_ess"][k] = float(tail_ess(x))
         out["mcse"][k] = float(mcse_mean(x))
-    failures = []
-    for k in keys:
-        bulk, tail = out["rank_rhat"][k]
-        if max(bulk, tail) >= rhat_tol:
-            failures.append(f"{k}: rank R-hat {max(bulk, tail):.4f} "
-                            f">= {rhat_tol}")
-        if out["tail_ess"][k] < min_tail_ess:
-            failures.append(f"{k}: tail ESS {out['tail_ess'][k]:.0f} "
-                            f"< {min_tail_ess:.0f}")
+    failures = _verdict_failures(out, keys, rhat_tol, min_tail_ess)
     out["ok"] = not failures
     out["failures"] = failures
     return out
@@ -197,27 +226,9 @@ def convergence(walker, take: int | None = None,
     out: dict[str, Any] = {"rank_rhat": {}, "tail_ess": {}, "mcse": {}}
     failures: list[str] = []
     for pos in _history_blocks(walker, take):
-        v = _block_verdict(pos, keys, rhat_tol, min_tail_ess)
-        for k in keys:
-            if k in out["rank_rhat"]:
-                b0, t0 = out["rank_rhat"][k]
-                b1, t1 = v["rank_rhat"][k]
-                out["rank_rhat"][k] = (max(b0, b1), max(t0, t1))
-                out["tail_ess"][k] = min(out["tail_ess"][k],
-                                         v["tail_ess"][k])
-                out["mcse"][k] = max(out["mcse"][k], v["mcse"][k])
-            else:
-                out["rank_rhat"][k] = v["rank_rhat"][k]
-                out["tail_ess"][k] = v["tail_ess"][k]
-                out["mcse"][k] = v["mcse"][k]
-    for k in keys:
-        bulk, tail = out["rank_rhat"][k]
-        if max(bulk, tail) >= rhat_tol:
-            failures.append(f"{k}: rank R-hat {max(bulk, tail):.4f} "
-                            f">= {rhat_tol}")
-        if out["tail_ess"][k] < min_tail_ess:
-            failures.append(f"{k}: tail ESS {out['tail_ess'][k]:.0f} "
-                            f"< {min_tail_ess:.0f}")
+        merge_worst_verdict(
+            out, _block_verdict(pos, keys, rhat_tol, min_tail_ess), keys)
+    failures.extend(_verdict_failures(out, keys, rhat_tol, min_tail_ess))
     out["ok"] = not failures
     out["failures"] = failures
     return out

@@ -199,6 +199,13 @@ class Uniform:
     def __post_init__(self):
         if not self.high > self.low:
             raise ValueError(f"Uniform: need high > low, got ({self.low}, {self.high})")
+        if not (math.isfinite(self.low) and math.isfinite(self.high)):
+            # An infinite box has no normalizable width (log_pdf would be
+            # -inf everywhere) and is_uniform=True with bounds=None would
+            # crash the box-path dispatch downstream.
+            raise ValueError(
+                f"Uniform: bounds must be finite, got ({self.low}, {self.high}); "
+                "use Gaussian/LogNormal for unbounded support")
 
     @property
     def support(self):
@@ -352,7 +359,12 @@ class LogNormal:
     def _smooth_log_pdf(self, x):
         # Clamped log keeps the trace NaN-free at x <= 0; the quadratic
         # term then drives the density to -inf-like values there anyway.
-        lx = jnp.log(jnp.maximum(jnp.asarray(x), 1e-300))
+        # The clamp must be dtype-aware: a literal 1e-300 underflows to
+        # 0.0 in float32 (the TPU production dtype), making the "clamp"
+        # a no-op and the trace NaN at x <= 0.
+        x = jnp.asarray(x)
+        x = x.astype(jnp.result_type(x.dtype, float))
+        lx = jnp.log(jnp.maximum(x, jnp.finfo(x.dtype).tiny))
         z = (lx - self.mu) / self.sigma
         return (-lx - 0.5 * z * z
                 - math.log(self.sigma) - 0.5 * math.log(2.0 * math.pi)
@@ -670,7 +682,13 @@ class MVGaussian(Mapping):
     def __getitem__(self, k):
         import numpy as np
 
-        i = self._keys.index(k)
+        try:
+            i = self._keys.index(k)
+        except ValueError:
+            # Mapping protocol: __contains__ / missing-parameter checks
+            # ("k not in spec") rely on KeyError, not list.index's
+            # ValueError, which would crash them mid-comprehension.
+            raise KeyError(k) from None
         return Gaussian(float(self._mean[i]),
                         float(np.sqrt(self._cov[i, i])))
 

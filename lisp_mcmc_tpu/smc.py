@@ -180,7 +180,6 @@ def smc_sample(walker, bounds=None, n_move: int = 200, target_ress: float = 0.5,
         # posterior-distributed.  Map the u-particles back to theta and
         # install them with the same reset semantics as seed_prior_box.
         theta = uw._theta_of_u(uw.state.position).astype(walker.dtype)
-        walker.state = dataclasses.replace(walker.state, position=theta)
         lp = walker._eval_batch(theta)
         walker.reset()
         walker.state = dataclasses.replace(
@@ -264,18 +263,25 @@ def smc_sample(walker, bounds=None, n_move: int = 200, target_ress: float = 0.5,
         # budget only where needed).
         temp_override = 1.0 / new_beta
         out = None
-        moved = 0.0
+        acc_parts = []  # device scalars; no host sync until a decision
         chunks_done = 0
         while True:
             walker.state, out = runner(
                 walker.state, True, True, temp_override, data)
             chunks_done += 1
-            moved += float(out["accept_rate"]) * chunk
+            acc_parts.append(out["accept_rate"])
             if chunks_done < n_chunks:
                 continue
-            if target_moves is None or moved >= target_moves \
-                    or chunks_done >= 10 * n_chunks:
+            if target_moves is None or chunks_done >= 10 * n_chunks:
+                # Fixed budget (or cap): exit without ever reading
+                # acceptance back — a per-chunk float() here serialized
+                # dispatch over the slow host<->device tunnel for nothing.
                 break
+            # Adaptive budget: one host read per decision, only past the
+            # n_move floor where the decision actually exists.
+            if float(sum(acc_parts)) * chunk >= target_moves:
+                break
+        moved = float(sum(acc_parts)) * chunk
         beta = new_beta
         betas.append(beta)
         accs.append(float(out["accept_rate"]))

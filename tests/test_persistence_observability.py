@@ -270,3 +270,37 @@ def test_demc_config_checkpoint_roundtrip(tmp_path):
     assert loaded.config.demc_jump_prob == 0.2
     loaded.adaptive_steps(600, auto=None)
     assert 0.0 < loaded.acceptance() < 1.0
+
+
+def test_batched_save_load_ragged(tmp_path):
+    """Ragged batches round-trip: the header records EVERY dataset's true
+    length.  With dataset 0 the shortest, the old single-n_points header
+    silently truncated dataset 1 to 41 points (a different posterior);
+    with dataset 0 the longest, it kept dataset 1's zero-error pad lanes
+    and the reload raised."""
+    from lisp_mcmc_tpu.checkpoint import batched_load, batched_save
+
+    rng = np.random.default_rng(3)
+    x1 = np.linspace(0.0, 10.0, 41)
+    x2 = np.linspace(0.0, 10.0, 96)
+    datasets = [(x1, 2.0 * x1 + 1.0 + rng.normal(0, 0.05, 41)),
+                (x2, 3.0 * x2 - 1.0 + rng.normal(0, 0.05, 96))]
+    fit = mfit.BatchedFit(line, datasets, {"m": 1.0, "b": 0.5},
+                          data_error=0.05, walkers_per_dataset=16, seed=0)
+    fit.adaptive_steps(600, auto=None)
+    path = str(tmp_path / "ragged.npz")
+    batched_save(fit, path)
+    loaded = batched_load(path)
+    assert loaded is not None
+    assert [ds.n for ds in loaded._datasets] == [41, 96]
+    np.testing.assert_allclose(np.asarray(loaded.state.position),
+                               np.asarray(fit.state.position))
+    # Same posterior: re-evaluating the restored positions reproduces the
+    # restored logprobs (truncation would shift every likelihood term).
+    lp_re = np.asarray(loaded._eval_batch(loaded.state.position))
+    np.testing.assert_allclose(lp_re, np.asarray(loaded.state.logprob),
+                               atol=1e-9)
+    loaded.adaptive_steps(200, auto=None)
+    best = loaded.best_params_per_dataset()
+    assert best[0]["m"] == pytest.approx(2.0, abs=0.1)
+    assert best[1]["m"] == pytest.approx(3.0, abs=0.1)

@@ -498,3 +498,46 @@ def test_observability_hooks_smc_and_nested(conjugate):
 
     with pytest.raises(RuntimeError, match="on_stage requested stop"):
         w.smc_sample(prior=spec, n_move=100, on_stage=lambda info: True)
+
+
+# ------------------------------------------------- review-fix regressions
+def test_lognormal_f32_smooth_pdf_finite_at_nonpositive():
+    """The x<=0 log clamp must survive float32 (the TPU production
+    dtype): a literal 1e-300 underflows to 0.0 there, turning the
+    'NaN-free' clamp into log(0) = NaN for every proposal at x <= 0."""
+    ln = LogNormal(0.0, 1.0)
+    x32 = jnp.asarray([-0.5, 0.0, 1.0], jnp.float32)
+    smooth = np.asarray(ln.installed_log_pdf(x32))
+    assert np.all(np.isfinite(smooth))
+    assert smooth[0] < -1e3 and smooth[1] < -1e3  # collapsed, not NaN
+    assert smooth[2] == pytest.approx(
+        float(ln.installed_log_pdf(1.0)), rel=1e-5)
+    # The hard-support pdf is -inf (not NaN) outside x > 0.
+    lp = np.asarray(ln.log_pdf(x32))
+    assert lp[0] == -np.inf and lp[1] == -np.inf and np.isfinite(lp[2])
+
+
+def test_uniform_rejects_infinite_bounds():
+    """An infinite box is unnormalizable AND produced is_uniform=True
+    with bounds=None, which the box-path dispatch dereferenced."""
+    with pytest.raises(ValueError, match="finite"):
+        Uniform(0.0, np.inf)
+    with pytest.raises(ValueError, match="finite"):
+        Uniform(-np.inf, 0.0)
+    with pytest.raises(ValueError, match="finite"):
+        as_prior_spec({"a": (0.0, np.inf)})
+
+
+def test_mvgaussian_mapping_contains_uses_keyerror():
+    """`k not in spec` must work: Mapping.__contains__ swallows KeyError
+    only — list.index's ValueError leaked and crashed the
+    missing-parameter checks in unit_cube_view/nested/prior_predictive."""
+    from lisp_mcmc_tpu.priors import MVGaussian
+
+    spec = MVGaussian({"a": 0.0, "b": 1.0}, np.eye(2))
+    assert "a" in spec
+    assert "c" not in spec
+    with pytest.raises(KeyError):
+        spec["c"]
+    missing = [k for k in ("a", "b", "c") if k not in spec]
+    assert missing == ["c"]
