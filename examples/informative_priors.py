@@ -105,7 +105,14 @@ def main():
         print(f"  {k}: prior 68% [{lo_p:.2f}, {hi_p:.2f}] -> "
               f"posterior 68% [{lo:.2f}, {hi:.2f}]")
 
-    # 6. Pipeline audit with the SAME spec (prior/simulator agreement is
+    # 6. Was the declared prior load-bearing — and does it fight the
+    # data?  Power-scaling sensitivity from the history already
+    # collected, no refits (Kallioinen et al. 2023).
+    sens = w.prior_sensitivity()
+    print("prior sensitivity:", sens)
+    assert sens.ok, sens.diagnosis   # this prior agrees with this data
+
+    # 7. Pipeline audit with the SAME spec (prior/simulator agreement is
     # the contract SBC checks *given*).
     res = mfit.sbc_check(decay, spec, x, SIGMA, n_sims=32,
                          walkers_per_dataset=32, n_steps=2500, seed=5)

@@ -23,7 +23,9 @@ __all__ = ["metrics", "ess_per_param", "ess_from_history", "rhat_per_param",
            "mcse_per_param", "convergence", "convergence_per_dataset",
            "summary", "trace_profile",
            "WAICResult", "waic", "waic_compare",
-           "LOOResult", "loo", "loo_compare", "model_weights"]
+           "LOOResult", "loo", "loo_compare", "model_weights",
+           "LOOPITResult", "loo_pit",
+           "PriorSensitivityResult", "prior_sensitivity"]
 
 
 def trace_profile(log_dir: str = "/tmp/lisp_mcmc_tpu_trace"):
@@ -361,11 +363,13 @@ def _pointwise_ll_matrix(walker, name: str, take: int | None,
                          max_samples: int) -> np.ndarray:
     """(S, N) pointwise log-likelihood over history subsamples x real points.
 
-    Shared front end of :func:`waic` and :func:`loo`: validates the
-    walker is decomposable, thins the collected history to at most
-    ``max_samples`` evenly spaced rows, evaluates
-    ``likelihoods.pointwise_log_likelihood`` on device as one jitted
-    vmap per dataset term, and drops padded lanes.
+    Shared front end of :func:`waic` / :func:`loo` /
+    :func:`prior_sensitivity`: validates the walker is decomposable,
+    thins the collected history to at most ``max_samples`` evenly spaced
+    rows, evaluates ``likelihoods.pointwise_log_likelihood`` on device
+    as one jitted vmap per dataset term, and drops padded lanes.
+    Returns ``(ll, samples)`` — the matrix plus the exact (S, d)
+    parameter rows it was evaluated at.
     """
     import jax
 
@@ -401,7 +405,7 @@ def _pointwise_ll_matrix(walker, name: str, take: int | None,
 
     ll = np.concatenate(ll_blocks, axis=1)
     real = np.concatenate(mask_blocks) > 0.0
-    return ll[:, real]                               # (S, N) real points
+    return ll[:, real], samples                      # (S, N) real points
 
 
 def waic(walker, take: int | None = None, max_samples: int = 512) -> WAICResult:
@@ -438,7 +442,7 @@ def waic(walker, take: int | None = None, max_samples: int = 512) -> WAICResult:
     a ``p_waic`` orders of magnitude above the parameter count is the
     tell (measured 7.2e6 vs 7.4 on the flagship fit with/without it).
     """
-    ll = _pointwise_ll_matrix(walker, "waic", take, max_samples)
+    ll, _ = _pointwise_ll_matrix(walker, "waic", take, max_samples)
     s_count = ll.shape[0]
     mx = ll.max(axis=0)
     lppd_i = mx + np.log(np.mean(np.exp(ll - mx), axis=0))
@@ -629,7 +633,7 @@ def loo(walker, take: int | None = None, max_samples: int = 512) -> LOOResult:
     Reference: Vehtari, Gelman & Gabry, "Practical Bayesian model
     evaluation using leave-one-out cross-validation and WAIC" (2017).
     """
-    ll = _pointwise_ll_matrix(walker, "loo", take, max_samples)
+    ll, _ = _pointwise_ll_matrix(walker, "loo", take, max_samples)
     s_count, n = ll.shape
     mx = ll.max(axis=0)
     lppd_i = mx + np.log(np.mean(np.exp(ll - mx), axis=0))
@@ -658,6 +662,307 @@ def loo_compare(a: LOOResult, b: LOOResult) -> dict[str, float]:
     (positive ``elpd_diff`` favors ``a``; per-point differencing makes
     the standard error much tighter than the marginal ``se``s)."""
     return _paired_elpd_compare(a, b, "loo_compare")
+
+
+# --------------------------------------------------------------- LOO-PIT
+
+@dataclasses.dataclass(frozen=True)
+class LOOPITResult:
+    """Leave-one-out probability-integral-transform calibration check.
+
+    ``pit[i]`` estimates ``P(y_rep <= y_i)`` under point i's
+    leave-one-out predictive distribution; for a well-calibrated model
+    the collection is Uniform(0, 1).  ``ks_stat`` / ``p_value`` test
+    that uniformity (Kolmogorov-Smirnov, asymptotic p); systematic
+    pile-up at 0/1 means the model is over-confident (understated
+    noise), a hump at 0.5 under-confident, and a sloped profile a
+    biased mean model.  ``pareto_k`` carries the per-point PSIS
+    reliability flags (same convention as :class:`LOOResult`).
+    """
+
+    pit: np.ndarray
+    ks_stat: float
+    p_value: float
+    n_points: int
+    n_samples: int
+    pareto_k: np.ndarray
+    threshold: float = 0.05
+
+    @property
+    def ok(self) -> bool:
+        return bool(self.p_value > self.threshold)
+
+    @property
+    def n_bad_k(self) -> int:
+        return int(np.sum(self.pareto_k > 0.7))
+
+    def __repr__(self):
+        return (f"LOOPITResult(ok={self.ok}, ks={self.ks_stat:.3f}, "
+                f"p={self.p_value:.3g}, n_points={self.n_points}, "
+                f"n_bad_k={self.n_bad_k})")
+
+
+def _ks_uniform(pit: np.ndarray) -> tuple[float, float]:
+    """One-sample KS statistic against Uniform(0,1) + asymptotic p.
+
+    p uses the Kolmogorov series with the Stephens small-n correction
+    ``(sqrt(n) + 0.12 + 0.11/sqrt(n)) * D``.
+    """
+    n = pit.size
+    s = np.sort(pit)
+    i = np.arange(1, n + 1, dtype=np.float64)
+    d = float(max(np.max(i / n - s), np.max(s - (i - 1.0) / n)))
+    lam = (np.sqrt(n) + 0.12 + 0.11 / np.sqrt(n)) * d
+    k = np.arange(1, 101, dtype=np.float64)
+    p = 2.0 * np.sum((-1.0) ** (k - 1.0) * np.exp(-2.0 * (k * lam) ** 2))
+    return d, float(min(max(p, 0.0), 1.0))
+
+
+def loo_pit(walker, take: int | None = None,
+            max_samples: int = 512) -> LOOPITResult:
+    """LOO-PIT calibration: is each point's observed value a plausible
+    draw from its own leave-one-out predictive distribution?
+
+    The out-of-sample sharpening of :func:`~lisp_mcmc_tpu.predictive.
+    ppc_pvalue`: posterior-predictive checks reuse every point to judge
+    itself (double-dipping that hides over-fitting), while LOO-PIT
+    reweights the history with the SAME smoothed importance ratios as
+    :func:`loo` so each point is judged by a posterior that never saw
+    it:
+
+        pit_i = sum_s w_si * F(y_i | theta_s),   w_si ~ PSIS(1/p(y_i|theta_s))
+
+    with F the per-point predictive CDF (``likelihoods.pointwise_cdf``;
+    exact for the Gaussian/student-t/noise-scale families, mid-p for
+    Poisson counts).  Uniform pit = calibrated; see
+    :class:`LOOPITResult` for the failure-shape reading.  Same
+    requirements as :func:`waic`/:func:`loo` (posterior history only —
+    burn the anneal phase; decomposable likelihoods; per-dataset
+    walkers for batched fits).
+
+    Reference: Gabry, Simpson, Vehtari, Betancourt & Gelman (2019),
+    "Visualization in Bayesian workflow".  No reference-code analogue
+    (mcmc-fitting.lisp stops at residual plots, 1271); this extends the
+    same model-criticism story the predictive trio started.
+    """
+    import jax
+
+    from .likelihoods import pointwise_cdf
+
+    ll, samples = _pointwise_ll_matrix(walker, "loo_pit", take, max_samples)
+    spec = walker.spec
+    cdf_blocks, mask_blocks = [], []
+    for t in walker.terms:
+        def one(vec, _t=t):
+            return pointwise_cdf(
+                _t.likelihood, _t.fn, spec.unflatten(vec), _t.dataset)
+
+        cdf_blocks.append(np.asarray(jax.jit(jax.vmap(one))(samples),
+                                     np.float64))
+        mask_blocks.append(np.asarray(t.dataset.mask, np.float64))
+    cdf = np.concatenate(cdf_blocks, axis=1)
+    real = np.concatenate(mask_blocks) > 0.0
+    cdf = cdf[:, real]
+
+    s_count, n = ll.shape
+    pit = np.empty(n)
+    k_i = np.empty(n)
+    for i in range(n):
+        lw, k_i[i] = _psis_smooth(-ll[:, i])
+        w = np.exp(lw - _logsumexp(lw))
+        pit[i] = float(np.sum(w * cdf[:, i]))
+    d, p = _ks_uniform(pit)
+    return LOOPITResult(pit=pit, ks_stat=d, p_value=p, n_points=int(n),
+                        n_samples=int(s_count), pareto_k=k_i)
+
+
+# ------------------------------------------------- power-scaling sensitivity
+
+@dataclasses.dataclass(frozen=True)
+class PriorSensitivityResult:
+    """Power-scaling sensitivity of the posterior to prior and likelihood.
+
+    ``prior[k]`` / ``likelihood[k]`` are per-parameter sensitivity
+    indices (normalized CJS distance per unit of log2 power — see
+    :func:`prior_sensitivity`); ``diagnosis[k]`` applies the Kallioinen
+    et al. (2023) decision table at ``threshold``:
+
+    - both above threshold → ``"prior-data conflict"`` (the prior pulls
+      against what the data say — revisit one of them),
+    - prior above, likelihood below → ``"strong prior / weak
+      likelihood"`` (the data barely constrain this parameter; the
+      posterior is mostly the prior),
+    - prior below → ``"robust"`` (likelihood sensitivity alone is
+      expected — data SHOULD inform the posterior).
+
+    ``pareto_k`` holds the importance-weight tail diagnostics per
+    scaling direction (> 0.7 = unreliable reweighting; NaN = weights
+    too uniform to fit a tail, which is itself benign).
+    """
+
+    prior: dict[str, float]
+    likelihood: dict[str, float]
+    diagnosis: dict[str, str]
+    pareto_k: dict[str, float]
+    threshold: float
+    alpha: float
+    n_samples: int
+
+    @property
+    def ok(self) -> bool:
+        """True when every parameter's diagnosis is "robust"."""
+        return all(d == "robust" for d in self.diagnosis.values())
+
+    def __repr__(self):
+        flagged = {k: d for k, d in self.diagnosis.items() if d != "robust"}
+        worst = max(self.prior, key=lambda k: self.prior[k])
+        return (f"PriorSensitivityResult(ok={self.ok}, "
+                f"max_prior_sens={self.prior[worst]:.3f} ({worst}), "
+                f"flagged={flagged or 'none'}, "
+                f"n_samples={self.n_samples})")
+
+
+def _cjs_distance(x: np.ndarray, w: np.ndarray) -> float:
+    """Normalized cumulative Jensen-Shannon distance between the
+    empirical distribution of ``x`` and its ``w``-reweighted version.
+
+    Nguyen & Vreeken (2015) on the empirical CDFs P (uniform weights)
+    and Q (weights ``w``), evaluated on the sorted sample support with
+    bin widths ``dx``:
+
+        CJS_sym = sum dx * [ P log2(2P/(P+Q)) + Q log2(2Q/(P+Q)) ]
+        dist    = sqrt( CJS_sym / sum dx * (P+Q) )   in [0, 1]
+
+    (the divergences' linear correction terms cancel in the symmetric
+    sum; the denominator is the tight upper bound, reached by disjoint
+    supports).
+    """
+    order = np.argsort(x)
+    xs = x[order]
+    bins = np.diff(xs)
+    if not np.any(bins > 0.0):                   # degenerate marginal
+        return 0.0
+    s = xs.size
+    p = np.arange(1.0, s) / s                    # ECDF at left bin edges
+    q = np.minimum(np.cumsum(w[order])[:-1], 1.0)
+    pq = p + q
+    safe = np.where(pq > 0.0, pq, 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tp = np.where(p > 0.0, p * np.log2(np.where(p > 0.0, 2.0 * p, 1.0) / safe), 0.0)
+        tq = np.where(q > 0.0, q * np.log2(np.where(q > 0.0, 2.0 * q, 1.0) / safe), 0.0)
+    total = float(np.sum(bins * (tp + tq)))
+    bound = float(np.sum(bins * pq))
+    if bound <= 0.0:
+        return 0.0
+    return float(np.sqrt(max(total, 0.0) / bound))
+
+
+def prior_sensitivity(walker, prior=None, take: int | None = None,
+                      max_samples: int = 1024, alpha: float = 1.01,
+                      threshold: float = 0.05) -> PriorSensitivityResult:
+    """Power-scaling sensitivity analysis: does the prior matter, and
+    does it fight the data?
+
+    Completes the named-prior workflow (PriorSpec / MVGaussian fits):
+    after declaring an informative prior, this answers "was that prior
+    load-bearing?" WITHOUT any refitting.  The posterior is perturbed to
+    ``prior^a * likelihood`` and ``prior * likelihood^a`` for ``a`` near
+    1 by importance-reweighting the samples ``adaptive_steps`` already
+    collected (Kallioinen, Paananen, Bürkner & Vehtari 2023, "Detecting
+    and diagnosing prior and likelihood sensitivity with power-scaling");
+    the sensitivity index per parameter is the normalized CJS distance
+    (:func:`_cjs_distance`) between base and perturbed marginals per
+    unit of log2 power, averaged over ``a = 1/alpha`` and ``a = alpha``:
+
+        sens = mean_a  CJS(theta_k, w_a) / |log2 a|,
+        log w_a = (a - 1) * log prior(theta_s)        (prior scaling)
+        log w_a = (a - 1) * log likelihood(theta_s)   (likelihood scaling)
+
+    The weights are Pareto-smoothed (:func:`_psis_smooth`) and their
+    tail-shape diagnostics reported.  A flat (Uniform box) prior is
+    invariant under power-scaling, so its prior sensitivity is exactly 0
+    — informative priors are where this earns its keep.
+
+    The prior density defaults to the declared spec recovered from the
+    fit (``log_prior=PriorSpec(...)``), else the fit's own prior term
+    (walls included); pass ``prior=`` to scale a specific spec.  Same
+    history requirements as :func:`waic`: burn the anneal phase first,
+    and compute per dataset on batched fits (``dataset_view``).
+
+    Reference prior contract: mcmc-fitting.lisp:346-369 (bounds macro)
+    and 837-845 (data-dependent fixers) define what "the prior" is here;
+    this diagnostic treats that whole term as the scaled density.
+    """
+    import jax
+
+    if not 1.0 < alpha < 2.0:
+        raise ValueError(f"prior_sensitivity: alpha must be in (1, 2), "
+                         f"got {alpha} (it is a perturbation around 1)")
+    from .priors import resolve_prior_spec
+
+    ll, samples = _pointwise_ll_matrix(
+        walker, "prior_sensitivity", take, max_samples)
+    loglik = ll.sum(axis=1)                      # (S,) total log-likelihood
+    spec = resolve_prior_spec(walker, prior=prior)
+    param_spec = walker.spec
+    if spec is not None:
+        def _log_prior_one(vec):
+            return spec.log_pdf(param_spec.unflatten(vec), None)
+    else:
+        terms = walker.terms
+
+        def _log_prior_one(vec):
+            p = param_spec.unflatten(vec)
+            total = 0.0
+            for t in terms:
+                total = total + t.prior(p, t.dataset)
+            return total
+
+    logprior = np.asarray(
+        jax.jit(jax.vmap(_log_prior_one))(samples), np.float64)
+    if not np.all(np.isfinite(logprior)):
+        raise ValueError(
+            "prior_sensitivity: some posterior draws have non-finite "
+            "prior density — the history predates the prior (or crosses "
+            "a truncation wall); refit with log_prior=spec or burn the "
+            "offending phase")
+
+    theta = np.asarray(samples, np.float64)      # (S, d)
+    s_count = theta.shape[0]
+    keys = param_spec.keys
+    alphas = (1.0 / alpha, alpha)
+    denom = abs(np.log2(alpha))
+    sens = {"prior": logprior, "likelihood": loglik}
+    out: dict[str, dict[str, float]] = {}
+    k_worst: dict[str, float] = {}
+    for name, logterm in sens.items():
+        per_param = np.zeros(len(keys))
+        k_max = -np.inf
+        for a in alphas:
+            lw, k_hat = _psis_smooth((a - 1.0) * logterm)
+            if np.isfinite(k_hat):
+                k_max = max(k_max, k_hat)
+            w = np.exp(lw - _logsumexp(lw))
+            for i in range(len(keys)):
+                per_param[i] += _cjs_distance(theta[:, i], w) / denom
+        out[name] = {k: float(v / len(alphas))
+                     for k, v in zip(keys, per_param)}
+        k_worst[name] = float(k_max) if np.isfinite(k_max) else float("nan")
+
+    diagnosis = {}
+    for k in keys:
+        ps, ls = out["prior"][k], out["likelihood"][k]
+        if ps >= threshold and ls >= threshold:
+            diagnosis[k] = "prior-data conflict"
+        elif ps >= threshold:
+            diagnosis[k] = "strong prior / weak likelihood"
+        else:
+            diagnosis[k] = "robust"
+    return PriorSensitivityResult(
+        prior=out["prior"], likelihood=out["likelihood"],
+        diagnosis=diagnosis, pareto_k=k_worst, threshold=threshold,
+        alpha=alpha, n_samples=int(s_count),
+    )
 
 
 def model_weights(results, method: str = "stacking",

@@ -1421,6 +1421,13 @@ class Walker:
 
         return convergence(self, take, **kwargs)
 
+    def prior_sensitivity(self, prior=None, **kwargs):
+        """Power-scaling prior/likelihood sensitivity + conflict verdict
+        (``diagnostics.prior_sensitivity``)."""
+        from .diagnostics import prior_sensitivity
+
+        return prior_sensitivity(self, prior=prior, **kwargs)
+
     def with_expression(self, expr: str, take: int | None = 1000):
         """Derived quantity at the most-likely params (``walker-with-exp``)."""
         from .expressions import walker_with_expression

@@ -51,6 +51,7 @@ __all__ = [
     "create_log_likelihood_function",
     "resolve_likelihood",
     "pointwise_log_likelihood",
+    "pointwise_cdf",
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -167,9 +168,20 @@ def make_student_t_likelihood(nu: float = 4.0):
         sigma = jnp.asarray(dataset.sigma)[None, : mu.shape[1]]
         return mu + sigma * jax.random.t(key, nu, mu.shape, mu.dtype)
 
+    def _cdf(fn, params, dataset: Dataset):
+        from jax.scipy.special import betainc
+
+        mu = _model_eval(fn, params, dataset.x)
+        z = (dataset.y - mu) * dataset.inv_sigma
+        # Student-t CDF via the regularized incomplete beta: for z >= 0,
+        # F(z) = 1 - I_{nu/(nu+z^2)}(nu/2, 1/2) / 2, mirrored below 0.
+        tail = 0.5 * betainc(nu / 2.0, 0.5, nu / (nu + z * z))
+        return jnp.where(z >= 0.0, 1.0 - tail, tail)
+
     likelihood.__name__ = f"student_t_likelihood_nu{nu:g}"
     likelihood._pointwise = _pointwise
     likelihood._predictive_sampler = _sampler
+    likelihood._pointwise_cdf = _cdf
     likelihood._nu = nu
     return likelihood
 
@@ -216,9 +228,18 @@ def make_noise_scale_likelihood(key: str = "noise_scale"):
         k = jnp.asarray(params_s[key])[:, None]          # (S, 1)
         return mu + k * sigma * jax.random.normal(rng_key, mu.shape, mu.dtype)
 
+    def _cdf(fn, params, dataset: Dataset):
+        from jax.scipy.special import ndtr
+
+        k = params[key]
+        mu = _model_eval(fn, params, dataset.x)
+        z = (dataset.y - mu) * dataset.inv_sigma
+        return ndtr(z / k)
+
     likelihood.__name__ = f"noise_scale_likelihood[{key}]"
     likelihood._pointwise = _pointwise
     likelihood._predictive_sampler = _sampler
+    likelihood._pointwise_cdf = _cdf
     likelihood._noise_key = key
     return likelihood
 
@@ -374,6 +395,42 @@ def pointwise_log_likelihood(likelihood, fn, params, dataset: Dataset):
         f"{getattr(likelihood, '__name__', likelihood)!r} — use a library "
         "reduction or create_log_likelihood_function (custom reductions "
         "have no recoverable per-point form)")
+
+
+def pointwise_cdf(likelihood, fn, params, dataset: Dataset):
+    """Per-point predictive CDF ``P(Y_i <= y_i | theta)`` for one walker.
+
+    The probability-integral-transform counterpart of
+    :func:`pointwise_log_likelihood` — the raw material for LOO-PIT
+    calibration (``diagnostics.loo_pit``).  Continuous likelihoods
+    return the exact CDF at the observed point; the discrete Poisson
+    returns the deterministic mid-p value ``F(y) - p(y)/2`` (the
+    expectation of the randomized PIT).  Padded lanes return 0.5 (they
+    are dropped by the caller's mask anyway).
+    """
+    from jax.scipy.special import ndtr
+
+    if likelihood in (log_likelihood_normal, log_likelihood_normal_cutoff):
+        mu = _model_eval(fn, params, dataset.x)
+        z = (dataset.y - mu) * dataset.inv_sigma       # pads: z = 0 -> 0.5
+        return ndtr(z)
+    if likelihood is log_likelihood_poisson:
+        from jax.scipy.special import gammaincc
+
+        lam = _model_eval(fn, params, dataset.x)
+        # P(Y <= y) for Poisson(lam) = Q(y+1, lam) (regularized upper
+        # incomplete gamma); mid-p subtracts half the point mass.
+        cdf_y = gammaincc(dataset.y + 1.0, lam)
+        pmf = jnp.exp(dataset.y * jnp.log(lam) - lam - dataset.log_fact_y)
+        return jnp.where(dataset.mask > 0, cdf_y - 0.5 * pmf, 0.5)
+    cdf = getattr(likelihood, "_pointwise_cdf", None)
+    if cdf is not None:
+        return cdf(fn, params, dataset)
+    raise ValueError(
+        "pointwise_cdf: no per-point predictive CDF for likelihood "
+        f"{getattr(likelihood, '__name__', likelihood)!r} — LOO-PIT needs "
+        "a library reduction or a factory that ships _pointwise_cdf "
+        "(student-t and noise-scale do; custom reductions don't)")
 
 
 def resolve_likelihood(likelihood, fn, params, dataset: Dataset):

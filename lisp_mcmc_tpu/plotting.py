@@ -61,6 +61,7 @@ __all__ = [
     "param_histogram",
     "plot_set_param",
     "sbc_rank_plot",
+    "loo_pit_plot",
     "plot_file",
     "heatmap",
     "show",
@@ -399,6 +400,38 @@ def sbc_rank_plot(result, filename: str | None = None):
         axes[j // ncols][j % ncols].axis("off")
     fig.suptitle(f"SBC ranks: {result.n_sims} sims x {result.n_draws} draws",
                  y=1.0)
+    fig.tight_layout()
+    return _save(fig, filename)
+
+
+def loo_pit_plot(result, filename: str | None = None):
+    """LOO-PIT calibration plot: PIT ECDF against the uniform diagonal.
+
+    Read the shapes like :func:`sbc_rank_plot`: an S-curve crossing the
+    diagonal at 0.5 = over-confident predictions (PIT piles at 0/1),
+    the mirrored S = under-confident, a one-sided bow = biased mean
+    model.  The gray band is the 99% Kolmogorov-Smirnov envelope a
+    calibrated model's ECDF stays inside.
+    """
+    pit = np.sort(np.asarray(result.pit, np.float64))
+    n = pit.size
+    fig, ax = plt.subplots(figsize=(5, 4))
+    # 99% two-sided KS acceptance band around the diagonal
+    # (c(0.01) = 1.628 from the asymptotic Kolmogorov quantile).
+    eps = 1.628 / np.sqrt(n)
+    grid = np.linspace(0.0, 1.0, 201)
+    ax.fill_between(grid, np.clip(grid - eps, 0, 1),
+                    np.clip(grid + eps, 0, 1), color="0.88", zorder=0)
+    ax.plot([0, 1], [0, 1], "--", color="0.5", lw=1, zorder=1)
+    ax.step(np.concatenate([[0.0], pit, [1.0]]),
+            np.concatenate([[0.0], np.arange(1, n + 1) / n, [1.0]]),
+            where="post", color="tab:blue", lw=1.5, zorder=2)
+    ax.set_xlabel("LOO-PIT value")
+    ax.set_ylabel("empirical CDF")
+    ax.set_title(f"LOO-PIT calibration (KS p={result.p_value:.3g}, "
+                 f"{'ok' if result.ok else 'MISCALIBRATED'})", fontsize=10)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
     fig.tight_layout()
     return _save(fig, filename)
 

@@ -71,7 +71,8 @@ MODULE_NAMES = {
     plotting: ["plot_data_and_fit", "plot_residuals", "caterpillar_plots",
                "likelihood_plot", "autocorrelation_plot", "corner_plot",
                "all_corner_plots", "param_histogram", "show", "heatmap",
-               "plot_file", "plot_set_param", "ppc_plot", "sbc_rank_plot"],
+               "plot_file", "plot_set_param", "ppc_plot", "sbc_rank_plot",
+               "loo_pit_plot"],
     stats: ["median", "mean", "variance", "credible_interval_95", "hdi",
             "iqr",
             "nth_percentile", "standard_deviation",
@@ -90,7 +91,9 @@ MODULE_NAMES = {
                   "waic", "waic_compare", "WAICResult",
                   "loo", "loo_compare", "LOOResult", "convergence",
                   "rank_rhat_per_param", "tail_ess_per_param",
-                  "mcse_per_param", "model_weights"],
+                  "mcse_per_param", "model_weights",
+                  "prior_sensitivity", "PriorSensitivityResult",
+                  "loo_pit", "LOOPITResult"],
     files: ["file_specs", "get_filename", "read_file_data"],
     linalg: ["sample_covariance", "cholesky_clamped",
              "diagonal_covariance", "haario_scale", "moments_covariance"],
