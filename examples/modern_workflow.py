@@ -179,6 +179,14 @@ def main():
     wts = diagnostics.model_weights([r2, r1])
     print(f"stacking weights: two-peak {wts[0]:.3f}, one-peak {wts[1]:.3f}")
 
+    # LOO-PIT closes the loop out-of-sample: the RIGHT model's points
+    # are plausible draws from their own leave-one-out predictives
+    # (uniform PIT); the one-peak model's are not.
+    pit2, pit1 = diagnostics.loo_pit(w_smc), diagnostics.loo_pit(w1)
+    print(f"LOO-PIT: two-peak ok={pit2.ok} (p={pit2.p_value:.3g})  "
+          f"one-peak ok={pit1.ok} (p={pit1.p_value:.3g})")
+    assert pit2.ok and not pit1.ok
+
     # 6. Audit the pipeline itself: simulate datasets from the one-peak
     # prior, fit ALL of them as one batched ensemble, and test that the
     # truth's rank among posterior draws is uniform.  Non-uniform ranks

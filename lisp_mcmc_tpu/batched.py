@@ -309,6 +309,20 @@ class BatchedFit(Walker):
         return [posterior_predictive(self.dataset_view(s), **kwargs)[0]
                 for s in range(self.n_datasets)]
 
+    def loo_pit_per_dataset(self, **kwargs) -> list:
+        """Per-dataset LOO-PIT calibration verdicts."""
+        from .diagnostics import loo_pit
+
+        return [loo_pit(self.dataset_view(s), **kwargs)
+                for s in range(self.n_datasets)]
+
+    def prior_sensitivity_per_dataset(self, prior=None, **kwargs) -> list:
+        """Per-dataset power-scaling prior/likelihood sensitivity."""
+        from .diagnostics import prior_sensitivity
+
+        return [prior_sensitivity(self.dataset_view(s), prior=prior, **kwargs)
+                for s in range(self.n_datasets)]
+
     def convergence(self, take: int | None = None, **kwargs) -> dict:
         """Per-dataset convergence verdict for the whole batch, one call.
 

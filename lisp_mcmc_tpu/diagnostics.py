@@ -859,7 +859,8 @@ def _cjs_distance(x: np.ndarray, w: np.ndarray) -> float:
 
 def prior_sensitivity(walker, prior=None, take: int | None = None,
                       max_samples: int = 1024, alpha: float = 1.01,
-                      threshold: float = 0.05) -> PriorSensitivityResult:
+                      threshold: float = 0.05,
+                      expressions=None) -> PriorSensitivityResult:
     """Power-scaling sensitivity analysis: does the prior matter, and
     does it fight the data?
 
@@ -888,6 +889,12 @@ def prior_sensitivity(walker, prior=None, take: int | None = None,
     (walls included); pass ``prior=`` to scale a specific spec.  Same
     history requirements as :func:`waic`: burn the anneal phase first,
     and compute per dataset on batched fits (``dataset_view``).
+
+    ``expressions=["(/ 1 :tau)", ...]`` adds derived quantities to the
+    audit: each s-expression (or Python-string) is evaluated over the
+    same posterior draws and gets its own sensitivity indices and
+    diagnosis, keyed by the expression string — a parameter can look
+    robust while the physical quantity built from it is not.
 
     Reference prior contract: mcmc-fitting.lisp:346-369 (bounds macro)
     and 837-845 (data-dependent fixers) define what "the prior" is here;
@@ -930,27 +937,40 @@ def prior_sensitivity(walker, prior=None, take: int | None = None,
     theta = np.asarray(samples, np.float64)      # (S, d)
     s_count = theta.shape[0]
     keys = param_spec.keys
+    columns = {k: theta[:, i] for i, k in enumerate(keys)}
+    if expressions:
+        from .expressions import _evaluate
+
+        for expr in expressions:
+            columns[expr] = np.asarray(
+                _evaluate(expr, dict(columns)), np.float64)
     alphas = (1.0 / alpha, alpha)
     denom = abs(np.log2(alpha))
     sens = {"prior": logprior, "likelihood": loglik}
     out: dict[str, dict[str, float]] = {}
     k_worst: dict[str, float] = {}
     for name, logterm in sens.items():
-        per_param = np.zeros(len(keys))
+        if np.ptp(logterm) == 0.0:
+            # A constant log-density (flat box prior) is exactly
+            # invariant under power-scaling — don't let float rounding
+            # through sqrt(CJS) report ~1e-6 instead of 0.
+            out[name] = {k: 0.0 for k in columns}
+            k_worst[name] = float("nan")
+            continue
+        per_col = {k: 0.0 for k in columns}
         k_max = -np.inf
         for a in alphas:
             lw, k_hat = _psis_smooth((a - 1.0) * logterm)
             if np.isfinite(k_hat):
                 k_max = max(k_max, k_hat)
             w = np.exp(lw - _logsumexp(lw))
-            for i in range(len(keys)):
-                per_param[i] += _cjs_distance(theta[:, i], w) / denom
-        out[name] = {k: float(v / len(alphas))
-                     for k, v in zip(keys, per_param)}
+            for k, col in columns.items():
+                per_col[k] += _cjs_distance(col, w) / denom
+        out[name] = {k: float(v / len(alphas)) for k, v in per_col.items()}
         k_worst[name] = float(k_max) if np.isfinite(k_max) else float("nan")
 
     diagnosis = {}
-    for k in keys:
+    for k in columns:
         ps, ls = out["prior"][k], out["likelihood"][k]
         if ps >= threshold and ls >= threshold:
             diagnosis[k] = "prior-data conflict"

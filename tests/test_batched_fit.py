@@ -245,3 +245,27 @@ def test_batched_convergence_per_dataset(rng):
     conv2 = fit2.convergence()
     assert not conv2["ok"]
     assert any(msg.startswith("dataset ") for msg in conv2["failures"])
+
+
+def test_batched_loo_pit_and_sensitivity_per_dataset(rng):
+    """The round-3 diagnostics follow the per-dataset toolchain pattern:
+    one verdict per dataset block, computed on its own view."""
+    datasets = _decays(rng, [1.0, 4.0])
+    fit = mfit.BatchedFit(
+        exponential_decay, datasets,
+        {"scale": 1.5, "tau": 2.0, "bg0": 0.2},
+        data_error=0.01, walkers_per_dataset=32, seed=0)
+    fit.adaptive_steps(6000, auto=None)
+    fit.burn_steps(len(fit) // 2)
+
+    pits = fit.loo_pit_per_dataset(max_samples=128)
+    assert len(pits) == 2
+    assert all(p.n_points == 96 for p in pits)
+    assert all(p.ok for p in pits)          # well-specified model
+
+    sens = fit.prior_sensitivity_per_dataset(
+        prior={"scale": (0.0, 5.0), "tau": (0.1, 10.0), "bg0": (0.0, 1.0)},
+        max_samples=128)
+    assert len(sens) == 2
+    # box priors are invariant under power-scaling
+    assert all(v == 0.0 for s in sens for v in s.prior.values())

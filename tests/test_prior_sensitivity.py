@@ -132,3 +132,15 @@ def test_walker_delegate():
     assert set(r.prior) == {"m", "b"}
     assert set(r.diagnosis.values()) <= {
         "robust", "prior-data conflict", "strong prior / weak likelihood"}
+
+
+def test_expression_sensitivity():
+    """Derived quantities join the audit: an expression of a conflicted
+    parameter inherits its sensitivity and diagnosis."""
+    w = _linefit(PriorSpec({"m": Gaussian(0.0, 0.15),
+                            "b": Gaussian(1.0, 2.0)}))
+    r = prior_sensitivity(w, expressions=["(/ 1 :m)"])
+    assert "(/ 1 :m)" in r.prior and "(/ 1 :m)" in r.diagnosis
+    assert r.diagnosis["(/ 1 :m)"] == "prior-data conflict"
+    # parameter entries unchanged by the extra columns
+    assert r.diagnosis["m"] == "prior-data conflict"
