@@ -77,6 +77,15 @@ def main():
     print(f"unknown sigma: fitted noise_scale="
           f"{w_k.most_likely_params()['noise_scale']:.3f} (truth 0.30), "
           f"predictive coverage@90%={d.coverage():.1%}")
+    # LOO-PIT tells the same story out-of-sample: trusting the claimed
+    # sigma=1 is UNDER-confident (PIT humps at 0.5); the fitted noise
+    # scale restores calibration.
+    pit_fixed = diagnostics.loo_pit(fit(x, y2, data_error=1.0))
+    pit_fitted = diagnostics.loo_pit(w_k)
+    print(f"            LOO-PIT: claimed sigma ok={pit_fixed.ok} "
+          f"(p={pit_fixed.p_value:.2g}) -> fitted ok={pit_fitted.ok} "
+          f"(p={pit_fitted.p_value:.2g})")
+    assert pit_fitted.ok and not pit_fixed.ok
 
     # 3. Noisy abscissae: regression dilution corrected.
     x_obs = x + rng.normal(0, 0.8, 80)
