@@ -93,3 +93,29 @@ def test_ppc_plot_all_terms(global_fit, tmp_path):
     out1 = str(tmp_path / "ppc_one.png")
     global_fit.ppc_plot(term_index=1, filename=out1)
     assert os.path.exists(out1)
+
+
+def test_global_fit_loo_pit_and_sensitivity(global_fit):
+    """The round-3 calibration diagnostics span ALL terms of a global
+    fit in one call (pointwise machinery loops walker.terms).
+
+    ``take=`` restricts to the converged tail: this fixture's cold-start
+    sampling phase carries real burn-in rows (the same "posterior
+    history only" requirement waic/loo document), and loo_pit's
+    pareto_k honestly flags them when included."""
+    from lisp_mcmc_tpu.diagnostics import loo_pit, prior_sensitivity
+
+    r = loo_pit(global_fit, take=1000)
+    assert r.n_points == 100           # both 50-point terms, pooled
+    assert r.ok                        # well-specified joint model
+
+    # with the burn-in rows INCLUDED the verdict must not silently
+    # pass — the importance-ratio tails blow up and pareto_k says so
+    r_all = loo_pit(global_fit)
+    assert r_all.n_bad_k > r.n_bad_k
+
+    s = prior_sensitivity(
+        global_fit, take=1000,
+        prior={"m": (0.0, 5.0), "b1": (-5.0, 5.0), "b2": (-5.0, 5.0)})
+    assert set(s.prior) == {"m", "b1", "b2"}
+    assert all(v == 0.0 for v in s.prior.values())   # flat box
