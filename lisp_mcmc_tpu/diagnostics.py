@@ -23,7 +23,7 @@ __all__ = ["metrics", "ess_per_param", "ess_from_history", "rhat_per_param",
            "mcse_per_param", "convergence", "convergence_per_dataset",
            "summary", "trace_profile",
            "WAICResult", "waic", "waic_compare",
-           "LOOResult", "loo", "loo_compare", "model_weights",
+           "LOOResult", "loo", "loo_compare", "reloo", "model_weights",
            "LOOPITResult", "loo_pit",
            "PriorSensitivityResult", "prior_sensitivity"]
 
@@ -982,6 +982,110 @@ def prior_sensitivity(walker, prior=None, take: int | None = None,
         prior=out["prior"], likelihood=out["likelihood"],
         diagnosis=diagnosis, pareto_k=k_worst, threshold=threshold,
         alpha=alpha, n_samples=int(s_count),
+    )
+
+
+def reloo(walker, result: LOOResult | None = None,
+          k_threshold: float = 0.7, max_refits: int = 32,
+          n_steps: int = 8000, temperature: float = 4.0,
+          walkers_per_dataset: int = 64, burn_fraction: float = 0.5,
+          max_samples: int = 512, seed: int = 0) -> LOOResult:
+    """Exact leave-one-out refits for every Pareto-k-flagged point.
+
+    PSIS-LOO's k > ``k_threshold`` flags mean "this point is so
+    influential that reweighting cannot reach its leave-one-out
+    posterior" — the honest fix is to actually refit without it.  The
+    classical tooling refits one MCMC run per flagged point; here ALL
+    flagged points' leave-one-out posteriors are dataset blocks of a
+    SINGLE :class:`~lisp_mcmc_tpu.batched.BatchedFit`, so k refits cost
+    one vectorized ensemble run (the same chip-filling trick
+    ``sbc_check`` uses).  Returns a :class:`LOOResult` whose flagged
+    ``pointwise`` entries are replaced by the exact
+
+        elpd_i = log mean_s p(y_i | theta_s^{(-i)})
+
+    over each block's posterior draws, with those ``pareto_k`` set to
+    0.0 (exact — no importance ratio left to diagnose).  Unflagged
+    points keep their PSIS estimates.
+
+    A large flag count is a model problem, not a compute problem —
+    ``max_refits`` guards against refitting your way past
+    misspecification (fix the likelihood; see
+    ``make_student_t_likelihood`` / :func:`loo_pit`).
+
+    Single-term fits with 1-D abscissae only (a global fit's flagged
+    term must be refit by hand).  No reference analogue: the reference
+    has no LOO machinery at all; this closes the reliability loop its
+    ``pareto_k`` flags open.
+    """
+    import jax
+
+    from .batched import BatchedFit
+    from .likelihoods import pointwise_log_likelihood
+
+    if result is None:
+        result = loo(walker, max_samples=max_samples)
+    flagged = np.where(result.pareto_k > k_threshold)[0]
+    if flagged.size == 0:
+        return result
+    if len(walker.terms) != 1:
+        raise ValueError("reloo: multi-term global fits are not "
+                         "supported — refit without the flagged point "
+                         "by hand")
+    if flagged.size > max_refits:
+        raise ValueError(
+            f"reloo: {flagged.size} points flagged (> max_refits="
+            f"{max_refits}) — that many influential points means the "
+            "model is misspecified; fix the likelihood instead of "
+            "refitting around it")
+    term = walker.terms[0]
+    ds = term.dataset
+    x_full = np.asarray(ds.x, np.float64)
+    if x_full.ndim != 1:
+        raise ValueError("reloo: multi-column x is not supported")
+    n = ds.n
+    x, y = x_full[:n], np.asarray(ds.y, np.float64)[:n]
+    sigma = np.asarray(ds.sigma, np.float64)[:n]
+    datasets, errors = [], []
+    for i in flagged:
+        keep = np.arange(n) != i
+        datasets.append((x[keep], y[keep]))
+        errors.append(sigma[keep])
+    fit = BatchedFit(
+        term.fn, datasets, walker.most_likely_params(),
+        data_error=errors, log_prior=term.prior,
+        walkers_per_dataset=walkers_per_dataset, seed=seed,
+        walker_jitter=0.02, dtype=walker.dtype)
+    fit.adaptive_steps(n_steps, temperature=temperature, auto=None)
+    fit.burn_steps(int(n_steps * burn_fraction))
+
+    spec = fit.spec
+
+    def _ll_full(vec):
+        # pointwise ll on the ORIGINAL dataset (the held-out point's
+        # column is what the refit never saw)
+        return pointwise_log_likelihood(
+            term.likelihood, term.fn, spec.unflatten(vec), ds)
+
+    ll_fn = jax.jit(jax.vmap(_ll_full))
+    new_pointwise = result.pointwise.copy()
+    new_k = result.pareto_k.copy()
+    for j, i in enumerate(flagged):
+        pos, _ = fit.dataset_view(j).steps()
+        pos = np.asarray(pos)
+        idx = np.unique(np.linspace(0, pos.shape[0] - 1,
+                                    min(max_samples, pos.shape[0])).astype(int))
+        ll_i = np.asarray(ll_fn(jnp.asarray(pos[idx], walker.dtype)),
+                          np.float64)[:, i]
+        new_pointwise[i] = _logsumexp(ll_i) - np.log(ll_i.size)
+        new_k[i] = 0.0
+    n_pts = new_pointwise.size
+    se = float(np.sqrt(n_pts * new_pointwise.var(ddof=1))) if n_pts > 1 else 0.0
+    return LOOResult(
+        elpd=float(new_pointwise.sum()),
+        p_loo=float(result.lppd - new_pointwise.sum()),
+        lppd=result.lppd, se=se, n_points=result.n_points,
+        n_samples=result.n_samples, pointwise=new_pointwise, pareto_k=new_k,
     )
 
 
