@@ -93,7 +93,8 @@ MODULE_NAMES = {
                   "rank_rhat_per_param", "tail_ess_per_param",
                   "mcse_per_param", "model_weights",
                   "prior_sensitivity", "PriorSensitivityResult",
-                  "loo_pit", "LOOPITResult", "reloo"],
+                  "loo_pit", "LOOPITResult", "reloo",
+                  "kfold", "KFoldResult"],
     files: ["file_specs", "get_filename", "read_file_data"],
     linalg: ["sample_covariance", "cholesky_clamped",
              "diagonal_covariance", "haario_scale", "moments_covariance"],
