@@ -197,12 +197,17 @@ def main():
     # their narrow mode, truths pin at rank 0/63) until the canonical
     # hot-anneal recipe is used; (b) at data_error=2e-6 it fails under
     # the TPU's f32 default (worst p ~ 4e-4) while passing under f64 —
-    # the f32 posterior widths are wrong at that SNR.  The settings
-    # below are the measured-calibrated ones for f32 and f64 alike.
+    # the f32 posterior widths are wrong at that SNR; (c) rwm-only
+    # audits of THIS wide box are seed-lottery: large-linewidth truths
+    # make scale-bg0 a ridge the random walk never traverses (measured
+    # at 18k budget on one truth stream: 20/24 scale ranks pinned,
+    # p = 4e-4), so the production recipe ranks from a cold mala phase
+    # (same total budget -> p = 0.04; see sbc_check's docstring).
     sbc = mfit.sbc_check(
         lorentzian_bg, BOUNDS1, x, 5e-6,
-        n_sims=24, walkers_per_dataset=32, n_steps=16000,
-        temperature=10.0, burn_fraction=0.75, seed=4)
+        n_sims=24, walkers_per_dataset=32, n_steps=12000,
+        temperature=10.0, burn_fraction=0.33, seed=4,
+        sampling_steps=6000, sampling_kernel="mala")
     print(f"SBC pipeline audit: ok={sbc.ok()} "
           f"(worst p={min(sbc.p_values.values()):.3g} over "
           f"{len(sbc.keys)} params, {sbc.n_sims} simulated fits "

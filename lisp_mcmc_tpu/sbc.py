@@ -106,6 +106,8 @@ def sbc_check(
     dtype=None,
     simulate: Callable | None = None,
     fit=None,
+    sampling_steps: int = 0,
+    sampling_kernel: str = "mala",
 ) -> SBCResult:
     """Run an SBC study of the fitting pipeline for one model.
 
@@ -135,6 +137,18 @@ def sbc_check(
     y ~ 1e-4 gives worst-p 4.4e-4 under f32, 0.01 under f64 —
     identical settings).  Pass ``dtype=jnp.float64`` (with x64
     enabled) to isolate precision from provisioning.
+
+    ``sampling_steps > 0`` appends a cold gradient-kernel phase after
+    the anneal and ranks from THAT history only (anneal rows dropped,
+    ``burn_fraction`` applied to the cold phase).  This is the
+    production recipe for posteriors with degenerate ridges: on the
+    wide-box Lorentzian (scale-bg0 degeneracy at large linewidth) the
+    rwm-only audit needs seed luck — measured on one identical truth
+    stream at an 18k total budget, rwm-only leaves 20/24 scale ranks
+    pinned at the extremes (p = 4e-4: the ensembles never traverse the
+    ridge) while anneal 12k + ``sampling_steps=6000`` (mala) spreads
+    them to p = 0.04; rwm-only "fixes" it only at 2x the budget and
+    still marginally (32k -> p = 0.0046).
     """
     from .batched import BatchedFit
     from .priors import as_prior_spec
@@ -182,7 +196,14 @@ def sbc_check(
     B = fit.walkers_per_dataset
 
     fit.adaptive_steps(n_steps, temperature=temperature, auto=None)
-    fit.burn_steps(int(len(fit) * burn_fraction))
+    if sampling_steps > 0:
+        # Rank from a cold gradient-kernel phase: the anneal's job was
+        # mode-finding; ridge traversal is the gradient kernel's.
+        fit.reset()
+        fit.sampling_steps(sampling_steps, kernel=sampling_kernel)
+        fit.burn_steps(int(len(fit) * burn_fraction))
+    else:
+        fit.burn_steps(int(len(fit) * burn_fraction))
 
     pos, _ = fit._history(None)                       # (T, S*B, d)
     pos = np.asarray(pos)

@@ -114,3 +114,16 @@ def test_sbc_rank_plot(calibrated, tmp_path):
     import os
 
     assert os.path.getsize(path) > 0
+
+
+def test_sampling_phase_sbc_calibrated():
+    """sampling_steps > 0 ranks from a cold gradient-kernel phase (the
+    production recipe for ridge-degenerate posteriors; the measured
+    rwm-vs-mala evidence lives in sbc_check's docstring).  A calibrated
+    line pipeline must still pass through this path."""
+    res = mfit.sbc_check(line, BOUNDS, X, 0.3, n_sims=40,
+                         walkers_per_dataset=32, n_steps=2000, seed=1,
+                         sampling_steps=2000, sampling_kernel="mala",
+                         burn_fraction=0.33)
+    assert res.ok()
+    assert all(p > 0.005 for p in res.p_values.values())
