@@ -62,6 +62,7 @@ __all__ = [
     "plot_set_param",
     "sbc_rank_plot",
     "loo_pit_plot",
+    "prior_sensitivity_plot",
     "plot_file",
     "heatmap",
     "show",
@@ -432,6 +433,39 @@ def loo_pit_plot(result, filename: str | None = None):
                  f"{'ok' if result.ok else 'MISCALIBRATED'})", fontsize=10)
     ax.set_xlim(0, 1)
     ax.set_ylim(0, 1)
+    fig.tight_layout()
+    return _save(fig, filename)
+
+
+def prior_sensitivity_plot(result, filename: str | None = None):
+    """Power-scaling sensitivity map: prior vs likelihood per parameter.
+
+    The Kallioinen et al. (2023) reading by quadrant: high prior + high
+    likelihood sensitivity = prior-data conflict (upper right), high
+    prior + low likelihood = the prior is doing the work (lower right),
+    low prior = robust (left half, any likelihood sensitivity).  The
+    dashed lines mark the decision threshold.
+    """
+    keys = list(result.prior)
+    ps = np.asarray([result.prior[k] for k in keys])
+    ls = np.asarray([result.likelihood[k] for k in keys])
+    colors = {"robust": "tab:blue", "prior-data conflict": "tab:red",
+              "strong prior / weak likelihood": "tab:orange"}
+    fig, ax = plt.subplots(figsize=(5.5, 4.5))
+    thr = result.threshold
+    ax.axvline(thr, ls="--", color="0.6", lw=1)
+    ax.axhline(thr, ls="--", color="0.6", lw=1)
+    for k, p, l in zip(keys, ps, ls):
+        c = colors[result.diagnosis[k]]
+        ax.plot([p], [l], "o", color=c, ms=7)
+        ax.annotate(k, (p, l), textcoords="offset points", xytext=(6, 4),
+                    fontsize=9)
+    lim = max(thr * 2.0, ps.max() * 1.3, ls.max() * 1.3, 1e-3)
+    ax.set_xlim(-0.02 * lim, lim)
+    ax.set_ylim(-0.02 * lim, lim)
+    ax.set_xlabel("prior power-scaling sensitivity")
+    ax.set_ylabel("likelihood power-scaling sensitivity")
+    ax.set_title(f"prior sensitivity (ok={result.ok})", fontsize=10)
     fig.tight_layout()
     return _save(fig, filename)
 

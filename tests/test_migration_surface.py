@@ -72,7 +72,7 @@ MODULE_NAMES = {
                "likelihood_plot", "autocorrelation_plot", "corner_plot",
                "all_corner_plots", "param_histogram", "show", "heatmap",
                "plot_file", "plot_set_param", "ppc_plot", "sbc_rank_plot",
-               "loo_pit_plot"],
+               "loo_pit_plot", "prior_sensitivity_plot"],
     stats: ["median", "mean", "variance", "credible_interval_95", "hdi",
             "iqr",
             "nth_percentile", "standard_deviation",

@@ -134,6 +134,19 @@ def test_walker_delegate():
         "robust", "prior-data conflict", "strong prior / weak likelihood"}
 
 
+def test_prior_sensitivity_plot(tmp_path):
+    import os
+
+    from lisp_mcmc_tpu import plotting
+
+    w = _linefit(PriorSpec({"m": Gaussian(0.0, 0.15),
+                            "b": Gaussian(1.0, 2.0)}), n_steps=3000)
+    r = prior_sensitivity(w)
+    path = str(tmp_path / "sens.png")
+    plotting.prior_sensitivity_plot(r, filename=path)
+    assert os.path.getsize(path) > 0
+
+
 def test_expression_sensitivity():
     """Derived quantities join the audit: an expression of a conflicted
     parameter inherits its sensitivity and diagnosis."""
