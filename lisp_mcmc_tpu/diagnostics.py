@@ -911,12 +911,22 @@ def prior_sensitivity(walker, prior=None, take: int | None = None,
     ll, samples = _pointwise_ll_matrix(
         walker, "prior_sensitivity", take, max_samples)
     loglik = ll.sum(axis=1)                      # (S,) total log-likelihood
-    spec = resolve_prior_spec(walker, prior=prior)
     param_spec = walker.spec
-    if spec is not None:
+    if prior is not None:
+        # Scale exactly the density the caller names.
+        spec = resolve_prior_spec(walker, prior=prior)
+
         def _log_prior_one(vec):
             return spec.log_pdf(param_spec.unflatten(vec), None)
     else:
+        # Scale what the posterior actually contains: the INSTALLED
+        # prior terms.  On a T-term global fit a shared prior is
+        # installed once per term (reference semantics, fit.py log_post)
+        # so the sampled measure is prior^T — recovering the spec and
+        # scaling it once would under-perturb by a factor of T and a
+        # real conflict could read "robust".  For single-term named
+        # priors the installed term IS the normalized log-pdf, so this
+        # path matches the spec path up to a CJS-invariant constant.
         terms = walker.terms
 
         def _log_prior_one(vec):
@@ -986,10 +996,94 @@ def prior_sensitivity(walker, prior=None, take: int | None = None,
     )
 
 
+def _batched_refit(walker, name: str, holdouts, n_steps: int,
+                   temperature: float, walkers_per_dataset: int,
+                   burn_fraction: float, max_samples: int, seed: int):
+    """Shared refit scaffolding of :func:`reloo` and :func:`kfold`.
+
+    Builds one leave-out dataset per entry of ``holdouts`` (a boolean
+    keep-mask each), fits them as blocks of ONE BatchedFit (anneal,
+    then a cold mala sampling phase — ranking/scoring from warm anneal
+    rows would bias every "exact" elpd low, the same caveat
+    :func:`waic` documents), and returns ``(fit, score_block)`` where
+    ``score_block(j)`` gives the (S, P) pointwise log-likelihood of the
+    ORIGINAL dataset under block j's posterior draws.
+
+    Guards: single-term fits, 1-D abscissae, and the plain Gaussian
+    reduction only — BatchedFit's hot path is hard-coded to the
+    Gaussian z-sum (batched.py log_post), so refitting a student-t /
+    noise-scale / Poisson fit here would silently sample the WRONG
+    leave-out posterior and stamp it "exact".
+    """
+    import jax
+
+    from .batched import BatchedFit
+    from .likelihoods import (log_likelihood_normal,
+                              pointwise_log_likelihood)
+
+    if len(walker.terms) != 1:
+        raise ValueError(f"{name}: multi-term global fits are not "
+                         "supported — refit without the held-out points "
+                         "by hand")
+    term = walker.terms[0]
+    if term.likelihood is not log_likelihood_normal:
+        raise ValueError(
+            f"{name}: refits require the plain Gaussian reduction "
+            "(BatchedFit's vectorized posterior is the Gaussian z-sum); "
+            f"this fit uses {getattr(term.likelihood, '__name__', term.likelihood)!r} "
+            "— refit without the held-out points by hand")
+    ds = term.dataset
+    x_full = np.asarray(ds.x, np.float64)
+    if x_full.ndim != 1:
+        raise ValueError(f"{name}: multi-column x is not supported")
+    n = ds.n
+    x, y = x_full[:n], np.asarray(ds.y, np.float64)[:n]
+    sigma = np.asarray(ds.sigma, np.float64)[:n]
+    datasets, errors = [], []
+    for keep in holdouts:
+        datasets.append((x[keep], y[keep]))
+        errors.append(sigma[keep])
+    # The prior evaluates against the ORIGINAL dataset (data-dependent
+    # fixers resolved there, reference 837-845 semantics); BatchedFit
+    # itself would pass dataset=None, breaking priors that read it.
+    prior = term.prior
+
+    def _refit_prior(p, _ds, _prior=prior, _orig=ds):
+        return _prior(p, _orig)
+
+    fit = BatchedFit(
+        term.fn, datasets, walker.most_likely_params(),
+        data_error=errors, log_prior=_refit_prior,
+        walkers_per_dataset=walkers_per_dataset, seed=seed,
+        walker_jitter=0.02, dtype=walker.dtype)
+    fit.adaptive_steps(n_steps, temperature=temperature, auto=None)
+    fit.reset()                                   # drop warm anneal rows
+    fit.sampling_steps(max(2000, n_steps // 2), kernel="mala")
+    fit.burn_steps(int(len(fit) * burn_fraction))
+
+    spec = fit.spec
+
+    def _ll_full(vec):
+        return pointwise_log_likelihood(
+            term.likelihood, term.fn, spec.unflatten(vec), ds)
+
+    ll_fn = jax.jit(jax.vmap(_ll_full))
+
+    def score_block(j):
+        pos, _ = fit.dataset_view(j).steps()
+        pos = np.asarray(pos)
+        idx = np.unique(np.linspace(0, pos.shape[0] - 1,
+                                    min(max_samples, pos.shape[0])).astype(int))
+        return np.asarray(ll_fn(jnp.asarray(pos[idx], walker.dtype)),
+                          np.float64)
+
+    return fit, score_block
+
+
 def reloo(walker, result: LOOResult | None = None,
           k_threshold: float = 0.7, max_refits: int = 32,
           n_steps: int = 8000, temperature: float = 4.0,
-          walkers_per_dataset: int = 64, burn_fraction: float = 0.5,
+          walkers_per_dataset: int = 64, burn_fraction: float = 0.33,
           max_samples: int = 512, seed: int = 0) -> LOOResult:
     """Exact leave-one-out refits for every Pareto-k-flagged point.
 
@@ -1014,70 +1108,34 @@ def reloo(walker, result: LOOResult | None = None,
     misspecification (fix the likelihood; see
     ``make_student_t_likelihood`` / :func:`loo_pit`).
 
-    Single-term fits with 1-D abscissae only (a global fit's flagged
-    term must be refit by hand).  No reference analogue: the reference
-    has no LOO machinery at all; this closes the reliability loop its
-    ``pareto_k`` flags open.
+    Restrictions (see :func:`_batched_refit`): single-term fits, 1-D
+    abscissae, plain Gaussian reduction only — a global fit's flagged
+    term, or a robust/Poisson fit, must be refit by hand.  The refits
+    anneal then draw from a cold mala phase (``burn_fraction`` applies
+    to that phase), so the "exact" values never see warm rows.  No
+    reference analogue: the reference has no LOO machinery at all; this
+    closes the reliability loop its ``pareto_k`` flags open.
     """
-    import jax
-
-    from .batched import BatchedFit
-    from .likelihoods import pointwise_log_likelihood
-
     if result is None:
         result = loo(walker, max_samples=max_samples)
     flagged = np.where(result.pareto_k > k_threshold)[0]
     if flagged.size == 0:
         return result
-    if len(walker.terms) != 1:
-        raise ValueError("reloo: multi-term global fits are not "
-                         "supported — refit without the flagged point "
-                         "by hand")
     if flagged.size > max_refits:
         raise ValueError(
             f"reloo: {flagged.size} points flagged (> max_refits="
             f"{max_refits}) — that many influential points means the "
             "model is misspecified; fix the likelihood instead of "
             "refitting around it")
-    term = walker.terms[0]
-    ds = term.dataset
-    x_full = np.asarray(ds.x, np.float64)
-    if x_full.ndim != 1:
-        raise ValueError("reloo: multi-column x is not supported")
-    n = ds.n
-    x, y = x_full[:n], np.asarray(ds.y, np.float64)[:n]
-    sigma = np.asarray(ds.sigma, np.float64)[:n]
-    datasets, errors = [], []
-    for i in flagged:
-        keep = np.arange(n) != i
-        datasets.append((x[keep], y[keep]))
-        errors.append(sigma[keep])
-    fit = BatchedFit(
-        term.fn, datasets, walker.most_likely_params(),
-        data_error=errors, log_prior=term.prior,
-        walkers_per_dataset=walkers_per_dataset, seed=seed,
-        walker_jitter=0.02, dtype=walker.dtype)
-    fit.adaptive_steps(n_steps, temperature=temperature, auto=None)
-    fit.burn_steps(int(n_steps * burn_fraction))
-
-    spec = fit.spec
-
-    def _ll_full(vec):
-        # pointwise ll on the ORIGINAL dataset (the held-out point's
-        # column is what the refit never saw)
-        return pointwise_log_likelihood(
-            term.likelihood, term.fn, spec.unflatten(vec), ds)
-
-    ll_fn = jax.jit(jax.vmap(_ll_full))
+    n = walker.terms[0].dataset.n
+    _, score_block = _batched_refit(
+        walker, "reloo", [np.arange(n) != i for i in flagged],
+        n_steps, temperature, walkers_per_dataset, burn_fraction,
+        max_samples, seed)
     new_pointwise = result.pointwise.copy()
     new_k = result.pareto_k.copy()
     for j, i in enumerate(flagged):
-        pos, _ = fit.dataset_view(j).steps()
-        pos = np.asarray(pos)
-        idx = np.unique(np.linspace(0, pos.shape[0] - 1,
-                                    min(max_samples, pos.shape[0])).astype(int))
-        ll_i = np.asarray(ll_fn(jnp.asarray(pos[idx], walker.dtype)),
-                          np.float64)[:, i]
+        ll_i = score_block(j)[:, i]
         new_pointwise[i] = _logsumexp(ll_i) - np.log(ll_i.size)
         new_k[i] = 0.0
     n_pts = new_pointwise.size
@@ -1115,7 +1173,7 @@ class KFoldResult:
 
 def kfold(walker, k: int = 10, folds=None, n_steps: int = 8000,
           temperature: float = 4.0, walkers_per_dataset: int = 64,
-          burn_fraction: float = 0.5, max_samples: int = 512,
+          burn_fraction: float = 0.33, max_samples: int = 512,
           seed: int = 0) -> KFoldResult:
     """Exact K-fold cross-validation: all K refits as ONE BatchedFit.
 
@@ -1135,28 +1193,15 @@ def kfold(walker, k: int = 10, folds=None, n_steps: int = 8000,
 
     ``folds`` overrides the seeded random partition with explicit fold
     ids (length n, values 0..k-1) — use it for grouped/structured data
-    (leave-one-segment-out).  Same restrictions as :func:`reloo`:
-    single-term fits, 1-D abscissae, library likelihoods.
+    (leave-one-segment-out).  Same restrictions and refit recipe as
+    :func:`reloo` (see :func:`_batched_refit`): single-term fits, 1-D
+    abscissae, plain Gaussian reduction; anneal + cold mala phase.
 
     Reference: Vehtari, Gelman & Gabry (2017), section on K-fold CV.
     No reference-code analogue (the Lisp original has no cross-
     validation machinery at all).
     """
-    import jax
-
-    from .batched import BatchedFit
-    from .likelihoods import pointwise_log_likelihood
-
-    if len(walker.terms) != 1:
-        raise ValueError("kfold: multi-term global fits are not supported")
-    term = walker.terms[0]
-    ds = term.dataset
-    x_full = np.asarray(ds.x, np.float64)
-    if x_full.ndim != 1:
-        raise ValueError("kfold: multi-column x is not supported")
-    n = ds.n
-    x, y = x_full[:n], np.asarray(ds.y, np.float64)[:n]
-    sigma = np.asarray(ds.sigma, np.float64)[:n]
+    n = walker.terms[0].dataset.n
 
     if folds is not None:
         folds = np.asarray(folds, np.int64)
@@ -1175,38 +1220,20 @@ def kfold(walker, k: int = 10, folds=None, n_steps: int = 8000,
         folds[np.random.default_rng(seed).permutation(n)] = \
             np.arange(n) % k
 
-    datasets, errors = [], []
+    holdouts = []
     for j in range(k):
         keep = folds != j
         if not np.any(keep) or np.all(keep):
             raise ValueError(f"kfold: fold {j} is empty or everything")
-        datasets.append((x[keep], y[keep]))
-        errors.append(sigma[keep])
-    fit = BatchedFit(
-        term.fn, datasets, walker.most_likely_params(),
-        data_error=errors, log_prior=term.prior,
-        walkers_per_dataset=walkers_per_dataset, seed=seed,
-        walker_jitter=0.02, dtype=walker.dtype)
-    fit.adaptive_steps(n_steps, temperature=temperature, auto=None)
-    fit.burn_steps(int(n_steps * burn_fraction))
-
-    spec = fit.spec
-
-    def _ll_full(vec):
-        return pointwise_log_likelihood(
-            term.likelihood, term.fn, spec.unflatten(vec), ds)
-
-    ll_fn = jax.jit(jax.vmap(_ll_full))
+        holdouts.append(keep)
+    _, score_block = _batched_refit(
+        walker, "kfold", holdouts, n_steps, temperature,
+        walkers_per_dataset, burn_fraction, max_samples, seed)
     pointwise = np.empty(n)
     s_used = 0
     for j in range(k):
-        pos, _ = fit.dataset_view(j).steps()
-        pos = np.asarray(pos)
-        idx = np.unique(np.linspace(0, pos.shape[0] - 1,
-                                    min(max_samples, pos.shape[0])).astype(int))
-        s_used = max(s_used, idx.size)
-        ll = np.asarray(ll_fn(jnp.asarray(pos[idx], walker.dtype)),
-                        np.float64)                    # (S, P)
+        ll = score_block(j)                            # (S, P)
+        s_used = max(s_used, ll.shape[0])
         held = np.where(folds == j)[0]
         mx = ll[:, held].max(axis=0)
         pointwise[held] = mx + np.log(

@@ -157,3 +157,35 @@ def test_expression_sensitivity():
     assert r.diagnosis["(/ 1 :m)"] == "prior-data conflict"
     # parameter entries unchanged by the extra columns
     assert r.diagnosis["m"] == "prior-data conflict"
+
+
+def test_multi_term_installed_prior_scaling():
+    """A shared prior on a T-term global fit is INSTALLED once per term
+    (reference log_post semantics), so the sampled measure is prior^T —
+    the default sensitivity must scale the installed total, not the
+    declared spec once (review round 3: the single-count path
+    under-perturbed by T and could read a real conflict as robust)."""
+    rng = np.random.default_rng(1)
+    x = np.linspace(0, 10, 40)
+    y1 = 2.0 * x + 1.0 + rng.normal(0, 0.5, 40)
+    y2 = 2.0 * x - 3.0 + rng.normal(0, 0.5, 40)
+
+    def f1(xx, p):
+        return p["b1"] + p["m"] * xx
+
+    def f2(xx, p):
+        return p["b2"] + p["m"] * xx
+
+    spec = PriorSpec({"m": Gaussian(0.0, 0.15), "b1": Gaussian(1.0, 3.0),
+                      "b2": Gaussian(-3.0, 3.0)})
+    w = mfit.walker_create(function=[f1, f2], data=[(x, y1), (x, y2)],
+                           params={"m": 1.5, "b1": 0.0, "b2": 0.0},
+                           data_error=[0.5, 0.5], n_walkers=64, seed=2,
+                           walker_jitter=0.05, log_prior=spec)
+    w.adaptive_steps(6000, auto=None)
+    w.burn_steps(len(w) // 2)
+    s_inst = prior_sensitivity(w)               # installed: prior^2
+    s_decl = prior_sensitivity(w, prior=spec)   # declared: single count
+    assert s_inst.diagnosis["m"] == "prior-data conflict"
+    # in the linear-perturbation regime the installed path reads ~T x
+    assert s_inst.prior["m"] > 1.4 * s_decl.prior["m"]

@@ -87,3 +87,50 @@ def test_reloo_guards():
     r = loo(w)
     with pytest.raises(ValueError, match="misspecified"):
         reloo(w, r, k_threshold=-1.0, max_refits=4)   # flags everything
+
+
+def test_reloo_rejects_non_gaussian_likelihoods():
+    """BatchedFit's refit posterior is the Gaussian z-sum: refitting a
+    robust fit here would sample the WRONG leave-out posterior and
+    stamp it exact — must refuse instead (review round 3)."""
+    rng = np.random.default_rng(5)
+    y = 2.0 * X + 1.0 + rng.normal(0, 0.1, 40)
+    y[3] += 3.0
+    w = mfit.walker_create(function=line, data=(X, y),
+                           params={"m": 1.5, "b": 0.5}, data_error=0.1,
+                           log_likelihood=mfit.make_student_t_likelihood(4.0),
+                           n_walkers=64, seed=5, walker_jitter=0.05)
+    w.adaptive_steps(3000, auto=None)
+    w.burn_steps(len(w) // 2)
+    r = loo(w)
+    with pytest.raises(ValueError, match="Gaussian"):
+        reloo(w, r, k_threshold=-1.0, max_refits=64)
+    from lisp_mcmc_tpu.diagnostics import kfold
+    with pytest.raises(ValueError, match="Gaussian"):
+        kfold(w, k=4)
+
+
+def test_reloo_threads_data_dependent_prior():
+    """The refit prior evaluates against the ORIGINAL dataset (fixer
+    semantics, mcmc-fitting.lisp:837-845) — BatchedFit's bare
+    prior(p, None) convention would crash priors that read it."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    y = 2.0 * X + 1.0 + rng.normal(0, 0.1, 40)
+    y[7] += 2.5
+
+    def ds_prior(p, ds):
+        # reads the dataset: soft prior keeping the line level near
+        # the data mean (harmless, but crashes if ds is None)
+        return -1e-6 * (p["b"] - jnp.mean(ds.y)) ** 2
+
+    w = mfit.walker_create(function=line, data=(X, y),
+                           params={"m": 1.5, "b": 0.5}, data_error=0.1,
+                           log_prior=ds_prior,
+                           n_walkers=64, seed=6, walker_jitter=0.05)
+    w.adaptive_steps(5000, auto=None)
+    w.burn_steps(len(w) // 2)
+    r = loo(w)
+    r2 = reloo(w, r, k_threshold=0.7, seed=2)
+    assert r2.n_bad_k == 0
