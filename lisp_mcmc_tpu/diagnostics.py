@@ -26,7 +26,8 @@ __all__ = ["metrics", "ess_per_param", "ess_from_history", "rhat_per_param",
            "LOOResult", "loo", "loo_compare", "reloo",
            "KFoldResult", "kfold", "model_weights",
            "LOOPITResult", "loo_pit",
-           "PriorSensitivityResult", "prior_sensitivity"]
+           "PriorSensitivityResult", "prior_sensitivity",
+           "AuditResult", "audit"]
 
 
 def trace_profile(log_dir: str = "/tmp/lisp_mcmc_tpu_trace"):
@@ -775,6 +776,118 @@ def loo_pit(walker, take: int | None = None,
     d, p = _ks_uniform(pit)
     return LOOPITResult(pit=pit, ks_stat=d, p_value=p, n_points=int(n),
                         n_samples=int(s_count), pareto_k=k_i)
+
+
+# ----------------------------------------------------------------- audit
+
+@dataclasses.dataclass(frozen=True)
+class AuditResult:
+    """One-call fit report card (see :func:`audit`).
+
+    ``ok`` is True only when every check that RAN passed; ``skipped``
+    maps checks that could not run (custom posterior, grouped fit, no
+    informative prior) to the reason, so a skipped check can never be
+    mistaken for a passed one.  ``advice`` holds actionable readings of
+    the failures, worst first.
+    """
+
+    ok: bool
+    convergence: dict
+    loo_pit: "LOOPITResult | None"
+    prior_sensitivity: "PriorSensitivityResult | None"
+    advice: list[str]
+    skipped: dict[str, str]
+
+    def __repr__(self):
+        ran = [n for n, v in (("convergence", self.convergence),
+                              ("loo_pit", self.loo_pit),
+                              ("prior_sensitivity", self.prior_sensitivity))
+               if v is not None]
+        return (f"AuditResult(ok={self.ok}, ran={ran}, "
+                f"skipped={list(self.skipped) or 'none'}, "
+                f"advice={len(self.advice)} item(s))")
+
+
+def audit(walker, take: int | None = None, prior=None,
+          max_samples: int = 512, rhat_tol: float = 1.01,
+          min_tail_ess: float = 100.0) -> AuditResult:
+    """Run the cheapest-first calibration ladder in one call.
+
+    The TUNING.md recipe as a verb: (1) :func:`convergence` — did the
+    sampler converge; (2) :func:`loo_pit` — is the model calibrated
+    out-of-sample; (3) :func:`prior_sensitivity` — is the prior
+    load-bearing or in conflict.  Each failure contributes a plain-
+    language reading to ``advice`` (over/under-confident PIT shapes are
+    distinguished, unreliable importance tails are attributed to warm
+    history rather than the model).  Checks that cannot run on this fit
+    (custom posteriors have no pointwise decomposition; grouped fits
+    need per-dataset views) are recorded in ``skipped`` with the
+    library's own error message — never silently passed.
+
+    SBC is deliberately NOT part of the ladder (it costs real fits; run
+    :func:`~lisp_mcmc_tpu.sbc_check` once per model family).  Same
+    history contract as everything else here: cold posterior rows only.
+    """
+    advice: list[str] = []
+    skipped: dict[str, str] = {}
+
+    conv = convergence(walker, take, rhat_tol=rhat_tol,
+                       min_tail_ess=min_tail_ess)
+    if not conv["ok"]:
+        advice.append(
+            "not converged (" + "; ".join(conv["failures"][:3]) +
+            (" …" if len(conv["failures"]) > 3 else "") +
+            ") — sample further (auto='rank-rhat') before trusting "
+            "anything below")
+
+    pit = None
+    try:
+        pit = loo_pit(walker, take, max_samples)
+    except ValueError as e:
+        skipped["loo_pit"] = str(e)
+    if pit is not None:
+        if pit.n_bad_k > max(2, pit.n_points // 20):
+            advice.append(
+                f"loo_pit: {pit.n_bad_k}/{pit.n_points} importance tails "
+                "unreliable (pareto_k > 0.7) — warm history rows (burn "
+                "the anneal phase) or pervasive misspecification")
+        if not pit.ok:
+            extremes = float(np.mean(pit.pit < 0.1) + np.mean(pit.pit > 0.9))
+            center = float(np.mean((pit.pit > 0.4) & (pit.pit < 0.6)))
+            if extremes > 0.35:
+                advice.append(
+                    "loo_pit: over-confident (PIT piles at 0/1) — "
+                    "observation errors understated; consider "
+                    "make_noise_scale_likelihood and refit")
+            elif center > 0.35:
+                advice.append(
+                    "loo_pit: under-confident (PIT humps at 0.5) — "
+                    "observation errors overstated")
+            else:
+                advice.append(
+                    f"loo_pit: miscalibrated (KS p={pit.p_value:.2g}, "
+                    f"mean PIT {pit.pit.mean():.2f}) — a sloped/one-sided "
+                    "profile usually means a biased mean model")
+
+    sens = None
+    try:
+        sens = prior_sensitivity(walker, prior=prior, take=take,
+                                 max_samples=max_samples)
+    except ValueError as e:
+        skipped["prior_sensitivity"] = str(e)
+    if sens is not None and not sens.ok:
+        for k, d in sens.diagnosis.items():
+            if d != "robust":
+                advice.append(f"prior_sensitivity: {k}: {d} "
+                              f"(prior {sens.prior[k]:.3f} / likelihood "
+                              f"{sens.likelihood[k]:.3f})")
+
+    ok = bool(conv["ok"]
+              and (pit is None or pit.ok)
+              and (sens is None or sens.ok))
+    return AuditResult(ok=ok, convergence=conv, loo_pit=pit,
+                       prior_sensitivity=sens, advice=advice,
+                       skipped=skipped)
 
 
 # ------------------------------------------------- power-scaling sensitivity

@@ -1428,6 +1428,13 @@ class Walker:
 
         return prior_sensitivity(self, prior=prior, **kwargs)
 
+    def audit(self, **kwargs):
+        """One-call calibration report card: convergence + LOO-PIT +
+        prior sensitivity with actionable advice (``diagnostics.audit``)."""
+        from .diagnostics import audit
+
+        return audit(self, **kwargs)
+
     def with_expression(self, expr: str, take: int | None = 1000):
         """Derived quantity at the most-likely params (``walker-with-exp``)."""
         from .expressions import walker_with_expression

@@ -94,7 +94,7 @@ MODULE_NAMES = {
                   "mcse_per_param", "model_weights",
                   "prior_sensitivity", "PriorSensitivityResult",
                   "loo_pit", "LOOPITResult", "reloo",
-                  "kfold", "KFoldResult"],
+                  "kfold", "KFoldResult", "audit", "AuditResult"],
     files: ["file_specs", "get_filename", "read_file_data"],
     linalg: ["sample_covariance", "cholesky_clamped",
              "diagonal_covariance", "haario_scale", "moments_covariance"],
