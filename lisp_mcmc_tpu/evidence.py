@@ -249,9 +249,14 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
         uw = unit_cube_view(walker, spec, seed=seed)
         ubox = {k: (0.0, 1.0) for k in walker.spec.keys} \
             if (prior is not None or bounds is not None) else None
-        return log_evidence(uw, n_steps=n_steps, rungs=rungs, t_max=t_max,
-                            burn=burn, n_error_batches=n_error_batches,
-                            bounds=ubox, seed=seed)
+        result = log_evidence(uw, n_steps=n_steps, rungs=rungs, t_max=t_max,
+                              burn=burn, n_error_batches=n_error_batches,
+                              bounds=ubox, seed=seed)
+        # Surface the view's ladder diagnostics on the caller's walker
+        # (Walker.swap_rates) — the ladder ran on the u-space ensemble.
+        walker._swap_trace = uw._swap_trace
+        walker._swap_betas = uw._swap_betas
+        return result
     if prior is not None or bounds is not None:
         bounds = spec.bounds  # uniform spec: the historical box path
         from .smc import seed_prior_box

@@ -280,6 +280,8 @@ class Walker:
         # Chunk logs hold DEVICE scalars/arrays (lazy conversion — see
         # _record_chunk); consumers go through numpy which syncs on read.
         self._accept_log: list = []                  # per-chunk pooled acceptance
+        self._swap_trace: list = []                  # per-chunk (K-1,) swap rates
+        self._swap_betas: np.ndarray | None = None   # last tempered ladder
         self._lpmax_trace: list = []                 # per-step max-logprob traces
         self._lpmean_trace: list = []                # per-step ensemble means
 
@@ -662,6 +664,8 @@ class Walker:
         self._accept_log.append(out["accept_rate"])
         self._lpmax_trace.append(out["logprob_max"])
         self._lpmean_trace.append(out["logprob_mean"])
+        if "swap_rate" in out:
+            self._swap_trace.append(out["swap_rate"])   # device (K-1,)
         # Cap the auto-stop traces: only the last few settle windows are
         # ever read, so multi-million-step runs must not grow them
         # unboundedly (one (chunk,) array per chunk).
@@ -673,6 +677,8 @@ class Walker:
             del self._lpmax_trace[:-max_trace_chunks]
             del self._lpmean_trace[:-max_trace_chunks]
             del self._accept_log[:-max_trace_chunks]
+        if len(self._swap_trace) > 2 * max_trace_chunks:
+            del self._swap_trace[:-max_trace_chunks]
         if collect_history and "positions" in out:
             pos, lp = out["positions"], out["logprobs"]
             idx = self._history_walker_idx()
@@ -827,6 +833,11 @@ class Walker:
             temperature=float(t_max if t_max is not None
                               else max(self.config.temperature, 10.0)),
         )
+        # Fresh ladder observability for THIS run (kernel.py ladder).
+        self._swap_trace = []
+        self._swap_betas = 1.0 / np.asarray(
+            [self.config.temperature ** (k / (K - 1)) for k in range(K)],
+            np.float64)
         try:
             self._adaptive_loop(self.config, collect_history, False)
         finally:
@@ -840,6 +851,33 @@ class Walker:
                 m_outer=jnp.zeros((1, d, d), self.dtype),
                 m_count=jnp.zeros((1,), self.dtype),
             )
+
+    def swap_rates(self) -> dict:
+        """Replica-exchange diagnostics of the last tempered run.
+
+        Returns ``{"betas": (K,), "pair_rates": (K-1,), "min_rate",
+        "ok"}`` — ``pair_rates[k]`` is the measured swap acceptance
+        between rungs k and k+1 (nanmean over chunks; parity
+        alternation makes each pair active every other chunk).  The
+        actionable reading: a pair near 0 is a ladder GAP (states never
+        cross it — the hot rungs' exploration cannot reach the cold
+        chain; raise ``rungs`` or lower ``t_max``), while rates near 1
+        mean wasted rungs.  The classic healthy band is ~0.2-0.6.
+        ``ok`` is True when every pair clears 0.05.  Valid after
+        :meth:`tempered_steps` or :meth:`log_evidence` (both run the
+        same ladder).  No reference analogue (the reference has no
+        replica exchange).
+        """
+        if not self._swap_trace or self._swap_betas is None:
+            raise ValueError("swap_rates: no tempered run recorded — call "
+                             "tempered_steps/log_evidence first")
+        rates = np.nanmean(
+            np.asarray([np.asarray(r, np.float64) for r in self._swap_trace]),
+            axis=0)
+        return {"betas": self._swap_betas.copy(),
+                "pair_rates": rates,
+                "min_rate": float(np.nanmin(rates)),
+                "ok": bool(np.nanmin(rates) > 0.05)}
 
     def log_evidence(self, n_steps: int = 20000, rungs: int = 16,
                      t_max: float = 1e5, **kwargs):

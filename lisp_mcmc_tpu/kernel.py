@@ -1374,12 +1374,18 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         new_pos = jnp.where(take_next[:, :, None], pos_next,
                             jnp.where(take_prev[:, :, None], pos_prev, pos))
         new_lp = jnp.where(take_next, lp_next, jnp.where(take_prev, lp_prev, lp))
+        # Per-pair swap rate this round; inactive-parity pairs report NaN
+        # so the host can nanmean across chunks (ladder observability —
+        # a pair stuck near 0 is the actionable "raise rungs/t_max").
+        swap_rate = jnp.where(pair_on,
+                              jnp.mean(do_swap.astype(dtype), axis=1),
+                              jnp.nan)
         return dataclasses.replace(
             state,
             key=key,
             position=new_pos.reshape(state.position.shape),
             logprob=new_lp.reshape(state.logprob.shape),
-        )
+        ), swap_rate
 
     def _finish(state, accept_counts, trace, adapt_enabled, allow_refresh):
         dtype = state.position.dtype
@@ -1481,7 +1487,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             )
         state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
         if tempered:
-            state = replica_swap(state, force_cold)
+            state, out["swap_rate"] = replica_swap(state, force_cold)
         if rescue_on:
             state = independence_rescue(state, force_cold, data)
         return state, out
@@ -1547,7 +1553,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             state, accept_counts, _ = carry
         state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
         if tempered:
-            state = replica_swap(state, force_cold)
+            state, out["swap_rate"] = replica_swap(state, force_cold)
         if rescue_on:
             state = independence_rescue(state, force_cold, data)
         out["positions"] = positions                        # (chunk//thin, W, d)

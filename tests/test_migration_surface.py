@@ -57,6 +57,7 @@ WALKER_METHODS = [
     # drivers (849-969)
     "adaptive_steps", "many_steps", "sample_region", "sampling_steps",
     "tempered_steps", "optimize", "smc_sample", "log_evidence", "shard",
+    "swap_rates", "prior_sensitivity", "audit",
     # expression + plot verbs
     "with_expression", "plot_data_and_fit", "plot_residuals",
     "caterpillar_plots", "likelihood_plot", "autocorrelation_plot",

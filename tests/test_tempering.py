@@ -76,3 +76,47 @@ def test_tempering_restores_single_group_state():
     # subsequent plain adaptive stepping works
     w.adaptive_steps(600, auto=None)
     assert np.isfinite(w.most_likely_step()[0])
+
+
+def test_swap_rates_observability():
+    """Ladder observability: per-pair swap acceptance after a tempered
+    run (nanmean over alternating-parity chunks); a healthy geometric
+    ladder on the double well clears the 0.05 gap bar."""
+    w = _bimodal_walker(n_walkers=64, seed=3)
+    with pytest.raises(ValueError, match="no tempered run"):
+        w.swap_rates()
+    w.tempered_steps(4000, rungs=8, t_max=50.0)
+    r = w.swap_rates()
+    assert r["betas"].shape == (8,) and r["pair_rates"].shape == (7,)
+    assert r["betas"][0] == pytest.approx(1.0)
+    assert np.all(np.isfinite(r["pair_rates"]))
+    assert 0.0 <= r["min_rate"] <= 1.0
+    assert r["ok"]                       # geometric 8-rung ladder is sane
+    # a 2-rung ladder across the same span has a huge beta gap: the
+    # pair rate collapses and the verdict flags it
+    w2 = _bimodal_walker(n_walkers=64, seed=4)
+    w2.tempered_steps(4000, rungs=2, t_max=1e6)
+    r2 = w2.swap_rates()
+    assert r2["pair_rates"].shape == (1,)
+    assert r2["min_rate"] < r["min_rate"]
+
+
+def test_swap_rates_after_log_evidence_named_prior():
+    """log_evidence runs the ladder on the unit-cube view for named
+    priors; the diagnostics must surface on the CALLER's walker."""
+    from lisp_mcmc_tpu.priors import Gaussian, PriorSpec
+    from lisp_mcmc_tpu.models import line
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 10, 40)
+    y = 2.0 * x + 1.0 + rng.normal(0, 0.3, 40)
+    spec = PriorSpec({"m": Gaussian(2.0, 1.0), "b": Gaussian(1.0, 2.0)})
+    w = mfit.walker_create(function=line, data=(x, y),
+                           params={"m": 1.5, "b": 0.5}, data_error=0.3,
+                           n_walkers=64, seed=1, walker_jitter=0.05,
+                           log_prior=spec)
+    w.adaptive_steps(3000, auto=None)
+    w.log_evidence(n_steps=4000, rungs=8, t_max=1e3)
+    r = w.swap_rates()
+    assert r["pair_rates"].shape == (7,)
+    assert np.all(np.isfinite(r["pair_rates"]))
