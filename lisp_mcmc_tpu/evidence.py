@@ -196,7 +196,7 @@ def _laplace_from_hessian(lp_map: float, mode: dict, neg_hess: np.ndarray,
 def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
                  t_max: float = 1e5, burn: float = 0.5,
                  n_error_batches: int = 8, bounds=None, prior=None,
-                 seed: int = 0) -> EvidenceResult:
+                 seed: int = 0, auto_ladder: bool = False) -> EvidenceResult:
     """Estimate ``log Z`` for the walker's posterior (see module docs).
 
     Runs :meth:`Walker.tempered_steps` with history (mutating the walker:
@@ -251,7 +251,7 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
             if (prior is not None or bounds is not None) else None
         result = log_evidence(uw, n_steps=n_steps, rungs=rungs, t_max=t_max,
                               burn=burn, n_error_batches=n_error_batches,
-                              bounds=ubox, seed=seed)
+                              bounds=ubox, seed=seed, auto_ladder=auto_ladder)
         # Surface the view's ladder diagnostics on the caller's walker
         # (Walker.swap_rates) — the ladder ran on the u-space ensemble.
         walker._swap_trace = uw._swap_trace
@@ -267,13 +267,16 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
             raise ValueError(f"log_evidence: {e}") from None
 
     walker.tempered_steps(n_steps, rungs=rungs, t_max=float(t_max),
-                          collect_history=True)
+                          collect_history=True, auto_ladder=auto_ladder)
     _, lp = walker._history(None)                       # (T, W)
     lp = np.asarray(lp, np.float64)
     # Only the rows THIS tempered run produced are ladder samples — any
     # earlier history holds untempered chains whose blocks would be
     # misread as hot rungs (history eviction only drops from the front,
     # so the run's rows are exactly the trailing n_steps/thin).
+    # (Under auto_ladder the pilot rows were dropped inside
+    # tempered_steps, so the trailing rows all belong to the FINAL
+    # ladder.)
     own_rows = max(1, n_steps // walker._thin)
     lp = lp[-min(own_rows, lp.shape[0]):]
     lp = lp[int(lp.shape[0] * burn):]
@@ -282,8 +285,9 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
     K, B = rungs, walker.n_walkers // rungs
     lp_k = lp.reshape(lp.shape[0], K, B)                # rung k = block k, k=0 cold
 
-    temps = np.asarray([t_max ** (k / (K - 1)) for k in range(K)], np.float64)
-    betas = 1.0 / temps                                 # descending from 1
+    # The ladder the run ACTUALLY used (tempered_steps records it):
+    # geometric by default, the respaced one under auto_ladder/betas=.
+    betas = np.asarray(walker._swap_betas, np.float64)  # descending from 1
     mean_logpi = lp_k.mean(axis=(0, 2))                 # (K,) E_beta[logpi]
 
     # TI (trapezoid, ascending beta) + hot-tail closure.

@@ -788,7 +788,8 @@ class Walker:
         self.state = dataclasses.replace(self.state, l_matrix=l)
 
     def tempered_steps(self, n: int, rungs: int = 8, t_max: float | None = None,
-                       collect_history: bool = False):
+                       collect_history: bool = False, betas=None,
+                       auto_ladder: bool = False):
         """Parallel-tempering SEARCH phase (replica exchange, new surface).
 
         Splits the ensemble into ``rungs`` contiguous blocks holding a
@@ -801,6 +802,17 @@ class Walker:
         (``logprob`` is always untempered); retained history mixes
         temperatures, so it is off by default — draw posterior samples
         afterwards with :meth:`adaptive_steps` or :meth:`sampling_steps`.
+
+        ``betas`` overrides the geometric spacing with an explicit
+        descending ladder (first entry 1.0).  ``auto_ladder=True``
+        spends the first ~fifth of ``n`` as a pilot on the starting
+        ladder, measures the per-pair swap rates (:meth:`swap_rates`),
+        re-spaces the rungs to equalize the measured communication
+        barrier (:func:`respace_ladder` — endpoints fixed, pairs with
+        high rejection get rungs packed between them), and runs the
+        remainder on the new ladder (one extra compile).  The final
+        ladder is what :meth:`swap_rates` and
+        :meth:`log_evidence`'s TI integrand see.
         """
         if self.aux is not None or self.group_ids is not None:
             raise ValueError("tempering is unavailable for batched/grouped fits")
@@ -832,13 +844,39 @@ class Walker:
             auto=None,
             temperature=float(t_max if t_max is not None
                               else max(self.config.temperature, 10.0)),
+            tempering_betas=tuple(float(b) for b in betas) if betas is not None
+            else (),
         )
         # Fresh ladder observability for THIS run (kernel.py ladder).
         self._swap_trace = []
-        self._swap_betas = 1.0 / np.asarray(
-            [self.config.temperature ** (k / (K - 1)) for k in range(K)],
-            np.float64)
+        self._swap_betas = np.asarray(self.config.tempering_betas, np.float64) \
+            if self.config.tempering_betas else 1.0 / np.asarray(
+                [self.config.temperature ** (k / (K - 1)) for k in range(K)],
+                np.float64)
         try:
+            if auto_ladder:
+                # Pilot on the starting ladder: measure the pair swap
+                # rates, then re-space and run the remainder.  History
+                # stays off for the pilot; when the caller collects
+                # history (log_evidence), the pre-respace rows must not
+                # contaminate the final ladder's samples.
+                chunk = self.config.chunk_size
+                n_pilot = min(max(8 * chunk, int(n) // 5),
+                              max(chunk, int(n) // 2))
+                n_pilot = max(2 * chunk, (n_pilot // chunk) * chunk)
+                self.config = dataclasses.replace(self.config,
+                                                  n_steps=int(n_pilot))
+                self._adaptive_loop(self.config, False, False)
+                rates = self.swap_rates()["pair_rates"]
+                new_betas = respace_ladder(self._swap_betas, rates)
+                self._swap_trace = []
+                self._swap_betas = new_betas
+                if collect_history:
+                    self.reset()
+                self.config = dataclasses.replace(
+                    self.config,
+                    n_steps=int(max(chunk, int(n) - n_pilot)),
+                    tempering_betas=tuple(float(b) for b in new_betas))
             self._adaptive_loop(self.config, collect_history, False)
         finally:
             self.config = prev_config
@@ -1478,6 +1516,35 @@ class Walker:
         from .expressions import walker_with_expression
 
         return walker_with_expression(self, expr, take)
+
+
+def respace_ladder(betas, pair_rates, floor: float = 0.05) -> np.ndarray:
+    """Equalize the measured communication barrier over a tempering ladder.
+
+    Treat each adjacent pair's swap REJECTION (1 - rate) as the barrier
+    mass in its beta interval, accumulate it at the rung edges, and
+    place the new interior rungs at equal barrier increments (inverted
+    by interpolation in log-beta; endpoints stay fixed).  Pairs with
+    high rejection get rungs packed between them; near-free pairs donate
+    theirs.  ``floor`` keeps fully-accepting pairs from collapsing to
+    zero width (and substitutes for NaN rates from a pilot too short to
+    activate both parities).  Deterministic given the measured rates —
+    the measurement loop lives in ``tempered_steps(auto_ladder=True)``.
+    """
+    betas = np.asarray(betas, np.float64)
+    rates = np.nan_to_num(np.asarray(pair_rates, np.float64), nan=1.0 - floor)
+    if rates.shape != (betas.size - 1,):
+        raise ValueError(f"respace_ladder: need {betas.size - 1} pair rates, "
+                         f"got {rates.shape}")
+    barrier = np.maximum(1.0 - rates, floor)
+    lam = np.concatenate([[0.0], np.cumsum(barrier)])
+    logb = np.log(betas)
+    targets = np.linspace(0.0, lam[-1], betas.size)
+    out = np.exp(np.interp(targets, lam, logb))
+    out[0], out[-1] = betas[0], betas[-1]
+    for i in range(1, out.size):               # strict descent guard
+        out[i] = min(out[i], out[i - 1] * (1.0 - 1e-9))
+    return out
 
 
 # ------------------------------------------------------------------ factories

@@ -130,6 +130,10 @@ class FitConfig:
                                          # walker blocks hold a geometric T-ladder from 1
                                          # to `temperature`, replica swaps at chunk ends;
                                          # rungs double as adaptation groups
+    tempering_betas: tuple = ()          # explicit ladder (descending from 1.0, one per
+                                         # rung) overriding the geometric default —
+                                         # Walker.tempered_steps(betas=/auto_ladder=)
+                                         # sets it (tuple: configs are jit-cache keys)
     auto: str | None = "prob-settle"     # :prob-settle | :slope-settle (862) |
                                          # "rhat" (ensemble split-R-hat < 1.01, new) | None
     sampling_optimization: str = "covariance"  # L-refresh source: "covariance" | "best-value" (862, 888-895)
@@ -160,6 +164,13 @@ class FitConfig:
                                          # chunks of ungrouped f32 rwm fits only —
                                          # everything else falls back to the XLA scan)
     prng_impl: str = "rbg"               # "rbg" (TPU-fast) | "threefry2x32"
+
+    def __post_init__(self):
+        # Checkpoint JSON round-trips tuples as lists; configs key the
+        # jit runner cache, so the field must come back hashable.
+        if not isinstance(self.tempering_betas, tuple):
+            object.__setattr__(self, "tempering_betas",
+                               tuple(self.tempering_betas))
 
     def steps_to_settle(self, ndim: int) -> int:
         return self.settle_multiplier * max(self.settle_floor, ndim)
@@ -356,10 +367,22 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                 "adaptation group per rung (use Walker.tempered_steps)"
             )
         K = config.tempering_rungs
-        rung_temps_np = np.asarray(
-            [config.temperature ** (k / (K - 1)) for k in range(K)], np.float64
-        )
-        rung_betas_np = 1.0 / rung_temps_np
+        if config.tempering_betas:
+            rung_betas_np = np.asarray(config.tempering_betas, np.float64)
+            if rung_betas_np.shape != (K,):
+                raise ValueError(
+                    f"tempering_betas must have one entry per rung "
+                    f"({K}), got {rung_betas_np.shape}")
+            if rung_betas_np[0] != 1.0 or rung_betas_np[-1] <= 0.0 \
+                    or np.any(np.diff(rung_betas_np) >= 0.0):
+                raise ValueError(
+                    "tempering_betas must strictly descend from 1.0 to > 0")
+            rung_temps_np = 1.0 / rung_betas_np
+        else:
+            rung_temps_np = np.asarray(
+                [config.temperature ** (k / (K - 1)) for k in range(K)],
+                np.float64)
+            rung_betas_np = 1.0 / rung_temps_np
 
     # Affine-invariant stretch moves (new TPU surface, Goodman & Weare
     # 2010): each walker proposes along the line through a random walker of

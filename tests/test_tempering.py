@@ -120,3 +120,77 @@ def test_swap_rates_after_log_evidence_named_prior():
     r = w.swap_rates()
     assert r["pair_rates"].shape == (7,)
     assert np.all(np.isfinite(r["pair_rates"]))
+
+
+def test_respace_ladder_packs_bottleneck():
+    """Deterministic respace: the low-swap-rate pair attracts rungs
+    (its log-beta gap shrinks); endpoints stay fixed; strict descent."""
+    from lisp_mcmc_tpu.fit import respace_ladder
+
+    betas = 1.0 / np.array([1.0, 10.0, 100.0, 1000.0])
+    rates = np.array([0.05, 0.6, 0.6])       # pair 0 is the bottleneck
+    nb = respace_ladder(betas, rates)
+    assert nb[0] == 1.0 and nb[-1] == betas[-1]
+    assert np.all(np.diff(nb) < 0)
+    assert (np.log(nb[0]) - np.log(nb[1])) \
+        < (np.log(betas[0]) - np.log(betas[1]))
+    # NaN rates (pilot too short for one parity) degrade gracefully
+    nb2 = respace_ladder(betas, np.array([0.05, np.nan, 0.6]))
+    assert np.all(np.isfinite(nb2)) and np.all(np.diff(nb2) < 0)
+    with pytest.raises(ValueError, match="pair rates"):
+        respace_ladder(betas, np.array([0.5]))
+
+
+def test_auto_ladder_respaces_and_explicit_betas():
+    w = _bimodal_walker(n_walkers=64, seed=3)
+    w.tempered_steps(8000, rungs=8, t_max=1e4, auto_ladder=True)
+    r = w.swap_rates()
+    geo = 1.0 / np.asarray([1e4 ** (k / 7) for k in range(8)])
+    assert not np.allclose(r["betas"], geo)          # actually respaced
+    assert r["betas"][0] == 1.0
+    assert r["betas"][-1] == pytest.approx(geo[-1])  # endpoints fixed
+    assert np.all(np.isfinite(r["pair_rates"]))
+    # the global mode is still found (search quality preserved)
+    assert w.most_likely_params()["x"] == pytest.approx(4.0, abs=0.5)
+
+    w2 = _bimodal_walker(n_walkers=64, seed=4)
+    w2.tempered_steps(2000, rungs=4, betas=[1.0, 0.2, 0.04, 0.001])
+    np.testing.assert_allclose(w2.swap_rates()["betas"],
+                               [1.0, 0.2, 0.04, 0.001])
+    with pytest.raises(ValueError, match="descend"):
+        w2.tempered_steps(1000, rungs=4, betas=[1.0, 0.2, 0.4, 0.001])
+
+
+def test_evidence_on_adaptive_ladder_matches_geometric():
+    """The TI/stepping-stone reduction reads the ladder the run ACTUALLY
+    used; auto_ladder evidence agrees with the geometric ladder and the
+    SMC estimate on a conjugate fit."""
+    from lisp_mcmc_tpu.priors import Gaussian, PriorSpec
+    from lisp_mcmc_tpu.models import line
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 10, 40)
+    y = 2.0 * x + 1.0 + rng.normal(0, 0.3, 40)
+    spec = PriorSpec({"m": Gaussian(2.0, 1.0), "b": Gaussian(1.0, 2.0)})
+    w = mfit.walker_create(function=line, data=(x, y),
+                           params={"m": 1.5, "b": 0.5}, data_error=0.3,
+                           n_walkers=128, seed=1, walker_jitter=0.05,
+                           log_prior=spec)
+    w.adaptive_steps(4000, auto=None)
+    ev_geo = w.log_evidence(prior=spec, n_steps=8000, rungs=8, t_max=1e3)
+    ev_auto = w.log_evidence(prior=spec, n_steps=8000, rungs=8, t_max=1e3,
+                             auto_ladder=True)
+    sm = w.smc_sample(prior=spec, n_move=200)
+    assert ev_auto.log_z == pytest.approx(ev_geo.log_z, abs=1.0)
+    assert ev_auto.log_z == pytest.approx(sm.log_z, abs=1.0)
+
+
+def test_tempering_betas_config_roundtrip():
+    """tempering_betas must stay hashable (configs key the jit cache)
+    through the checkpoint JSON round-trip (list -> tuple coercion)."""
+    from lisp_mcmc_tpu.kernel import FitConfig
+
+    c = FitConfig(tempering_betas=[1.0, 0.5, 0.1])    # list in
+    assert isinstance(c.tempering_betas, tuple)
+    hash(c)                                            # cache-key usable
+    assert c == FitConfig(tempering_betas=(1.0, 0.5, 0.1))
