@@ -349,6 +349,11 @@ def _restore_state(walker, arrays, header, dtype):
     lpmean = arrays.get("lpmean_trace", np.empty(0))
     walker._lpmax_trace = [lpmax] if lpmax.size else []
     walker._lpmean_trace = [lpmean] if lpmean.size else []
+    # Run-scoped ladder diagnostics do not travel with the checkpoint;
+    # the custom-posterior path builds via Walker.__new__, so every
+    # __init__-initialized trace must be re-seeded here.
+    walker._swap_trace = []
+    walker._swap_betas = None
     return walker
 
 

@@ -812,7 +812,10 @@ class Walker:
         high rejection get rungs packed between them), and runs the
         remainder on the new ladder (one extra compile).  The final
         ladder is what :meth:`swap_rates` and
-        :meth:`log_evidence`'s TI integrand see.
+        :meth:`log_evidence`'s TI integrand see.  With
+        ``collect_history=True``, ``auto_ladder`` RESETS retained
+        history at the respace so every collected row belongs to the
+        final ladder (``log_evidence`` depends on this purity).
         """
         if self.aux is not None or self.group_ids is not None:
             raise ValueError("tempering is unavailable for batched/grouped fits")
