@@ -59,17 +59,23 @@ class _DatasetView:
         self._fit = fit
         self._s = s
 
-    def steps(self, take=None):
+    def _history(self, take=None):
+        """Block-sliced (T, B_s, d) history — the view is one population,
+        so walker-level diagnostics (convergence/_history_blocks, hence
+        ``audit``) run on it unmodified."""
         from .fit import history_block_columns
 
         pos, lp = self._fit._history(take)
         # Width-aware mapping: the history may hold the full ensemble,
         # the retained subsample, or (no rows collected) the live-state
         # fallback — history_block_columns resolves which.
-        cols = history_block_columns(self._fit, pos.shape[1])[self._s]
-        d = pos.shape[-1]
-        return (np.asarray(pos)[:, cols, :].reshape(-1, d),
-                np.asarray(lp)[:, cols].reshape(-1))
+        cols = np.asarray(
+            history_block_columns(self._fit, pos.shape[1])[self._s])
+        return np.asarray(pos)[:, cols, :], np.asarray(lp)[:, cols]
+
+    def steps(self, take=None):
+        pos, lp = self._history(take)
+        return pos.reshape(-1, pos.shape[-1]), lp.reshape(-1)
 
 
 class BatchedFit(Walker):
@@ -321,6 +327,13 @@ class BatchedFit(Walker):
         from .diagnostics import prior_sensitivity
 
         return [prior_sensitivity(self.dataset_view(s), prior=prior, **kwargs)
+                for s in range(self.n_datasets)]
+
+    def audit_per_dataset(self, **kwargs) -> list:
+        """Per-dataset calibration report cards (``diagnostics.audit``)."""
+        from .diagnostics import audit
+
+        return [audit(self.dataset_view(s), **kwargs)
                 for s in range(self.n_datasets)]
 
     def convergence(self, take: int | None = None, **kwargs) -> dict:

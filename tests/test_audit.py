@@ -83,3 +83,18 @@ def test_audit_flags_unconverged_history():
     r = w.audit()
     assert not r.ok
     assert any("converged" in a for a in r.advice)
+
+
+def test_audit_per_dataset_on_batched_fit():
+    rng = np.random.default_rng(3)
+    x = np.linspace(0, 10, 40)
+    datasets = [(x, 2.0 * x + 1.0 + rng.normal(0, 0.1, 40)),
+                (x, 3.0 * x - 1.0 + rng.normal(0, 0.1, 40))]
+    bf = mfit.BatchedFit(line, datasets, {"m": 1.0, "b": 0.5},
+                         data_error=0.1, walkers_per_dataset=32, seed=0)
+    bf.adaptive_steps(6000, auto=None)
+    bf.burn_steps(len(bf) // 2)
+    reports = bf.audit_per_dataset(min_tail_ess=30.0)
+    assert len(reports) == 2
+    assert all(r.loo_pit is not None for r in reports)
+    assert all(isinstance(r, AuditResult) for r in reports)
