@@ -43,6 +43,7 @@ from .evidence import (EvidenceResult, LaplaceResult, laplace_approx,
                        log_bayes_factor, log_evidence)
 from .nested import NestedResult, nested_sample
 from .profile import ProfileResult, profile_likelihood
+from .variational import VIResult, advi
 from .smc import SMCResult, smc_sample
 from .expressions import (
     expression_credible_interval,
@@ -130,6 +131,8 @@ __all__ = [
     "nested_sample",
     "ProfileResult",
     "profile_likelihood",
+    "VIResult",
+    "advi",
     "SMCResult",
     "PriorSpec",
     "Uniform",

@@ -1461,6 +1461,12 @@ class Walker:
 
         return laplace_approx(self, *args, **kwargs)
 
+    def advi(self, *args, **kwargs):
+        """Gaussian variational posterior + IS evidence (``variational``)."""
+        from .variational import advi
+
+        return advi(self, *args, **kwargs)
+
     def predict(self, x, **kwargs):
         """Posterior prediction (curve band / prediction interval) at
         new abscissae."""

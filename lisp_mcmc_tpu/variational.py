@@ -1,0 +1,402 @@
+"""ADVI — automatic-differentiation variational inference (new surface).
+
+A Gaussian posterior approximation fit by stochastic gradient ascent on
+the ELBO (Kucukelbir et al. 2017), sitting between
+:meth:`~lisp_mcmc_tpu.fit.Walker.optimize` (a point) and a full MCMC run
+(exact samples): seconds of wall clock buy a mean, a covariance, and a
+calibrated evidence reading.  The reference (mcmc-fitting.lisp) has no
+analogue — this is the autodiff surface its single-chain MH could never
+reach, same as the MALA/HMC kernels.
+
+What it adds to the existing stack:
+
+- **A 5th evidence estimator.**  ``VIResult.log_z`` is the importance-
+  sampled evidence ``logmeanexp(logpost + log|J| - log q)`` under the
+  fitted q, with a Pareto-k tail diagnostic on the weights (same
+  Zhang–Stephens machinery as PSIS-LOO) saying whether to trust it;
+  ``VIResult.elbo`` is the guaranteed lower bound.  Both follow the
+  shared evidence convention (priors.py "Convention"), so they
+  cross-check ``laplace_approx`` / ``log_evidence`` / ``smc_sample`` /
+  ``nested_sample`` directly.
+- **Experiment chaining without MCMC.** ``VIResult.to_mvgaussian()``
+  moment-matches q in parameter space — the
+  :class:`~lisp_mcmc_tpu.priors.MVGaussian` correlated prior of the next
+  fit, exactly like ``MVGaussian.from_laplace`` but valid when the MAP
+  curvature is degenerate (q is fit to the whole posterior, not one
+  Hessian).
+- **A warm start.** ``VIResult.seed_walker(walker)`` re-draws the
+  ensemble from q — a posterior-shaped initialization that skips most
+  of the annealing schedule.
+
+TPU-first shape: the whole optimization is ONE jitted ``lax.scan``
+(``n_steps`` iterations x ``n_samples`` reparameterized draws per
+iteration), datasets passed through as pytree arguments — same
+compile-once contract as the chunk kernel.  The unconstrained
+reparameterization rides the SAME prior machinery as the evidence
+layer: with a resolvable :class:`~lisp_mcmc_tpu.priors.PriorSpec` (or
+:class:`MVGaussian`), ``theta = F^-1(sigmoid(z))`` maps q's support
+onto exactly the declared prior's support (the unit-cube view's map,
+fit.py:unit_cube_view), so no q mass is wasted outside a hard bound;
+with no spec (custom priors) q lives in ensemble-whitened theta space
+and the bound walls act as soft barriers.
+
+Accuracy contract, measured (tests/test_vi.py): on an exactly-Gaussian
+posterior ``rank="full"`` recovers mean/cov and its ``log_z`` matches
+the Laplace closed form; on the banana-correlated and bounded cases the
+Pareto-k flags exactly when the Gaussian family is too small.  ADVI is
+an APPROXIMATION — for final numbers on a hard posterior, seed MCMC
+from it and sample.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+__all__ = ["VIResult", "advi"]
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _logmeanexp(x: np.ndarray) -> float:
+    m = float(np.max(x))
+    if not np.isfinite(m):
+        return m
+    return m + math.log(float(np.mean(np.exp(x - m))))
+
+
+def _pareto_k(lw: np.ndarray) -> float:
+    """PSIS-style tail-shape diagnostic on log importance weights.
+
+    Fits the generalized Pareto to the largest ``M = min(n/5,
+    3 sqrt(n))`` raw weights (Vehtari et al. 2024 recipe, via the shared
+    :func:`diagnostics._gpd_fit`).  k < 0.7: the IS estimate is
+    trustworthy; larger: q's tails are too light against the posterior
+    — trust ``elbo`` as a bound and rerun MCMC for the number.
+    """
+    from .diagnostics import _gpd_fit
+
+    lw = np.asarray(lw, np.float64)
+    lw = lw[np.isfinite(lw)]
+    n = lw.size
+    if n < 25:
+        return float("nan")
+    w = np.exp(lw - lw.max())
+    w.sort()
+    m = int(min(0.2 * n, 3.0 * math.sqrt(n)))
+    cutoff = w[-m - 1]
+    excess = w[-m:] - cutoff
+    k, _ = _gpd_fit(np.sort(excess))
+    return float(k)
+
+
+@dataclasses.dataclass(frozen=True)
+class VIResult:
+    """A fitted Gaussian variational posterior.
+
+    ``mean``/``sd`` are parameter-space summaries (moment-matched from
+    ``n_eval`` q draws); ``cov`` the matching covariance.  ``elbo`` is
+    the evidence lower bound and ``log_z`` the importance-sampled
+    evidence estimate (both on the shared convention; ``None`` without
+    a resolvable prior spec), ``log_z_error`` its Monte-Carlo batch
+    standard error, and ``pareto_k`` the weight-tail diagnostic —
+    ``converged_evidence`` summarizes "is log_z trustworthy".
+    ``elbo_trace`` is the per-step ELBO for convergence checks.
+    """
+
+    keys: tuple
+    mean: dict
+    sd: dict
+    cov: np.ndarray
+    elbo: float | None
+    log_z: float | None
+    log_z_error: float | None
+    pareto_k: float
+    elbo_trace: np.ndarray
+    rank: str
+    n_steps: int
+    # private machinery for .sample()/.seed_walker(): the z-space
+    # Gaussian (mu, L) and the jitted z -> theta map.
+    _mu: np.ndarray = dataclasses.field(repr=False)
+    _chol: np.ndarray = dataclasses.field(repr=False)
+    _theta_of_z: object = dataclasses.field(repr=False)
+    _dtype: object = dataclasses.field(repr=False)
+
+    @property
+    def converged_evidence(self) -> bool:
+        """True when ``log_z`` carries a healthy weight tail (k < 0.7)."""
+        return self.log_z is not None and np.isfinite(self.pareto_k) \
+            and self.pareto_k < 0.7
+
+    def sample(self, n: int, seed: int = 0) -> np.ndarray:
+        """(n, d) parameter-space draws from q."""
+        import jax
+        import jax.numpy as jnp
+
+        key = jax.random.PRNGKey(seed)
+        eps = jax.random.normal(key, (int(n), self._mu.size), self._dtype)
+        z = jnp.asarray(self._mu, self._dtype) \
+            + eps @ jnp.asarray(self._chol, self._dtype).T
+        return np.asarray(self._theta_of_z(z), np.float64)
+
+    def summary(self) -> dict:
+        return {k: (self.mean[k], self.sd[k]) for k in self.keys}
+
+    def to_mvgaussian(self, inflate: float = 1.0):
+        """Moment-matched correlated prior for the NEXT experiment.
+
+        Like :meth:`MVGaussian.from_laplace` but from the fitted q, so
+        it stays valid when the MAP curvature is degenerate.  ``inflate``
+        scales the standard deviations (covariance by its square).
+        """
+        from .priors import MVGaussian
+
+        return MVGaussian({k: self.mean[k] for k in self.keys},
+                          float(inflate) ** 2 * self.cov)
+
+    def seed_walker(self, walker, seed: int = 0):
+        """Re-draw ``walker``'s ensemble from q (posterior-shaped start).
+
+        Same contract as :func:`~lisp_mcmc_tpu.smc.seed_prior_box`: the
+        ensemble is replaced wholesale, so retained history / best-step
+        tracking reset to the fresh draws.  Proposal state (L, moments)
+        is kept — follow with adaptive steps to re-tune, then sample.
+        """
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        pos = jnp.asarray(self.sample(walker.n_walkers, seed=seed),
+                          walker.dtype)
+        walker.state = _dc.replace(walker.state, position=pos)
+        lp = walker._eval_batch(pos)
+        walker.reset()
+        walker.state = _dc.replace(walker.state, logprob=lp,
+                                   best_position=pos, best_logprob=lp)
+        return walker
+
+    def __repr__(self):
+        z = "None" if self.log_z is None else f"{self.log_z:.4f}"
+        e = "None" if self.elbo is None else f"{self.elbo:.4f}"
+        return (f"VIResult(rank={self.rank!r}, elbo={e}, log_z={z}, "
+                f"pareto_k={self.pareto_k:.3f}, "
+                f"trust_log_z={self.converged_evidence})")
+
+
+def _build_q(rank: str, d: int):
+    """q-parameter pytree helpers: init/L-build/entropy for the rank."""
+    import jax.numpy as jnp
+
+    if rank == "full":
+        def build_l(p):
+            return jnp.tril(p["low"], k=-1) + jnp.diag(jnp.exp(p["raw"]))
+    elif rank == "meanfield":
+        def build_l(p):
+            return jnp.diag(jnp.exp(p["raw"]))
+    else:
+        raise ValueError(f"rank must be 'full' or 'meanfield', got {rank!r}")
+
+    def entropy(p):
+        return jnp.sum(p["raw"]) + 0.5 * d * (1.0 + _LOG_2PI)
+
+    return build_l, entropy
+
+
+def advi(walker, prior=None, bounds=None, rank: str = "full",
+         n_steps: int = 1500, n_samples: int = 8,
+         learning_rate: float = 0.05, n_eval: int = 2048,
+         seed: int = 0) -> VIResult:
+    """Fit a Gaussian variational posterior to the walker's target.
+
+    ``rank="full"`` fits a dense Cholesky (captures correlations — the
+    default; d here is small), ``"meanfield"`` a diagonal (faster,
+    ignores correlations, ELBO strictly weaker).  ``prior``/``bounds``
+    resolve exactly like :func:`~lisp_mcmc_tpu.evidence.laplace_approx`
+    (explicit > fitted ``_prior_spec`` > fitted ``_bounds``); with a
+    resolved spec q is fit through the prior's inverse-CDF map so its
+    support matches the prior's, and ``elbo``/``log_z`` follow the
+    shared evidence convention.  Without one, q lives in whitened
+    parameter space and the evidence fields are ``None``.
+
+    q initializes from the CURRENT ensemble's z-space moments — on a
+    converged fit ADVI is a polish; on a fresh one run a short anneal
+    (or :meth:`Walker.optimize`) first so the init sees the basin.
+
+    The walker's state is untouched (use :meth:`VIResult.seed_walker`
+    to adopt the result).  Grouped/aux ensembles: fit per-dataset
+    walkers (``BatchedFit.dataset_view``) instead.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .priors import Uniform, resolve_prior_spec
+
+    if getattr(walker, "aux", None) is not None:
+        raise ValueError("advi: grouped/aux ensembles have no single "
+                         "posterior surface; fit per-dataset walkers "
+                         "(BatchedFit.dataset_view)")
+    if n_steps <= 0 or n_samples <= 0:
+        raise ValueError("n_steps and n_samples must be positive")
+
+    keys = list(walker.spec.keys)
+    d = len(keys)
+    dtype = walker.dtype
+    data = walker._posterior_data()
+    base = walker._log_post_one
+    spec = resolve_prior_spec(walker, prior, bounds)
+    if spec is not None:
+        missing = [k for k in keys if k not in spec]
+        if missing:
+            raise ValueError(f"advi: prior/bounds missing {missing}")
+
+    pos = np.asarray(walker.state.position, np.float64)
+
+    if spec is not None:
+        # z -> u -> theta through the declared prior's inverse CDF: q's
+        # support IS the prior's support, and |J| makes the z-space
+        # target exactly the theta-space posterior measure.
+        def theta_of_z(z):
+            u = jax.nn.sigmoid(z)
+            return spec.transform(u, keys)
+
+        u0 = np.clip(np.asarray(spec.inverse(pos, keys), np.float64),
+                     1e-9, 1.0 - 1e-9)
+        z0 = np.log(u0) - np.log1p(-u0)
+        log_v = float(sum(math.log(spec[k].high - spec[k].low)
+                          for k in keys if isinstance(spec[k], Uniform)))
+    else:
+        # Whitened identity map; bound walls act as soft barriers.
+        from .fit import _nonzero_scales
+
+        scales = _nonzero_scales(np.median(np.abs(pos), axis=0))
+
+        def theta_of_z(z):
+            return jnp.asarray(scales, z.dtype) * z
+
+        z0 = pos / scales
+        log_v = 0.0
+
+    def logdet_j(z):
+        jac = jax.jacfwd(theta_of_z)(z)
+        _, ld = jnp.linalg.slogdet(jac)
+        return ld
+
+    def logp_z(z, data):
+        lp = base(theta_of_z(z), data) + logdet_j(z)
+        return jnp.where(jnp.isfinite(lp), lp, jnp.asarray(-1e12, lp.dtype))
+
+    build_l, entropy = _build_q(rank, d)
+
+    # z-space moment init from the ensemble (a converged ensemble's
+    # z-covariance IS the answer; a scattered one still sets the scale).
+    mu0 = z0.mean(axis=0)
+    if pos.shape[0] >= 2:
+        sd0 = np.maximum(z0.std(axis=0, ddof=1), 1e-3)
+        cov0 = np.atleast_2d(np.cov(z0.T)) + np.diag(1e-6 * sd0 ** 2)
+    else:
+        sd0 = np.full(d, 0.1)
+        cov0 = np.diag(sd0 ** 2)
+    params = {"mu": jnp.asarray(mu0, dtype),
+              "raw": jnp.asarray(np.log(sd0), dtype)}
+    if rank == "full":
+        try:
+            l0 = np.linalg.cholesky(cov0)
+        except np.linalg.LinAlgError:
+            l0 = np.diag(sd0)
+        params = {"mu": params["mu"],
+                  "raw": jnp.asarray(np.log(np.diag(l0)), dtype),
+                  "low": jnp.asarray(np.tril(l0, k=-1), dtype)}
+
+    n_mc = int(n_samples)
+
+    def neg_elbo(p, key, data):
+        eps = jax.random.normal(key, (n_mc, d), dtype)
+        chol = build_l(p)
+        z = p["mu"][None, :] + eps @ chol.T
+        lp = jax.vmap(logp_z, in_axes=(0, None))(z, data)
+        return -(jnp.mean(lp) + entropy(p))
+
+    sched = optax.cosine_decay_schedule(learning_rate, max(n_steps, 1),
+                                        alpha=0.05)
+    opt = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(sched))
+    # Polyak tail average: with a finite-sample ELBO gradient the iterates
+    # never settle — they orbit the optimum with lr-sized spread (measured
+    # +-10% on the exactly-Gaussian line fit).  Averaging the last quarter
+    # of the trajectory removes that orbit without touching the schedule.
+    avg_from = int(0.75 * n_steps)
+
+    def run(params, key, data):
+        opt_state = opt.init(params)
+        acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def step(carry, i):
+            p, s, k, acc = carry
+            k, sub = jax.random.split(k)
+            loss, g = jax.value_and_grad(neg_elbo)(p, sub, data)
+            # A single NaN gradient (a q draw hitting a non-finite model
+            # region) must not poison Adam's moments: zero it and let the
+            # finite draws carry the step.
+            g = jax.tree_util.tree_map(
+                lambda t: jnp.where(jnp.isfinite(t), t, 0.0), g)
+            upd, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, upd)
+            take = (i >= avg_from).astype(p["mu"].dtype)
+            acc = jax.tree_util.tree_map(lambda a, t: a + take * t, acc, p)
+            return (p, s, k, acc), -loss
+
+        (params, _, _, acc), trace = jax.lax.scan(
+            step, (params, opt_state, jax.random.PRNGKey(seed), acc),
+            jnp.arange(n_steps))
+        n_avg = max(n_steps - avg_from, 1)
+        params = jax.tree_util.tree_map(lambda a: a / n_avg, acc)
+        return params, trace
+
+    params, trace = jax.jit(run)(params, jax.random.PRNGKey(seed), data)
+
+    # ---- evaluation draws: summaries + IS evidence + Pareto-k ---------
+    def evaluate(p, key, data):
+        eps = jax.random.normal(key, (int(n_eval), d), dtype)
+        chol = build_l(p)
+        z = p["mu"][None, :] + eps @ chol.T
+        theta = jax.vmap(theta_of_z)(z)
+        lp = jax.vmap(logp_z, in_axes=(0, None))(z, data)
+        # log q(z) for the reparameterized draws: eps is the whitened
+        # residual by construction.
+        logq = -0.5 * jnp.sum(eps * eps, axis=1) \
+            - 0.5 * d * _LOG_2PI - jnp.sum(jnp.log(jnp.diag(chol)))
+        return theta, lp - logq
+
+    theta, lw = jax.jit(evaluate)(params, jax.random.PRNGKey(seed + 1), data)
+    theta = np.asarray(theta, np.float64)
+    lw = np.asarray(lw, np.float64)
+
+    mean_vec = theta.mean(axis=0)
+    cov = np.atleast_2d(np.cov(theta.T))
+    mean = {k: float(mean_vec[i]) for i, k in enumerate(keys)}
+    sd = {k: float(math.sqrt(max(cov[i, i], 0.0))) for i, k in enumerate(keys)}
+
+    elbo = log_z = log_z_err = None
+    if spec is not None:
+        elbo = float(np.mean(lw)) - log_v
+        log_z = _logmeanexp(lw) - log_v
+        n_b = 8
+        per = lw.size // n_b
+        if per >= 2:
+            batched = [_logmeanexp(lw[i * per:(i + 1) * per])
+                       for i in range(n_b)]
+            log_z_err = float(np.std(batched) / math.sqrt(n_b))
+
+    mu_np = np.asarray(params["mu"], np.float64)
+    chol_np = np.asarray(build_l(params), np.float64)
+    return VIResult(
+        keys=tuple(keys), mean=mean, sd=sd, cov=cov,
+        elbo=elbo, log_z=log_z, log_z_error=log_z_err,
+        pareto_k=_pareto_k(lw),
+        elbo_trace=np.asarray(trace, np.float64), rank=rank,
+        n_steps=int(n_steps),
+        _mu=mu_np, _chol=chol_np,
+        _theta_of_z=jax.jit(jax.vmap(theta_of_z)), _dtype=dtype,
+    )

@@ -42,6 +42,8 @@ PACKAGE_NAMES = [
     "make_student_t_likelihood", "make_noise_scale_likelihood",
     "make_x_error_likelihood",
     "profile_likelihood", "ProfileResult",
+    # round-3 surface
+    "advi", "VIResult",
 ]
 
 WALKER_METHODS = [
@@ -65,7 +67,7 @@ WALKER_METHODS = [
     # round-2 verbs
     "laplace_approx", "nested_sample", "posterior_predictive",
     "prior_predictive", "predict", "ppc_pvalue", "ppc_plot",
-    "profile_likelihood", "summary", "metrics", "convergence",
+    "profile_likelihood", "summary", "metrics", "convergence", "advi",
 ]
 
 MODULE_NAMES = {
