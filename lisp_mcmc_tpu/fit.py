@@ -368,7 +368,7 @@ class Walker:
             # through the fused kernel fails to linearize, so they keep
             # the XLA path.
             return None
-        if self.config.kernel in ("stretch", "demc"):
+        if self.config.kernel in ("stretch", "demc", "slice"):
             # The fused kernel is shape-specialized to the full ensemble;
             # the red-black kernels evaluate half-ensembles, so they keep
             # the XLA path (a structured batched posterior still works via
@@ -535,11 +535,11 @@ class Walker:
                 "walker history; run with collect_history=True (or another "
                 "auto mode)"
             )
-        if cfg.kernel in ("stretch", "demc") and not cfg.greedy:
+        if cfg.kernel in ("stretch", "demc", "slice") and not cfg.greedy:
             # Pure ensemble moves CANNOT create spread they do not have:
             # a coordinate every walker agrees on exactly stays frozen
             # forever (stretch: prop_c = x_j,c + z (x_k,c - x_j,c) =
-            # x_k,c; demc: the donor difference is 0), with acceptance
+            # x_k,c; demc/slice: the donor difference is 0), with acceptance
             # pinned at 1 — a fit that silently does nothing.  The two
             # ways to get there are walker_jitter=0 creation and
             # reset_to_most_likely(); both are caught here, per
@@ -969,6 +969,12 @@ class Walker:
         adaptation-free robustness via walker-pair differences, with
         full-rank step directions that hold up at higher d and a
         gamma=1 mode-jump move for multimodal posteriors).
+        ``kernel="slice"`` runs ensemble slice sampling (Karamanis &
+        Beutler 2021): demc's pair-difference directions with Neal
+        stepping-out/shrinkage instead of an MH rejection — every step
+        lands in the slice, at a few posterior evaluations per step;
+        the strongest gradient-free per-step mixing when evaluations
+        are cheap.
         """
         prev_config = self.config
         self.config = dataclasses.replace(self.config, kernel=kernel)

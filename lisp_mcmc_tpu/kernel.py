@@ -104,6 +104,13 @@ class FitConfig:
                                          # DIRECTION is a genuine ensemble-covariance
                                          # draw, so it holds up at high d where the
                                          # stretch move's single-line proposals thin out)
+                                         # | "slice" (ensemble slice sampling, Karamanis-
+                                         # Beutler 2021 red-black: Neal stepping-out +
+                                         # shrinkage along a walker-pair difference
+                                         # direction — gradient-free AND scale-free like
+                                         # demc, but rejection-free: every step lands in
+                                         # the slice, at the cost of a few posterior
+                                         # evals per step)
     stretch_a: float = 2.0               # stretch-move scale a (z ~ g(z) on [1/a, a]);
                                          # lower toward 1 if acceptance collapses at high d
     demc_gamma: float = 0.0              # demc base scale; 0 = the 2.38/sqrt(2d)
@@ -115,6 +122,24 @@ class FitConfig:
                                          # (proposes the full difference vector — lets
                                          # walkers hop between modes the scaled move
                                          # cannot reach)
+    slice_mu: float = 1.0                # slice direction scale: eta = mu (x_a - x_b);
+                                         # the pair difference already carries the
+                                         # ensemble covariance, so 1.0 is the zeus
+                                         # default.  Raise if expansion exhausts its
+                                         # budget (acceptance < 1), lower if shrinkage
+                                         # iterates long on cheap posteriors
+    slice_max_expand: int = 4            # stepping-out budget m (Neal 2003 fig 3:
+                                         # J ~ U{0..m-1} left, m-1-J right — the
+                                         # budgeted procedure stays exactly invariant);
+                                         # interval can reach m units of |eta|
+    slice_max_shrink: int = 32           # shrinkage-loop cap; an unfinished walker
+                                         # stays put (counted: acceptance < 1 flags
+                                         # budget pressure).  32 is measured on the
+                                         # flagship's ridge-degenerate post-anneal
+                                         # ensemble: landed 0.80/0.98/0.999 at
+                                         # 16/24/32 for the SAME wall time (the
+                                         # while_loop exits when everyone lands, so
+                                         # headroom only costs when it is used)
     hmc_leapfrog: int = 8                # leapfrog steps per HMC proposal
     hmc_jitter: bool = True              # jitter trajectory length per step over
                                          # [hmc_leapfrog/2, hmc_leapfrog] (breaks
@@ -171,6 +196,13 @@ class FitConfig:
         if not isinstance(self.tempering_betas, tuple):
             object.__setattr__(self, "tempering_betas",
                                tuple(self.tempering_betas))
+        if self.kernel not in ("rwm", "stretch", "demc", "mala", "hmc",
+                               "slice"):
+            # An unknown name would silently fall through to the rwm
+            # dispatch — fail loudly instead.
+            raise ValueError(
+                f"kernel must be one of rwm/stretch/demc/mala/hmc/slice, "
+                f"got {self.kernel!r}")
 
     def steps_to_settle(self, ndim: int) -> int:
         return self.settle_multiplier * max(self.settle_floor, ndim)
@@ -358,7 +390,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     # proposal scale.
     tempered = config.tempering_rungs > 1 and not config.greedy
     if tempered:
-        if config.kernel in ("mala", "stretch", "hmc", "demc"):
+        if config.kernel in ("mala", "stretch", "hmc", "demc", "slice"):
             raise ValueError("parallel tempering is a search phase; use kernel='rwm' "
                              "(sample afterwards with sampling_steps)")
         if group_block is None or n_groups != config.tempering_rungs:
@@ -401,6 +433,12 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     # whose direction distribution IS the ensemble covariance — the
     # pair-difference trick that makes Haario-style adaptation free.
     demc = config.kernel == "demc" and not config.greedy
+    # Ensemble slice sampling (Karamanis & Beutler 2021) rides the same
+    # red-black machinery: the active half slices along walker-pair
+    # DIFFERENCE directions of the complementary half (the differential
+    # move), with Neal's budgeted stepping-out + shrinkage inside the
+    # step — gradient-free, scale-free, and rejection-free.
+    slice_k = config.kernel == "slice" and not config.greedy
 
     def _ensemble_span_check(name: str, b: int) -> None:
         """Ensemble moves live in the affine span of the start ensemble.
@@ -420,7 +458,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                 f"Use > {ndim} (recommended >= {2 * ndim}) walkers per "
                 "group, or the rwm/mala/hmc kernels")
 
-    if stretch or demc:
+    if stretch or demc or slice_k:
         if grouped and group_block is None:
             raise ValueError(
                 f"{config.kernel} kernel needs contiguous equal-size walker "
@@ -766,6 +804,181 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             log_alpha = (lp_prop - lpk) / temp
             acc = jnp.log(jax.random.uniform(ka, lpk.shape, dtype)) < log_alpha
             return prop, lp_prop, acc
+
+        x_lo, l_lo = pos[:, :Bh], lp[:, :Bh]
+        x_hi, l_hi = pos[:, Bh:], lp[:, Bh:]
+        p_lo, lp_lo, a_lo = half(k_lo, x_lo, l_lo, x_hi, _eval_lo, True)
+        x_lo_new = jnp.where(a_lo[..., None], p_lo, x_lo)
+        p_hi, lp_hi, a_hi = half(k_hi, x_hi, l_hi, x_lo_new, _eval_hi, False)
+
+        proposal = jnp.concatenate([p_lo, p_hi], axis=1).reshape(W, ndim)
+        lp_prop = jnp.concatenate([lp_lo, lp_hi], axis=1).reshape(W)
+        accept = jnp.concatenate([a_lo, a_hi], axis=1).reshape(W)
+        new_state, accf, out = _apply_step(
+            state, key, proposal, lp_prop, proposal - state.position, accept, False
+        )
+        return (new_state, accept_counts + accf, force_cold), out
+
+    def one_step_slice(carry, i, data=None):
+        """Ensemble slice step (kernel='slice'), red-black.
+
+        Ensemble slice sampling (Karamanis & Beutler 2021, the "zeus"
+        algorithm; no analogue in the reference — mcmc-fitting.lisp has
+        one MH rule at 1091-1092): each active-half walker draws a
+        DIFFERENCE direction from two distinct complementary-half
+        walkers, eta = mu (x_a - x_b) — the demc differential move, so
+        the direction distribution is the ensemble covariance and the
+        kernel is affine-invariant with nothing to adapt — then runs
+        univariate slice sampling along t in x + t eta on the tempered
+        target:
+
+        1. level:    log y = log pi(x)/T - Exp(1)
+        2. interval: [L, L+1) placed uniformly around t=0, stepped OUT
+           with Neal's (2003, fig 3) budgeted procedure — J ~ U{0..m-1}
+           left expansions, m-1-J right — which is exactly invariant at
+           ANY budget m (the random budget split is what makes the
+           truncated interval reversible).
+        3. shrink:   t ~ U(L, R); accept if inside the slice, else the
+           interval shrinks toward 0 and redraws, up to
+           ``slice_max_shrink`` times.
+
+        Every draw inside the slice is accepted — no MH rejection — so
+        one slice step costs a handful of half-ensemble evaluations
+        (while_loops bound the cost: expansion stops when every walker's
+        interval is bracketed, shrinkage when every walker has landed)
+        and "acceptance" here reports the fraction of walkers whose
+        shrink loop LANDED (stragglers stay put; sustained < 1 means
+        raise the budgets or lower ``slice_mu``).  The red-black order
+        (low half against high, high against the UPDATED low) keeps the
+        move exact, as for stretch/demc; like demc the kernel is
+        statistically but not bitwise sharding-invariant.
+        """
+        state, accept_counts, force_cold = carry
+        dtype = state.position.dtype
+        key, k_lo, k_hi = jax.random.split(state.key, 3)
+        temp = resolve_temp(force_cold, state, dtype)
+
+        W = state.position.shape[0]
+        if grouped and group_block is not None:
+            G, B = n_groups, group_block
+        else:
+            G, B = 1, W
+        if B % 2:
+            raise ValueError(
+                "slice kernel needs an even number of walkers per group"
+            )
+        _ensemble_span_check("slice", B)
+        Bh = B // 2
+        if Bh < 2:
+            raise ValueError(
+                "slice kernel needs >= 4 walkers per group (two distinct "
+                "complementary donors per direction)"
+            )
+        pos = state.position.reshape(G, B, ndim)
+        lp = state.logprob.reshape(G, B)
+        mu = jnp.asarray(config.slice_mu, dtype)
+        m_exp = int(config.slice_max_expand)
+        m_shr = int(config.slice_max_shrink)
+
+        def half(k, xk, lpk, comp, eval_fn, lo: bool):
+            kj, ke, ki, kjk, kshr = jax.random.split(k, 5)
+            # Differential direction from two distinct donors (as demc).
+            j = jax.random.randint(kj, lpk.shape + (2,), 0,
+                                   jnp.asarray([Bh, Bh - 1]))
+            j1 = j[..., 0]
+            j2 = (j1 + 1 + j[..., 1]) % Bh
+            raw = (jnp.take_along_axis(comp, j1[..., None], axis=1)
+                   - jnp.take_along_axis(comp, j2[..., None], axis=1))
+            # Outlier-donor clamp: a straggler-tail pair difference can be
+            # ~1e6x the typical spread, and the shrink loop pays
+            # log2(|eta|/slice width) draws — measured on the flagship's
+            # post-anneal ensemble: unclamped landed fraction 0.67 at
+            # budget 16 and still 0.86 at 64.  Clamping outlier norms to
+            # 3x the group median (a function of the FIXED complementary
+            # half only, so exactness is untouched) restores ~1 at the
+            # default budget without shrinking typical directions.
+            nrm = jnp.linalg.norm(raw, axis=-1)                    # (G,Bh)
+            med = jnp.median(nrm, axis=1, keepdims=True)           # (G,1)
+            floor = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+            clip = jnp.minimum(1.0, 3.0 * med / jnp.maximum(nrm, floor))
+            eta = mu * raw * clip[..., None]
+
+            def eval_at(t):
+                cand = xk + t[..., None] * eta
+                if eval_fn is not None:
+                    lpc = eval_fn(cand.reshape(-1, ndim), data).reshape(lpk.shape)
+                else:
+                    halves = [cand, comp] if lo else [comp, cand]
+                    full = jnp.concatenate(halves, axis=1).reshape(-1, ndim)
+                    lp_full = batched_posterior(full, data).reshape(G, B)
+                    lpc = lp_full[:, :Bh] if lo else lp_full[:, Bh:]
+                return jnp.where(jnp.isfinite(lpc), lpc, _neg_floor(dtype))
+
+            # Slice level on the tempered target.
+            e = -jnp.log(jax.random.uniform(ke, lpk.shape, dtype))
+            log_y = lpk / temp - e
+
+            # Unit interval placed uniformly around t=0; Neal budget split.
+            u0 = jax.random.uniform(ki, lpk.shape, dtype)
+            L = -u0
+            R = L + 1.0
+            if m_exp > 1:
+                jmax = jax.random.randint(kjk, lpk.shape, 0, m_exp)
+                kmax = (m_exp - 1) - jmax
+
+                def expand_body(c):
+                    L, R, jb, kb, it = c
+                    lp_l = eval_at(L)
+                    lp_r = eval_at(R)
+                    grow_l = (jb > 0) & (lp_l / temp > log_y)
+                    grow_r = (kb > 0) & (lp_r / temp > log_y)
+                    L = jnp.where(grow_l, L - 1.0, L)
+                    R = jnp.where(grow_r, R + 1.0, R)
+                    # Budget zeroes on the first non-grow: the while-loop
+                    # semantics of Neal's procedure, not a running mask.
+                    jb = jnp.where(grow_l, jb - 1, 0)
+                    kb = jnp.where(grow_r, kb - 1, 0)
+                    return (L, R, jb, kb, it + 1)
+
+                def expand_cond(c):
+                    _, _, jb, kb, it = c
+                    return ((it < m_exp - 1)
+                            & (jnp.any(jb > 0) | jnp.any(kb > 0)))
+
+                L, R, _, _, _ = lax.while_loop(
+                    expand_cond, expand_body,
+                    (L, R, jmax, kmax, jnp.asarray(0, jnp.int32)))
+
+            # Shrinkage: t_sel starts at 0 (== stay at x) and lp_sel at
+            # the current logprob, so budget stragglers degrade to a
+            # rejected step instead of leaving the slice.
+            def shrink_body(c):
+                Lh, Rh, t_sel, lp_sel, done, ks, it = c
+                ks, k1 = jax.random.split(ks)
+                u = jax.random.uniform(k1, lpk.shape, dtype)
+                t = Lh + u * (Rh - Lh)
+                lpc = eval_at(t)
+                ok = lpc / temp > log_y
+                newly = ok & ~done
+                t_sel = jnp.where(newly, t, t_sel)
+                lp_sel = jnp.where(newly, lpc, lp_sel)
+                still = ~(done | ok)
+                Lh = jnp.where(still & (t < 0.0), t, Lh)
+                Rh = jnp.where(still & (t >= 0.0), t, Rh)
+                return (Lh, Rh, t_sel, lp_sel, done | ok, ks, it + 1)
+
+            def shrink_cond(c):
+                done, it = c[4], c[6]
+                return (it < m_shr) & ~jnp.all(done)
+
+            _, _, t_sel, lp_sel, done, _, _ = lax.while_loop(
+                shrink_cond, shrink_body,
+                (L, R, jnp.zeros_like(lpk), lpk,
+                 jnp.zeros(lpk.shape, bool), kshr,
+                 jnp.asarray(0, jnp.int32)))
+
+            prop = xk + t_sel[..., None] * eta
+            return prop, lp_sel, done
 
         x_lo, l_lo = pos[:, :Bh], lp[:, :Bh]
         x_hi, l_hi = pos[:, Bh:], lp[:, Bh:]
@@ -1415,7 +1628,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         ones = jnp.ones_like(accept_counts)
         group_total = jnp.maximum(seg_sum(ones) * chunk, 1.0)   # (G,)
         group_accept = seg_sum(accept_counts) / group_total     # (G,)
-        if stretch or demc:
+        if stretch or demc or slice_k:
             # Affine invariance: nothing to adapt.  Clear any moments
             # carried in from an earlier rwm phase so a later refresh
             # never sees stale displacement statistics.
@@ -1503,7 +1716,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             )
         else:
             plain_step = (one_step_stretch if stretch
-                          else one_step_demc if demc else one_step)
+                          else one_step_demc if demc
+                          else one_step_slice if slice_k else one_step)
             (state, accept_counts, _), trace = lax.scan(
                 lambda carry, i: plain_step(carry, i, data),
                 (state, zero_counts, force_cold), jnp.arange(chunk)
@@ -1532,6 +1746,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             step = one_step_stretch
         elif demc:
             step = one_step_demc
+        elif slice_k:
+            step = one_step_slice
         else:
             step = one_step
 
