@@ -1,12 +1,13 @@
-"""Four evidence estimators, one fit, one convention — the headline
+"""Five evidence estimators, one fit, one convention — the headline
 cross-check (examples/modern_workflow.py) pinned in CI.
 
-Ladder stepping-stone, tempered SMC, Laplace, and nested sampling all
-estimate log[(∫_box L)/V]; on a smooth unimodal Gaussian-peak fit they
-must mutually agree.  Each pair has DIFFERENT failure modes (ladder:
-schedule/rungs; SMC: resampling noise; Laplace: non-Gaussianity;
-nested: refill correlation), so four-way agreement is strong evidence
-none of them is silently broken.
+Ladder stepping-stone, tempered SMC, Laplace, nested sampling, and ADVI
+importance sampling all estimate log[(∫_box L)/V]; on a smooth unimodal
+Gaussian-peak fit they must mutually agree.  Each pair has DIFFERENT
+failure modes (ladder: schedule/rungs; SMC: resampling noise; Laplace:
+non-Gaussianity; nested: refill correlation; ADVI: variational-family
+mismatch, guarded by Pareto-k), so five-way agreement is strong
+evidence none of them is silently broken.
 """
 
 import numpy as np
@@ -51,6 +52,12 @@ def test_four_estimators_agree(peak_fit):
     ladder = w.log_evidence(n_steps=10000, rungs=16, t_max=1e4)
     assert ladder.log_z == pytest.approx(lap.log_z, abs=2.5)
 
-    # All four within a tight absolute band of each other.
-    zs = [lap.log_z, ns.log_z, smc.log_z, ladder.log_z]
+    # The 5th estimator: ADVI's Pareto-k-guarded importance sampling.
+    vi = w.advi(n_steps=1200, seed=2)
+    assert vi.converged_evidence
+    assert vi.log_z == pytest.approx(lap.log_z, abs=0.5)
+    assert vi.elbo <= vi.log_z + 3 * (vi.log_z_error or 0.0) + 1e-6
+
+    # All five within a tight absolute band of each other.
+    zs = [lap.log_z, ns.log_z, smc.log_z, ladder.log_z, vi.log_z]
     assert max(zs) - min(zs) < 3.0, zs
