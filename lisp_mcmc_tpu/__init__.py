@@ -43,7 +43,7 @@ from .evidence import (EvidenceResult, LaplaceResult, laplace_approx,
                        log_bayes_factor, log_evidence)
 from .nested import NestedResult, nested_sample
 from .profile import ProfileResult, profile_likelihood
-from .variational import VIResult, advi
+from .variational import VIResult, advi, advi_per_dataset
 from .smc import SMCResult, smc_sample
 from .expressions import (
     expression_credible_interval,
@@ -133,6 +133,7 @@ __all__ = [
     "profile_likelihood",
     "VIResult",
     "advi",
+    "advi_per_dataset",
     "SMCResult",
     "PriorSpec",
     "Uniform",

@@ -362,6 +362,19 @@ class BatchedFit(Walker):
         out["per_dataset"] = per
         return out
 
+    def advi_per_dataset(self, *args, **kwargs) -> list:
+        """S per-dataset ADVI fits as ONE vmapped scan (``variational``).
+
+        The variational sibling of :meth:`laplace_per_dataset`: every
+        dataset block fits its own Gaussian q (initialized from its own
+        walkers) in a single device program; each returned
+        :class:`~lisp_mcmc_tpu.VIResult` carries its own
+        Pareto-k-guarded ``log_z``.
+        """
+        from .variational import advi_per_dataset
+
+        return advi_per_dataset(self, *args, **kwargs)
+
     def laplace_per_dataset(self, bounds=None, prior=None,
                             eig_floor: float = 1e-12):
         """Per-dataset Laplace approximations from ONE vmapped Hessian.

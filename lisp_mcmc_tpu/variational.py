@@ -55,7 +55,7 @@ import math
 
 import numpy as np
 
-__all__ = ["VIResult", "advi"]
+__all__ = ["VIResult", "advi", "advi_per_dataset"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -236,8 +236,9 @@ def advi(walker, prior=None, bounds=None, rank: str = "full",
 
     if getattr(walker, "aux", None) is not None:
         raise ValueError("advi: grouped/aux ensembles have no single "
-                         "posterior surface; fit per-dataset walkers "
-                         "(BatchedFit.dataset_view)")
+                         "posterior surface; use "
+                         "BatchedFit.advi_per_dataset (one vmapped scan "
+                         "fits every dataset's q)")
     if n_steps <= 0 or n_samples <= 0:
         raise ValueError("n_steps and n_samples must be positive")
 
@@ -400,3 +401,188 @@ def advi(walker, prior=None, bounds=None, rank: str = "full",
         _mu=mu_np, _chol=chol_np,
         _theta_of_z=jax.jit(jax.vmap(theta_of_z)), _dtype=dtype,
     )
+
+
+def advi_per_dataset(fit, prior=None, bounds=None, rank: str = "full",
+                     n_steps: int = 1500, n_samples: int = 8,
+                     learning_rate: float = 0.05, n_eval: int = 1024,
+                     seed: int = 0) -> list:
+    """S per-dataset ADVI fits as ONE vmapped program.
+
+    The batched counterpart of :func:`advi` and the variational sibling
+    of :meth:`BatchedFit.laplace_per_dataset`: every dataset block gets
+    its own Gaussian q (initialized from its OWN walker block's
+    z-moments), and all S optimizations run as a single
+    ``vmap(lax.scan)`` — the per-dataset ELBO gradients batch into the
+    same fused device program the ensemble kernel uses, so S spectra
+    cost one program launch, not S.  Gradient clipping and Adam state
+    live inside the vmapped axis (per dataset), never pooled.
+
+    ``prior``/``bounds`` resolve like the scalar verb (shared across
+    datasets — the scan-grid convention of ``laplace_per_dataset``).
+    Returns a list of S :class:`VIResult`; each carries its own
+    ``log_z`` / ``pareto_k`` guard, so a scan-grid model comparison is
+    ``[r.log_z for r in results]`` with per-spectrum trust flags.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .priors import Uniform, resolve_prior_spec
+
+    if getattr(fit, "n_datasets", None) is None:
+        raise ValueError("advi_per_dataset needs a BatchedFit")
+    if n_steps <= 0 or n_samples <= 0:
+        raise ValueError("n_steps and n_samples must be positive")
+
+    keys = list(fit.spec.keys)
+    d = len(keys)
+    dtype = fit.dtype
+    data = fit._posterior_data()
+    S = int(fit.n_datasets)
+    spec = resolve_prior_spec(fit, prior, bounds)
+    if spec is not None:
+        missing = [k for k in keys if k not in spec]
+        if missing:
+            raise ValueError(f"advi_per_dataset: prior/bounds missing "
+                             f"{missing}")
+
+    pos = np.asarray(fit.state.position, np.float64).reshape(S, -1, d)
+
+    if spec is not None:
+        def theta_of_z(z, s):
+            u = jax.nn.sigmoid(z)
+            return spec.transform(u, keys)
+
+        u0 = np.clip(np.asarray(
+            spec.inverse(pos.reshape(-1, d), keys), np.float64),
+            1e-9, 1.0 - 1e-9).reshape(S, -1, d)
+        z0 = np.log(u0) - np.log1p(-u0)
+        log_v = float(sum(math.log(spec[k].high - spec[k].low)
+                          for k in keys if isinstance(spec[k], Uniform)))
+        scales = None
+    else:
+        from .fit import _nonzero_scales
+
+        scales = np.stack([_nonzero_scales(np.median(np.abs(pos[s]), axis=0))
+                           for s in range(S)])
+
+        def theta_of_z(z, s):
+            return jnp.asarray(scales, z.dtype)[s] * z
+
+        z0 = pos / scales[:, None, :]
+        log_v = 0.0
+
+    def logp_z(z, s, data):
+        jac = jax.jacfwd(lambda zz: theta_of_z(zz, s))(z)
+        _, ld = jnp.linalg.slogdet(jac)
+        lp = fit._custom_log_post(theta_of_z(z, s), s, data) + ld
+        return jnp.where(jnp.isfinite(lp), lp, jnp.asarray(-1e12, lp.dtype))
+
+    build_l, entropy = _build_q(rank, d)
+
+    # Per-dataset z-space moment init from each walker block.
+    mu0 = z0.mean(axis=1)                                        # (S, d)
+    sd0 = np.maximum(z0.std(axis=1, ddof=1), 1e-3)               # (S, d)
+    params = {"mu": jnp.asarray(mu0, dtype),
+              "raw": jnp.asarray(np.log(sd0), dtype)}
+    if rank == "full":
+        lows = []
+        for s in range(S):
+            cov0 = np.atleast_2d(np.cov(z0[s].T)) \
+                + np.diag(1e-6 * sd0[s] ** 2)
+            try:
+                l0 = np.linalg.cholesky(cov0)
+            except np.linalg.LinAlgError:
+                l0 = np.diag(sd0[s])
+            lows.append(l0)
+        l0 = np.stack(lows)
+        params = {"mu": params["mu"],
+                  "raw": jnp.asarray(
+                      np.log(np.diagonal(l0, axis1=1, axis2=2)), dtype),
+                  "low": jnp.asarray(np.tril(l0, k=-1), dtype)}
+
+    n_mc = int(n_samples)
+    sched = optax.cosine_decay_schedule(learning_rate, max(n_steps, 1),
+                                        alpha=0.05)
+    opt = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(sched))
+    avg_from = int(0.75 * n_steps)
+
+    def run_one(params, key, s):
+        def neg_elbo(p, k):
+            eps = jax.random.normal(k, (n_mc, d), dtype)
+            z = p["mu"][None, :] + eps @ build_l(p).T
+            lp = jax.vmap(logp_z, in_axes=(0, None, None))(z, s, data)
+            return -(jnp.mean(lp) + entropy(p))
+
+        opt_state = opt.init(params)
+        acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def step(carry, i):
+            p, st, k, acc = carry
+            k, sub = jax.random.split(k)
+            loss, g = jax.value_and_grad(neg_elbo)(p, sub)
+            g = jax.tree_util.tree_map(
+                lambda t: jnp.where(jnp.isfinite(t), t, 0.0), g)
+            upd, st = opt.update(g, st, p)
+            p = optax.apply_updates(p, upd)
+            take = (i >= avg_from).astype(p["mu"].dtype)
+            acc = jax.tree_util.tree_map(lambda a, t: a + take * t, acc, p)
+            return (p, st, k, acc), -loss
+
+        (params, _, _, acc), trace = jax.lax.scan(
+            step, (params, opt_state, key, acc), jnp.arange(n_steps))
+        params = jax.tree_util.tree_map(
+            lambda a: a / max(n_steps - avg_from, 1), acc)
+
+        # Evaluation draws (inside the same vmapped program).
+        k_eval = jax.random.fold_in(key, 1)
+        eps = jax.random.normal(k_eval, (int(n_eval), d), dtype)
+        chol = build_l(params)
+        z = params["mu"][None, :] + eps @ chol.T
+        theta = jax.vmap(theta_of_z, in_axes=(0, None))(z, s)
+        lp = jax.vmap(logp_z, in_axes=(0, None, None))(z, s, data)
+        logq = -0.5 * jnp.sum(eps * eps, axis=1) \
+            - 0.5 * d * _LOG_2PI - jnp.sum(jnp.log(jnp.diag(chol)))
+        return params, trace, theta, lp - logq
+
+    run_keys = jax.vmap(jax.random.PRNGKey)(
+        seed + jnp.arange(S, dtype=jnp.uint32))
+    params, traces, thetas, lws = jax.jit(jax.vmap(
+        run_one, in_axes=(0, 0, 0)))(params, run_keys,
+                                     jnp.arange(S, dtype=jnp.int32))
+
+    thetas = np.asarray(thetas, np.float64)
+    lws = np.asarray(lws, np.float64)
+    traces = np.asarray(traces, np.float64)
+    mus = np.asarray(params["mu"], np.float64)
+    chols = np.asarray(jax.vmap(build_l)(params), np.float64)
+
+    results = []
+    for s in range(S):
+        theta, lw = thetas[s], lws[s]
+        mean_vec = theta.mean(axis=0)
+        cov = np.atleast_2d(np.cov(theta.T))
+        mean = {k: float(mean_vec[i]) for i, k in enumerate(keys)}
+        sd = {k: float(math.sqrt(max(cov[i, i], 0.0)))
+              for i, k in enumerate(keys)}
+        elbo = log_z = log_z_err = None
+        if spec is not None:
+            elbo = float(np.mean(lw)) - log_v
+            log_z = _logmeanexp(lw) - log_v
+            per = lw.size // 8
+            if per >= 2:
+                batched = [_logmeanexp(lw[i * per:(i + 1) * per])
+                           for i in range(8)]
+                log_z_err = float(np.std(batched) / math.sqrt(8))
+        import jax as _jax
+        theta_map = _jax.jit(_jax.vmap(
+            lambda z, _s=s: theta_of_z(z, _s)))
+        results.append(VIResult(
+            keys=tuple(keys), mean=mean, sd=sd, cov=cov,
+            elbo=elbo, log_z=log_z, log_z_error=log_z_err,
+            pareto_k=_pareto_k(lw), elbo_trace=traces[s], rank=rank,
+            n_steps=int(n_steps), _mu=mus[s], _chol=chols[s],
+            _theta_of_z=theta_map, _dtype=dtype,
+        ))
+    return results

@@ -43,7 +43,7 @@ PACKAGE_NAMES = [
     "make_x_error_likelihood",
     "profile_likelihood", "ProfileResult",
     # round-3 surface
-    "advi", "VIResult",
+    "advi", "advi_per_dataset", "VIResult",
 ]
 
 WALKER_METHODS = [

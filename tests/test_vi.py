@@ -135,3 +135,52 @@ def test_advi_rejects_grouped_and_bad_args():
         w.advi(rank="banana")
     with pytest.raises(ValueError):
         w.advi(n_steps=0)
+
+
+def test_advi_per_dataset_batched():
+    """S per-dataset q's from ONE vmapped scan: each block's ADVI must
+    match ITS OWN dataset's Laplace evidence/mean (the per-dataset
+    toolchain convention), and a grouped fit must refuse the scalar
+    verb with a pointer here."""
+    rng = np.random.default_rng(3)
+    x = np.linspace(0.0, 2.0, 40)
+    slopes = [0.5, -1.2]
+    ds = [(x, 1.0 + m * x + SIGMA * rng.standard_normal(x.size))
+          for m in slopes]
+    fit = mfit.BatchedFit(
+        line, ds, {"b": 1.0, "m": 0.2}, data_error=SIGMA,
+        walkers_per_dataset=64, seed=0, walker_jitter=0.1,
+        log_prior=mfit.make_bounds_prior(BOUNDS))
+    fit.adaptive_steps(4000, auto=None)
+
+    with pytest.raises(ValueError, match="advi_per_dataset"):
+        fit.advi(n_steps=100)
+
+    res = fit.advi_per_dataset(n_steps=1200, n_samples=8, seed=5)
+    assert len(res) == 2
+    fit.optimize(300, rounds=2)
+    laps = fit.laplace_per_dataset()
+    for s, (vi, lap, m_true) in enumerate(zip(res, laps, slopes)):
+        assert vi.mean["m"] == pytest.approx(m_true, abs=0.05)
+        assert vi.log_z == pytest.approx(lap.log_z, abs=0.15), s
+        assert vi.converged_evidence
+        assert vi.elbo_trace.shape == (1200,)
+    # The two datasets genuinely differ — no cross-block leakage.
+    assert abs(res[0].mean["m"] - res[1].mean["m"]) > 1.0
+
+
+def test_advi_per_dataset_without_spec():
+    """No resolvable prior: per-dataset q still fits (whitened space),
+    evidence fields are None."""
+    rng = np.random.default_rng(7)
+    x = np.linspace(0.0, 2.0, 30)
+    ds = [(x, 1.0 + 0.5 * x + SIGMA * rng.standard_normal(x.size)),
+          (x, 1.0 + 0.8 * x + SIGMA * rng.standard_normal(x.size))]
+    fit = mfit.BatchedFit(
+        line, ds, {"b": 1.0, "m": 0.5}, data_error=SIGMA,
+        walkers_per_dataset=64, seed=1, walker_jitter=0.1)
+    fit.adaptive_steps(3000, auto=None)
+    res = fit.advi_per_dataset(n_steps=800, seed=2)
+    assert [r.log_z for r in res] == [None, None]
+    assert res[0].mean["m"] == pytest.approx(0.5, abs=0.1)
+    assert res[1].mean["m"] == pytest.approx(0.8, abs=0.1)
