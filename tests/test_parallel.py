@@ -153,6 +153,33 @@ def test_sharded_demc_statistically_matches_single_device(mesh):
     np.testing.assert_allclose(p1.std(axis=0), p2.std(axis=0), rtol=0.5)
 
 
+def test_sharded_slice_statistically_matches_single_device(mesh):
+    """The slice kernel's in-step while_loops (jnp.any/jnp.all over the
+    walker axis become cross-shard reductions under GSPMD) must compile
+    and step correctly sharded.  Like demc it is statistically but not
+    bitwise sharding-invariant; assert the statistical contract plus
+    the rejection-free property surviving the partitioning."""
+    import dataclasses
+
+    w = _make_walker(64)
+    config = dataclasses.replace(w.config, kernel="slice")
+    run, _ = build_chunk_runner(w._log_post_one, w.ndim, config,
+                                takes_data=True)
+    step = jax.jit(run)
+    data = w._posterior_data()
+
+    s1, o1 = step(w.state, True, True, False, data)
+    s2, o2 = step(shard_state(w.state, mesh), True, True, False, data)
+
+    assert np.isfinite(np.asarray(s2.position)).all()
+    assert float(o2["accept_rate"]) > 0.9     # rejection-free, sharded
+    assert float(o2["accept_rate"]) == pytest.approx(
+        float(o1["accept_rate"]), abs=0.05)
+    p1, p2 = np.asarray(s1.position), np.asarray(s2.position)
+    np.testing.assert_allclose(p1.mean(axis=0), p2.mean(axis=0), atol=0.05)
+    np.testing.assert_allclose(p1.std(axis=0), p2.std(axis=0), rtol=0.5)
+
+
 def test_sharded_adaptive_fit(mesh):
     """A full sharded fit converges like the single-device one."""
     w = _make_walker(64).shard(mesh)
