@@ -128,7 +128,8 @@ def run_kernel(w, kernel, measure_chunks=10, adapt_chunks=30):
 def main():
     args = sys.argv[1:]
     scenario = args[0] if args else "flagship"
-    kernels = args[1:] or ["rwm", "stretch", "demc", "slice", "mala", "hmc"]
+    kernels = args[1:] or ["rwm", "stretch", "demc", "slice", "mala", "hmc",
+                           "chees"]
     w = make_flagship() if scenario == "flagship" else make_d48()
     print(f"# scenario={scenario} W={w.n_walkers} d={w.ndim}")
     for k in kernels:

@@ -304,6 +304,7 @@ def _dump_state(walker, take):
         "m_count": np.asarray(state.m_count),
         "age": np.asarray(state.age),
         "anneal_step": np.asarray(state.anneal_step),
+        "chees": np.asarray(state.chees),
     }
     hist_pos, hist_lp = walker._history(take)
     arrays["history_positions"] = hist_pos
@@ -337,6 +338,13 @@ def _restore_state(walker, arrays, header, dtype):
         m_count=jnp.asarray(arrays["m_count"], dtype),
         age=jnp.asarray(arrays["age"], jnp.int32),
         anneal_step=jnp.asarray(arrays.get("anneal_step", 0), jnp.int32),
+        # Pre-chees checkpoints restore with a fresh (zeroed) trajectory
+        # state: t restarts at hmc_leapfrog, which is the old behavior.
+        chees=jnp.asarray(
+            arrays.get(
+                "chees",
+                np.zeros((np.asarray(arrays["l_matrix"]).shape[0], 4))),
+            dtype),
     )
     walker._hist_positions = (
         [arrays["history_positions"]] if arrays["history_positions"].size else []

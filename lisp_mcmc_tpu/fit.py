@@ -363,7 +363,7 @@ class Walker:
         impl = self.config.posterior_impl
         if impl != "pallas" or self._custom_log_post is not None or self.aux is not None:
             return None
-        if self.config.kernel in ("mala", "hmc"):
+        if self.config.kernel in ("mala", "hmc", "chees"):
             # pallas_call has no autodiff rule: the gradient kernels' vjp
             # through the fused kernel fails to linearize, so they keep
             # the XLA path.
@@ -838,6 +838,7 @@ class Walker:
             m_sum=jnp.zeros((K, d), self.dtype),
             m_outer=jnp.zeros((K, d, d), self.dtype),
             m_count=jnp.zeros((K,), self.dtype),
+            chees=jnp.zeros((K, 4), self.dtype),
         )
         self.config = dataclasses.replace(
             self.config,
@@ -891,7 +892,29 @@ class Walker:
                 m_sum=jnp.zeros((1, d), self.dtype),
                 m_outer=jnp.zeros((1, d, d), self.dtype),
                 m_count=jnp.zeros((1,), self.dtype),
+                chees=jnp.zeros((1, 4), self.dtype),
             )
+
+    def chees_trajectory(self) -> dict:
+        """ChEES-HMC trajectory-length diagnostics (``kernel="chees"``).
+
+        Returns ``{"leapfrog": (G,), "budget": int, "at_cap": bool}`` —
+        the adapted expected trajectory length per adaptation group in
+        leapfrog units (``t``; each step integrates ``ceil(U(0,1) * t)``
+        steps, so the mean cost is ``t/2`` gradient evaluations), the
+        ``chees_max_leapfrog`` cap, and whether any group is pinned
+        within 1% of it (raise the cap if so).  Before any chees steps
+        the length reads the ``hmc_leapfrog`` starting value.
+        """
+        t_init = float(max(1, self.config.hmc_leapfrog))
+        off = np.asarray(self.state.chees)[:, 0]
+        t = t_init * np.exp(off)
+        budget = int(self.config.chees_max_leapfrog)
+        return {
+            "leapfrog": t,
+            "budget": budget,
+            "at_cap": bool(np.any(t >= 0.99 * budget)),
+        }
 
     def swap_rates(self) -> dict:
         """Replica-exchange diagnostics of the last tempered run.
@@ -974,7 +997,11 @@ class Walker:
         stepping-out/shrinkage instead of an MH rejection — every step
         lands in the slice, at a few posterior evaluations per step;
         the strongest gradient-free per-step mixing when evaluations
-        are cheap.
+        are cheap.  ``kernel="chees"`` runs ChEES-HMC (Hoffman et al.
+        2021): HMC whose trajectory length self-tunes on device by
+        ensemble gradient ascent of the ChEES criterion — pick it over
+        ``"hmc"`` when you don't want to guess ``hmc_leapfrog``
+        (inspect the adapted length with :meth:`chees_trajectory`).
         """
         prev_config = self.config
         self.config = dataclasses.replace(self.config, kernel=kernel)

@@ -111,6 +111,15 @@ class FitConfig:
                                          # demc, but rejection-free: every step lands in
                                          # the slice, at the cost of a few posterior
                                          # evals per step)
+                                         # | "chees" (ChEES-HMC, Hoffman-Radul-Sountsov
+                                         # 2021: HMC whose trajectory LENGTH self-tunes
+                                         # by on-device gradient ascent of the ChEES
+                                         # criterion over the ensemble — the
+                                         # SIMD-hardware answer to NUTS, whose recursive
+                                         # tree doubling cannot batch.  Per step every
+                                         # walker runs the SAME jittered leapfrog count,
+                                         # so the bounded while_loop pays only the steps
+                                         # actually taken; hmc_leapfrog seeds t)
     stretch_a: float = 2.0               # stretch-move scale a (z ~ g(z) on [1/a, a]);
                                          # lower toward 1 if acceptance collapses at high d
     demc_gamma: float = 0.0              # demc base scale; 0 = the 2.38/sqrt(2d)
@@ -140,10 +149,20 @@ class FitConfig:
                                          # 16/24/32 for the SAME wall time (the
                                          # while_loop exits when everyone lands, so
                                          # headroom only costs when it is used)
-    hmc_leapfrog: int = 8                # leapfrog steps per HMC proposal
+    hmc_leapfrog: int = 8                # leapfrog steps per HMC proposal; also the
+                                         # INITIAL trajectory length (in leapfrog
+                                         # units) for kernel='chees'
     hmc_jitter: bool = True              # jitter trajectory length per step over
                                          # [hmc_leapfrog/2, hmc_leapfrog] (breaks
                                          # resonant orbits, Neal 2011 5.4.3.2)
+    chees_max_leapfrog: int = 64         # chees trajectory-length budget (hard cap
+                                         # on leapfrog steps per proposal; the
+                                         # bounded while_loop's worst case).  The
+                                         # adapted length t lives in [1, budget] —
+                                         # raise it if Walker.chees_trajectory()
+                                         # reports t pinned at the cap
+    chees_lr: float = 0.025              # Adam learning rate on log t (the ChEES
+                                         # paper's setting, Hoffman et al. 2021)
     rescue: bool = True                  # gradient kernels: independence-MH regeneration
                                          # round at chunk boundaries (teleports walkers
                                          # frozen by huge gradients back into the typical
@@ -197,12 +216,12 @@ class FitConfig:
             object.__setattr__(self, "tempering_betas",
                                tuple(self.tempering_betas))
         if self.kernel not in ("rwm", "stretch", "demc", "mala", "hmc",
-                               "slice"):
+                               "slice", "chees"):
             # An unknown name would silently fall through to the rwm
             # dispatch — fail loudly instead.
             raise ValueError(
-                f"kernel must be one of rwm/stretch/demc/mala/hmc/slice, "
-                f"got {self.kernel!r}")
+                f"kernel must be one of rwm/stretch/demc/mala/hmc/slice/"
+                f"chees, got {self.kernel!r}")
 
     def steps_to_settle(self, ndim: int) -> int:
         return self.settle_multiplier * max(self.settle_floor, ndim)
@@ -234,6 +253,10 @@ class WalkerState:
     m_count: Any           # (G,)   accepted moves per group
     age: Any               # ()     lifetime steps (walker-age, 473)
     anneal_step: Any = 0   # ()     per-run annealing index (reference's i, 919)
+    chees: Any = 0         # (G, 4) ChEES trajectory-length adaptation state per
+                           # group: [log(t / hmc_leapfrog), adam_m, adam_v,
+                           # adam_step].  Zeros = fresh start at t=hmc_leapfrog;
+                           # only kernel='chees' reads or writes it.
 
 
 def init_state(key, position, logprob, l_matrix, n_groups: int = 1) -> WalkerState:
@@ -258,6 +281,7 @@ def init_state(key, position, logprob, l_matrix, n_groups: int = 1) -> WalkerSta
         m_count=jnp.zeros((n_groups,), dtype),
         age=jnp.zeros((), jnp.int32),
         anneal_step=jnp.zeros((), jnp.int32),
+        chees=jnp.zeros((n_groups, 4), dtype),
     )
 
 
@@ -296,7 +320,7 @@ def resolve_accept_band(config: FitConfig) -> tuple[float, float]:
     if not config.greedy and (low, high) == (0.2, 0.4):
         if config.kernel == "mala":
             return 0.45, 0.7
-        if config.kernel == "hmc":
+        if config.kernel in ("hmc", "chees"):
             return 0.55, 0.85
     return low, high
 
@@ -390,7 +414,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     # proposal scale.
     tempered = config.tempering_rungs > 1 and not config.greedy
     if tempered:
-        if config.kernel in ("mala", "stretch", "hmc", "demc", "slice"):
+        if config.kernel in ("mala", "stretch", "hmc", "demc", "slice",
+                             "chees"):
             raise ValueError("parallel tempering is a search phase; use kernel='rwm' "
                              "(sample afterwards with sampling_steps)")
         if group_block is None or n_groups != config.tempering_rungs:
@@ -505,7 +530,11 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
 
     mala = config.kernel == "mala" and not config.greedy
     hmc = config.kernel == "hmc" and not config.greedy
-    if mala or hmc:
+    chees = config.kernel == "chees" and not config.greedy
+    # Everything the gradient kernels share (autodiff surface, typical-set
+    # covariance refresh, step-size steering, independence rescue).
+    gradk = mala or hmc or chees
+    if gradk:
         # Per-walker value+gradient of the posterior (the autodiff surface
         # the Lisp reference could never have).
         if batched_posterior is not None:
@@ -589,6 +618,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             m_count=m_count,
             age=state.age + 1,
             anneal_step=state.anneal_step + 1,
+            chees=state.chees,
         )
         out = {
             "logprob_max": jnp.max(new_logprob),
@@ -1119,6 +1149,149 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         new_grad = jnp.where(accept[:, None], g1, g)
         return (new_state, accept_counts + accf, force_cold, new_grad), out
 
+    def one_step_chees(carry, i, data=None):
+        """ChEES-HMC step (kernel='chees', Hoffman, Radul & Sountsov 2021).
+
+        HMC whose trajectory length tunes ITSELF: NUTS's recursive tree
+        doubling cannot batch onto SIMD hardware (every chain would take a
+        different number of gradient evaluations per step), so ChEES
+        instead adapts one continuous trajectory time t by stochastic
+        gradient ascent of the Change-in-the-Estimator-of-the-Expected-
+        Square criterion
+
+            ChEES(t) = (1/4) E[ (||x' - E x'||^2 - ||x - E x||^2)^2 ],
+
+        whose per-walker gradient d/dt needs only the endpoint velocity
+        the leapfrog integrator already has (dx'/dt = L p').  The walker
+        ensemble provides the expectations in ONE step — the same
+        inversion the rest of this framework runs on (chains are a batch
+        axis, DESIGN.md) — so adaptation is fully on-device, per
+        adaptation group, with Adam on log t riding the scan carry.
+
+        Per step a group-shared jitter u ~ U(0,1) sets the leapfrog count
+        n = ceil(u t) (paper §4: jittering is what lets a single t mimic
+        NUTS's range of trajectory lengths).  Because u is SHARED across
+        the group's walkers, every walker integrates the same n steps and
+        the bounded ``while_loop`` pays exactly n gradient evaluations —
+        no per-walker masking waste (expected cost t/2 evals/step, against
+        a hard ``chees_max_leapfrog`` cap).  Step SIZE (the L scale) keeps
+        the continuous acceptance steering all gradient kernels share
+        (target 0.65).  Trajectory state persists across chunks in
+        ``WalkerState.chees`` (zeros = start at t = hmc_leapfrog).
+        """
+        state, accept_counts, force_cold, g = carry
+        dtype = state.position.dtype
+        W, d = state.position.shape
+        key, k_mom, k_accept, k_u = jax.random.split(state.key, 4)
+        temp = resolve_temp(force_cold, state, dtype)
+        inv_t = (1.0 / temp).astype(dtype)
+        L = state.l_matrix
+
+        t_init = jnp.asarray(float(max(1, config.hmc_leapfrog)), dtype)
+        budget = int(max(1, config.chees_max_leapfrog))
+        off_lo = jnp.log(1.0 / t_init)
+        off_hi = jnp.log(jnp.asarray(float(budget), dtype) / t_init)
+        offset = jnp.clip(state.chees[:, 0], off_lo, off_hi)      # (G,)
+        t_g = t_init * jnp.exp(offset)                            # (G,)
+
+        u_g = jax.random.uniform(k_u, (n_groups,), dtype)         # (G,)
+        n_leap_g = jnp.clip(
+            jnp.ceil(u_g * t_g).astype(jnp.int32), 1, budget)     # (G,)
+        if grouped and group_block is not None:
+            n_leap_w = jnp.repeat(
+                n_leap_g, group_block, total_repeat_length=W)     # (W,)
+            u_w = jnp.repeat(u_g, group_block, total_repeat_length=W)
+        elif grouped:
+            n_leap_w = n_leap_g[group_ids]
+            u_w = u_g[group_ids]
+        else:
+            n_leap_w = jnp.broadcast_to(n_leap_g[0], (W,))
+            u_w = jnp.broadcast_to(u_g[0], (W,))
+        n_max = jnp.max(n_leap_g)
+
+        p0 = jax.random.normal(k_mom, state.position.shape, dtype)
+        p_half = p0 + 0.5 * inv_t * mul_lt(L, g)
+        bad0 = jnp.zeros((W,), bool)
+
+        def leap_cond(c):
+            return c[0] < n_max
+
+        def leap_body(c):
+            i_l, x_i, p_i, lp_i, g_i, bad = c
+            act = i_l < n_leap_w                                  # (W,)
+            x_n = x_i + mul_l(L, p_i)
+            lp_n, g_n = eval_vg(x_n, data)
+            bad_n = bad | ~jnp.isfinite(lp_n) | ~jnp.all(jnp.isfinite(g_n), axis=1)
+            g_n = jnp.where(jnp.isfinite(g_n), g_n, 0.0)
+            lp_n = jnp.where(jnp.isfinite(lp_n), lp_n, _neg_floor(dtype))
+            p_n = p_i + inv_t * mul_lt(L, g_n)
+            keep = lambda new, old: jnp.where(act[:, None], new, old)
+            return (i_l + 1, keep(x_n, x_i), keep(p_n, p_i),
+                    jnp.where(act, lp_n, lp_i), keep(g_n, g_i),
+                    jnp.where(act, bad_n, bad))
+
+        _, x1, p1, lp1, g1, bad = lax.while_loop(
+            leap_cond, leap_body,
+            (jnp.zeros((), jnp.int32), state.position, p_half,
+             state.logprob, g, bad0),
+        )
+        p1 = p1 - 0.5 * inv_t * mul_lt(L, g1)
+
+        log_alpha = (lp1 - state.logprob) * inv_t + 0.5 * (
+            jnp.sum(p0 * p0, axis=1) - jnp.sum(p1 * p1, axis=1)
+        )
+        log_alpha = jnp.where(bad, -jnp.inf, log_alpha)
+        log_u = jnp.log(jax.random.uniform(k_accept, state.logprob.shape, dtype))
+        accept = log_alpha > log_u
+
+        # --- ChEES gradient ascent on log t (per group, Adam) ---------
+        # alpha-weighted proposal statistics use every PROPOSED endpoint
+        # (paper eq. 8): rejected trajectories still inform the criterion.
+        alpha = jnp.where(bad, 0.0, jnp.exp(jnp.minimum(log_alpha, 0.0)))
+        tiny = jnp.asarray(1e-12, dtype)
+        ones = jnp.ones((W,), dtype)
+        count_g = jnp.maximum(seg_sum(ones), 1.0)                 # (G,)
+        a_sum = jnp.maximum(seg_sum(alpha), tiny)                 # (G,)
+        xbar = seg_sum(state.position) / count_g[:, None]         # (G, d)
+        xbar_p = seg_sum(alpha[:, None] * x1) / a_sum[:, None]    # (G, d)
+        if grouped and group_block is not None:
+            xbar_w = jnp.repeat(xbar, group_block, axis=0,
+                                total_repeat_length=W)
+            xbar_p_w = jnp.repeat(xbar_p, group_block, axis=0,
+                                  total_repeat_length=W)
+        elif grouped:
+            xbar_w, xbar_p_w = xbar[group_ids], xbar_p[group_ids]
+        else:
+            xbar_w, xbar_p_w = xbar[0], xbar_p[0]
+        dx1 = x1 - xbar_p_w
+        dx0 = state.position - xbar_w
+        delta = jnp.sum(dx1 * dx1, axis=1) - jnp.sum(dx0 * dx0, axis=1)
+        v1 = mul_l(L, p1)                                          # endpoint velocity
+        # d/dt ||x'(u t) - mu||^2 = 2 u (x'-mu) . v'; the outer square
+        # contributes delta, the 1/4 and 2 fold into the (scale-free) Adam.
+        per_w = alpha * delta * jnp.sum(dx1 * v1, axis=1) * u_w
+        grad_log_t = (seg_sum(per_w) / a_sum) * t_g                # (G,)
+        grad_log_t = jnp.where(jnp.isfinite(grad_log_t), grad_log_t, 0.0)
+
+        b1 = jnp.asarray(0.9, dtype)
+        b2 = jnp.asarray(0.999, dtype)
+        m = b1 * state.chees[:, 1] + (1.0 - b1) * grad_log_t
+        v = b2 * state.chees[:, 2] + (1.0 - b2) * grad_log_t ** 2
+        cnt = state.chees[:, 3] + 1.0
+        mhat = m / (1.0 - jnp.power(b1, cnt))
+        vhat = v / (1.0 - jnp.power(b2, cnt))
+        lr = jnp.asarray(config.chees_lr, dtype)
+        new_off = jnp.clip(
+            offset + lr * mhat / (jnp.sqrt(vhat) + 1e-8), off_lo, off_hi)
+        new_chees = jnp.stack([new_off, m, v, cnt], axis=1).astype(dtype)
+
+        new_state, accf, out = _apply_step(
+            state, key, x1, lp1, x1 - state.position, accept, False
+        )
+        new_state = dataclasses.replace(new_state, chees=new_chees)
+        new_grad = jnp.where(accept[:, None], g1, g)
+        return (new_state, accept_counts + accf, force_cold, new_grad), out
+
     def _mala_carry(state, zero_counts, force_cold, data):
         """Initial MALA/HMC carry: one value+grad eval per chunk (kept out
         of WalkerState to avoid widening every consumer's pytree; costs one
@@ -1180,7 +1353,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         # Cholesky of recent-move covariance; "best-value" = 1e-5 x diag of
         # the per-group most-likely parameter magnitudes.
         if config.sampling_optimization == "best-value":
-            if mala or hmc:
+            if gradk:
                 raise ValueError(
                     "sampling_optimization='best-value' is the random-walk "
                     "diagonal-refresh policy (mcmc-fitting.lisp:888-895); the "
@@ -1230,14 +1403,14 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         # re-refresh limit cycle), and the independence-rescue round below
         # heals that tail walker by walker, so the trimmed estimate is the
         # one that matches the population the kernel actually steps.
-        if (mala or hmc) and regular:
+        if gradk and regular:
             wgt, counts = typical_weights(state.logprob)
             mean = seg_sum(state.position * wgt[:, None]) / counts[:, None]
             mean_w = mean[group_ids] if grouped else mean[0]
             centered = (state.position - mean_w) * wgt[:, None]
             cov = seg_sum(centered[:, :, None] * centered[:, None, :]) / counts[:, None, None]
             enough = counts > d
-        elif config.covariance_source == "ensemble" or mala or hmc:
+        elif config.covariance_source == "ensemble" or gradk:
             ones = jnp.ones((state.position.shape[0],), dtype)
             counts = jnp.maximum(seg_sum(ones), 1.0)            # (G,)
             mean = seg_sum(state.position) / counts[:, None]
@@ -1260,7 +1433,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         in_band = (accept_low < group_accept) & (group_accept < accept_high)
         too_low = group_accept <= accept_low
 
-        if mala or hmc:
+        if gradk:
             # Gradient-kernel adaptation: continuous step-size steering +
             # SHAPE-only refresh.  The gradient kernels must never trust
             # the covariance estimate's ABSOLUTE scale: on posteriors with
@@ -1282,7 +1455,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             # covariance only at healthy (in-band) acceptance, with the
             # current magnitude carried over via
             # s = (det L / det chol)^(1/d).
-            target = 0.65 if hmc else 0.574
+            target = 0.65 if (hmc or chees) else 0.574
             corr = jnp.where(
                 group_accept >= target,
                 jnp.exp(0.5 * (group_accept - target)),
@@ -1333,7 +1506,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     # frozen); rwm/stretch stragglers mix on their own and keep the
     # reference's pure-kernel semantics.  Irregular groupings would need a
     # per-walker (W,d,d) triangular solve — not worth it for that corner.
-    rescue_on = config.rescue and (mala or hmc) and regular
+    rescue_on = config.rescue and gradk and regular
 
     # Shared pieces of the rescue move (see independence_rescue).
     _RESCUE_NU = 2.0
@@ -1699,6 +1872,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                 m_count=state.m_count + res["m_count"][None].astype(dtype),
                 age=state.age + chunk,
                 anneal_step=state.anneal_step + chunk,
+                chees=state.chees,
             )
             trace = {
                 "logprob_max": res["trace_max"].astype(dtype),
@@ -1708,12 +1882,21 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             return _finish(state, res["accept_counts"].astype(dtype),
                            trace, adapt_enabled, allow_refresh)
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
-        if mala or hmc:
-            grad_step = one_step_mala if mala else one_step_hmc
+        if gradk:
+            grad_step = (one_step_mala if mala
+                         else one_step_hmc if hmc else one_step_chees)
+            chees0 = state.chees
             (state, accept_counts, _, _), trace = lax.scan(
                 lambda carry, i: grad_step(carry, i, data),
                 _mala_carry(state, zero_counts, force_cold, data), jnp.arange(chunk)
             )
+            if chees:
+                # Trajectory-length adaptation honors the driver's
+                # adapt_enabled switch (many_steps freezes t like it
+                # freezes L).
+                state = dataclasses.replace(
+                    state,
+                    chees=jnp.where(adapt_enabled, state.chees, chees0))
         else:
             plain_step = (one_step_stretch if stretch
                           else one_step_demc if demc
@@ -1742,6 +1925,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             step = one_step_mala
         elif hmc:
             step = one_step_hmc
+        elif chees:
+            step = one_step_chees
         elif stretch:
             step = one_step_stretch
         elif demc:
@@ -1756,7 +1941,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             return carry, (out, carry[0].position, carry[0].logprob)
 
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
-        if mala or hmc:
+        chees0 = state.chees
+        if gradk:
             carry0 = _mala_carry(state, zero_counts, force_cold, data)
         else:
             carry0 = (state, zero_counts, force_cold)
@@ -1786,10 +1972,13 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             positions = all_positions[thin - 1 :: thin]
             logprobs = all_logprobs[thin - 1 :: thin]
 
-        if mala or hmc:
+        if gradk:
             state, accept_counts = carry[0], carry[1]
         else:
             state, accept_counts, _ = carry
+        if chees:
+            state = dataclasses.replace(
+                state, chees=jnp.where(adapt_enabled, state.chees, chees0))
         state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
         if tempered:
             state, out["swap_rate"] = replica_swap(state, force_cold)

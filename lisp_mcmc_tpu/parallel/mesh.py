@@ -147,6 +147,7 @@ def state_shardings(mesh: Mesh, axis_name: str = CHAIN_AXIS) -> WalkerState:
         m_count=rep,
         age=rep,
         anneal_step=rep,
+        chees=rep,
     )
 
 
