@@ -43,7 +43,8 @@ from .evidence import (EvidenceResult, LaplaceResult, laplace_approx,
                        log_bayes_factor, log_evidence)
 from .nested import NestedResult, nested_sample
 from .profile import ProfileResult, profile_likelihood
-from .variational import VIResult, advi, advi_per_dataset
+from .variational import (VIResult, FlowVIResult, advi, flow_advi,
+                          advi_per_dataset)
 from .smc import SMCResult, smc_sample
 from .expressions import (
     expression_credible_interval,
@@ -134,6 +135,8 @@ __all__ = [
     "VIResult",
     "advi",
     "advi_per_dataset",
+    "flow_advi",
+    "FlowVIResult",
     "SMCResult",
     "PriorSpec",
     "Uniform",

@@ -1500,6 +1500,14 @@ class Walker:
 
         return advi(self, *args, **kwargs)
 
+    def flow_advi(self, *args, **kwargs):
+        """Normalizing-flow variational posterior + IS evidence
+        (``variational.flow_advi``) — the non-Gaussian upgrade of
+        :meth:`advi` for curved posteriors."""
+        from .variational import flow_advi
+
+        return flow_advi(self, *args, **kwargs)
+
     def predict(self, x, **kwargs):
         """Posterior prediction (curve band / prediction interval) at
         new abscissae."""

@@ -46,6 +46,12 @@ the Laplace closed form; on the banana-correlated and bounded cases the
 Pareto-k flags exactly when the Gaussian family is too small.  ADVI is
 an APPROXIMATION — for final numbers on a hard posterior, seed MCMC
 from it and sample.
+
+When the Pareto-k flags the Gaussian family itself as too small,
+:func:`flow_advi` upgrades q to a RealNVP normalizing flow over the
+same z-space — identity-initialized couplings that bend only when the
+posterior is curved (tests/test_flow_vi.py: recovers the closed-form
+banana evidence the Gaussian family is 0.5 nats biased on).
 """
 
 from __future__ import annotations
@@ -55,7 +61,8 @@ import math
 
 import numpy as np
 
-__all__ = ["VIResult", "advi", "advi_per_dataset"]
+__all__ = ["VIResult", "FlowVIResult", "advi", "flow_advi",
+           "advi_per_dataset"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -185,6 +192,70 @@ class VIResult:
                 f"trust_log_z={self.converged_evidence})")
 
 
+def _z_space_setup(walker, prior, bounds):
+    """Shared unconstrained-space plumbing for the VI families.
+
+    Resolves the prior spec (explicit > fitted ``_prior_spec`` > fitted
+    ``_bounds``), builds the ``z -> theta`` map (the declared prior's
+    inverse-CDF unit-cube map with a spec — q's support IS the prior's
+    support — or the ensemble-whitened identity without), and returns
+    the z-space log-posterior with its Jacobian correction, plus the
+    ensemble's z-space coordinates for moment initialization.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .priors import Uniform, resolve_prior_spec
+
+    keys = list(walker.spec.keys)
+    d = len(keys)
+    data = walker._posterior_data()
+    base = walker._log_post_one
+    spec = resolve_prior_spec(walker, prior, bounds)
+    if spec is not None:
+        missing = [k for k in keys if k not in spec]
+        if missing:
+            raise ValueError(f"advi: prior/bounds missing {missing}")
+
+    pos = np.asarray(walker.state.position, np.float64)
+
+    if spec is not None:
+        # z -> u -> theta through the declared prior's inverse CDF: q's
+        # support IS the prior's support, and |J| makes the z-space
+        # target exactly the theta-space posterior measure.
+        def theta_of_z(z):
+            u = jax.nn.sigmoid(z)
+            return spec.transform(u, keys)
+
+        u0 = np.clip(np.asarray(spec.inverse(pos, keys), np.float64),
+                     1e-9, 1.0 - 1e-9)
+        z0 = np.log(u0) - np.log1p(-u0)
+        log_v = float(sum(math.log(spec[k].high - spec[k].low)
+                          for k in keys if isinstance(spec[k], Uniform)))
+    else:
+        # Whitened identity map; bound walls act as soft barriers.
+        from .fit import _nonzero_scales
+
+        scales = _nonzero_scales(np.median(np.abs(pos), axis=0))
+
+        def theta_of_z(z):
+            return jnp.asarray(scales, z.dtype) * z
+
+        z0 = pos / scales
+        log_v = 0.0
+
+    def logdet_j(z):
+        jac = jax.jacfwd(theta_of_z)(z)
+        _, ld = jnp.linalg.slogdet(jac)
+        return ld
+
+    def logp_z(z, data):
+        lp = base(theta_of_z(z), data) + logdet_j(z)
+        return jnp.where(jnp.isfinite(lp), lp, jnp.asarray(-1e12, lp.dtype))
+
+    return keys, d, data, spec, theta_of_z, z0, log_v, logp_z
+
+
 def _build_q(rank: str, d: int):
     """q-parameter pytree helpers: init/L-build/entropy for the rank."""
     import jax.numpy as jnp
@@ -232,8 +303,6 @@ def advi(walker, prior=None, bounds=None, rank: str = "full",
     import jax.numpy as jnp
     import optax
 
-    from .priors import Uniform, resolve_prior_spec
-
     if getattr(walker, "aux", None) is not None:
         raise ValueError("advi: grouped/aux ensembles have no single "
                          "posterior surface; use "
@@ -242,59 +311,16 @@ def advi(walker, prior=None, bounds=None, rank: str = "full",
     if n_steps <= 0 or n_samples <= 0:
         raise ValueError("n_steps and n_samples must be positive")
 
-    keys = list(walker.spec.keys)
-    d = len(keys)
+    keys, d, data, spec, theta_of_z, z0, log_v, logp_z = _z_space_setup(
+        walker, prior, bounds)
     dtype = walker.dtype
-    data = walker._posterior_data()
-    base = walker._log_post_one
-    spec = resolve_prior_spec(walker, prior, bounds)
-    if spec is not None:
-        missing = [k for k in keys if k not in spec]
-        if missing:
-            raise ValueError(f"advi: prior/bounds missing {missing}")
-
-    pos = np.asarray(walker.state.position, np.float64)
-
-    if spec is not None:
-        # z -> u -> theta through the declared prior's inverse CDF: q's
-        # support IS the prior's support, and |J| makes the z-space
-        # target exactly the theta-space posterior measure.
-        def theta_of_z(z):
-            u = jax.nn.sigmoid(z)
-            return spec.transform(u, keys)
-
-        u0 = np.clip(np.asarray(spec.inverse(pos, keys), np.float64),
-                     1e-9, 1.0 - 1e-9)
-        z0 = np.log(u0) - np.log1p(-u0)
-        log_v = float(sum(math.log(spec[k].high - spec[k].low)
-                          for k in keys if isinstance(spec[k], Uniform)))
-    else:
-        # Whitened identity map; bound walls act as soft barriers.
-        from .fit import _nonzero_scales
-
-        scales = _nonzero_scales(np.median(np.abs(pos), axis=0))
-
-        def theta_of_z(z):
-            return jnp.asarray(scales, z.dtype) * z
-
-        z0 = pos / scales
-        log_v = 0.0
-
-    def logdet_j(z):
-        jac = jax.jacfwd(theta_of_z)(z)
-        _, ld = jnp.linalg.slogdet(jac)
-        return ld
-
-    def logp_z(z, data):
-        lp = base(theta_of_z(z), data) + logdet_j(z)
-        return jnp.where(jnp.isfinite(lp), lp, jnp.asarray(-1e12, lp.dtype))
 
     build_l, entropy = _build_q(rank, d)
 
     # z-space moment init from the ensemble (a converged ensemble's
     # z-covariance IS the answer; a scattered one still sets the scale).
     mu0 = z0.mean(axis=0)
-    if pos.shape[0] >= 2:
+    if z0.shape[0] >= 2:
         sd0 = np.maximum(z0.std(axis=0, ddof=1), 1e-3)
         cov0 = np.atleast_2d(np.cov(z0.T)) + np.diag(1e-6 * sd0 ** 2)
     else:
@@ -586,3 +612,219 @@ def advi_per_dataset(fit, prior=None, bounds=None, rank: str = "full",
             _theta_of_z=theta_map, _dtype=dtype,
         ))
     return results
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowVIResult(VIResult):
+    """A fitted normalizing-flow variational posterior (see
+    :func:`flow_advi`).
+
+    The Gaussian summary fields (``mean``/``sd``/``cov`` and the private
+    ``_mu``/``_chol``) are MOMENT-MATCHED from flow draws, so
+    ``summary()``/``to_mvgaussian()`` work unchanged; :meth:`sample`
+    (hence ``seed_walker``) draws through the flow itself, and
+    ``n_layers`` records the coupling-stack depth.
+    """
+
+    _z_of_eps: object = dataclasses.field(default=None, repr=False)
+    n_layers: int = 0
+
+    def sample(self, n: int, seed: int = 0) -> np.ndarray:
+        import jax
+
+        key = jax.random.PRNGKey(seed)
+        eps = jax.random.normal(key, (int(n), len(self.keys)), self._dtype)
+        return np.asarray(self._theta_of_z(self._z_of_eps(eps)), np.float64)
+
+    def __repr__(self):
+        z = "None" if self.log_z is None else f"{self.log_z:.4f}"
+        e = "None" if self.elbo is None else f"{self.elbo:.4f}"
+        return (f"FlowVIResult(n_layers={self.n_layers}, elbo={e}, "
+                f"log_z={z}, pareto_k={self.pareto_k:.3f}, "
+                f"trust_log_z={self.converged_evidence})")
+
+
+def flow_advi(walker, prior=None, bounds=None, n_layers: int = 4,
+              hidden: int = 32, n_steps: int = 12000, n_samples: int = 256,
+              learning_rate: float = 1e-3, s_cap: float = 3.0,
+              n_eval: int = 4096, seed: int = 0) -> FlowVIResult:
+    """Fit a RealNVP normalizing-flow posterior (Dinh et al. 2017).
+
+    The non-Gaussian upgrade of :func:`advi`: ``q = T(N(0, I))`` where T
+    is ``n_layers`` affine coupling layers (alternating halves, each a
+    small tanh MLP of width ``hidden`` emitting shift + soft-clamped
+    log-scale) followed by a global affine layer initialized from the
+    ensemble's z-space moments.  Coupling MLPs initialize to the
+    identity (zero last layer), so step 0 IS the Gaussian ``advi`` init
+    and training only ever bends it — on an exactly-Gaussian posterior
+    the flow reduces to ADVI; on curved/banana posteriors (where the
+    Gaussian family's Pareto-k blows past 0.7) the couplings absorb the
+    curvature and the importance-sampled ``log_z`` becomes trustworthy
+    again.  The ELBO uses per-draw ``log q`` via the flow's triangular
+    Jacobian (couplings pay a sum, never a determinant).
+
+    Rides the same machinery as :func:`advi`: the declared-prior
+    inverse-CDF z-space (evidence convention preserved; evidence fields
+    ``None`` without a resolvable spec), one jitted ``lax.scan`` of
+    reparameterized Adam steps with a Polyak tail average, Pareto-k
+    guarded IS evidence (6th estimator arm), ``seed_walker`` warm
+    starts, ``to_mvgaussian`` chaining (moment-matched).
+
+    d must be >= 2 for the couplings to act (at d=1 the flow degrades
+    to the global affine = meanfield ADVI, which is already exact there).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    if getattr(walker, "aux", None) is not None:
+        raise ValueError("flow_advi: grouped/aux ensembles have no single "
+                         "posterior surface; fit per-dataset views")
+    if n_steps <= 0 or n_samples <= 0 or n_layers <= 0 or hidden <= 0:
+        raise ValueError("n_steps, n_samples, n_layers, hidden must be "
+                         "positive")
+
+    keys, d, data, spec, theta_of_z, z0, log_v, logp_z = _z_space_setup(
+        walker, prior, bounds)
+    dtype = walker.dtype
+
+    # Alternating binary masks: layer k transforms the (k%2)-offset half
+    # conditioned on the other half.
+    masks = np.stack([(np.arange(d) % 2 == k % 2).astype(np.float64)
+                      for k in range(int(n_layers))])
+    masks_j = jnp.asarray(masks, dtype)
+
+    # Global affine init from the ensemble's z-space moments (same init
+    # as advi's meanfield): mu + exp(raw) * y.
+    mu0 = z0.mean(axis=0)
+    sd0 = (np.maximum(z0.std(axis=0, ddof=1), 1e-3)
+           if z0.shape[0] >= 2 else np.full(d, 0.1))
+
+    rng = np.random.default_rng(seed)
+
+    def _layer_init():
+        return {
+            "w1": jnp.asarray(rng.normal(0, 0.01, (d, hidden)), dtype),
+            "b1": jnp.zeros((hidden,), dtype),
+            "w2": jnp.asarray(rng.normal(0, 0.01, (hidden, hidden)), dtype),
+            "b2": jnp.zeros((hidden,), dtype),
+            # zero last layer -> exact identity coupling at init
+            "w3": jnp.zeros((hidden, 2 * d), dtype),
+            "b3": jnp.zeros((2 * d,), dtype),
+        }
+
+    params = {
+        "mu": jnp.asarray(mu0, dtype),
+        "raw": jnp.asarray(np.log(sd0), dtype),
+        "layers": [_layer_init() for _ in range(int(n_layers))],
+    }
+    cap = jnp.asarray(float(s_cap), dtype)
+
+    def flow_forward(p, eps):
+        """(n, d) base draws -> (z, log|det dT/deps|) per draw."""
+        y = eps
+        ld = jnp.zeros(eps.shape[:-1], dtype)
+        for k, lp_ in enumerate(p["layers"]):
+            m = masks_j[k]
+            h = jnp.tanh((y * m) @ lp_["w1"] + lp_["b1"])
+            h = jnp.tanh(h @ lp_["w2"] + lp_["b2"])
+            out = h @ lp_["w3"] + lp_["b3"]
+            s = cap * jnp.tanh(out[..., :d] / cap)   # bounded log-scale
+            t = out[..., d:]
+            y = m * y + (1.0 - m) * (y * jnp.exp(s) + t)
+            ld = ld + jnp.sum((1.0 - m) * s, axis=-1)
+        z = p["mu"] + jnp.exp(p["raw"]) * y
+        return z, ld + jnp.sum(p["raw"])
+
+    def draw_lw(p, key, n, data_):
+        """n reparameterized draws -> (z, log p(z) - log q(z))."""
+        eps = jax.random.normal(key, (n, d), dtype)
+        z, ld = flow_forward(p, eps)
+        logq = (-0.5 * jnp.sum(eps * eps, axis=1)
+                - 0.5 * d * _LOG_2PI - ld)
+        lp = jax.vmap(logp_z, in_axes=(0, None))(z, data_)
+        return z, lp - logq
+
+    n_mc = int(n_samples)
+
+    def neg_elbo(p, key, data_):
+        _, lw = draw_lw(p, key, n_mc, data_)
+        return -jnp.mean(lw)
+
+    # Flow training needs a different regime than the Gaussian family
+    # (measured on the banana target, tests/test_flow_vi.py): the
+    # near-identity couplings' curvature gradient is TINY at the start,
+    # so the MC batch must be large enough for that signal to beat the
+    # ELBO gradient noise — n_samples=64 stalled a third of the way into
+    # the curvature (ELBO 0.7 nats below optimum, Pareto-k ~0.8, every
+    # seed), 128 mostly escaped, 256 reached the optimum for every seed
+    # (curvature 0.99, log_z within 0.02 nats, k < 0.45).  Likewise
+    # ADVI's fast cosine decay is softened (alpha=0.3) and the Polyak
+    # average covers only the final 10% (the couplings move until late).
+    sched = optax.cosine_decay_schedule(learning_rate, max(n_steps, 1),
+                                        alpha=0.3)
+    opt = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(sched))
+    avg_from = int(0.9 * n_steps)
+
+    def run(params, key, data_):
+        opt_state = opt.init(params)
+        acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def step(carry, i):
+            p, s, k, acc = carry
+            k, sub = jax.random.split(k)
+            loss, g = jax.value_and_grad(neg_elbo)(p, sub, data_)
+            g = jax.tree_util.tree_map(
+                lambda t: jnp.where(jnp.isfinite(t), t, 0.0), g)
+            upd, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, upd)
+            take = (i >= avg_from).astype(p["mu"].dtype)
+            acc = jax.tree_util.tree_map(lambda a, t: a + take * t, acc, p)
+            return (p, s, k, acc), -loss
+
+        (params, _, _, acc), trace = jax.lax.scan(
+            step, (params, opt_state, jax.random.PRNGKey(seed), acc),
+            jnp.arange(n_steps))
+        n_avg = max(n_steps - avg_from, 1)
+        params = jax.tree_util.tree_map(lambda a: a / n_avg, acc)
+        return params, trace
+
+    params, trace = jax.jit(run)(params, jax.random.PRNGKey(seed), data)
+
+    def evaluate(p, key, data_):
+        z, lw = draw_lw(p, key, int(n_eval), data_)
+        return jax.vmap(theta_of_z)(z), lw
+
+    theta, lw = jax.jit(evaluate)(params, jax.random.PRNGKey(seed + 1), data)
+    theta = np.asarray(theta, np.float64)
+    lw = np.asarray(lw, np.float64)
+
+    mean_vec = theta.mean(axis=0)
+    cov = np.atleast_2d(np.cov(theta.T))
+    mean = {k: float(mean_vec[i]) for i, k in enumerate(keys)}
+    sd = {k: float(math.sqrt(max(cov[i, i], 0.0)))
+          for i, k in enumerate(keys)}
+
+    elbo = log_z = log_z_err = None
+    if spec is not None:
+        elbo = float(np.mean(lw)) - log_v
+        log_z = _logmeanexp(lw) - log_v
+        n_b = 8
+        per = lw.size // n_b
+        if per >= 2:
+            batched = [_logmeanexp(lw[i * per:(i + 1) * per])
+                       for i in range(n_b)]
+            log_z_err = float(np.std(batched) / math.sqrt(n_b))
+
+    z_of_eps = jax.jit(lambda eps: flow_forward(params, eps)[0])
+    return FlowVIResult(
+        keys=tuple(keys), mean=mean, sd=sd, cov=cov,
+        elbo=elbo, log_z=log_z, log_z_error=log_z_err,
+        pareto_k=_pareto_k(lw),
+        elbo_trace=np.asarray(trace, np.float64), rank="flow",
+        n_steps=int(n_steps),
+        _mu=np.asarray(params["mu"], np.float64),
+        _chol=np.diag(np.exp(np.asarray(params["raw"], np.float64))),
+        _theta_of_z=jax.jit(jax.vmap(theta_of_z)), _dtype=dtype,
+        _z_of_eps=z_of_eps, n_layers=int(n_layers),
+    )

@@ -1,0 +1,154 @@
+"""Normalizing-flow VI (variational.flow_advi): the non-Gaussian upgrade
+of ADVI.
+
+Oracle pair: (1) the straight-line fit's EXACTLY Gaussian posterior —
+the identity-initialized flow must reproduce ADVI's answer (mean, cov,
+Laplace-matched evidence); (2) a banana posterior built from a
+volume-preserving quadratic shear of a Gaussian — its evidence is known
+in closed form, the Gaussian family provably cannot fit it (the
+curvature is the failure mode ADVI's Pareto-k flags), and the flow must
+recover both the curvature and the trustworthy evidence.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lisp_mcmc_tpu as mfit
+from lisp_mcmc_tpu.models import line
+from lisp_mcmc_tpu.variational import FlowVIResult
+
+SIGMA = 0.05
+BOUNDS = {"b": (-3.0, 5.0), "m": (-2.0, 4.0)}
+
+
+def _line_walker(seed=0, n_walkers=128):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0.0, 2.0, 40)
+    y = 1.0 + 0.5 * x + SIGMA * rng.standard_normal(x.size)
+    w = mfit.walker_create(
+        function=line, data=(x, y), params={"b": 1.0, "m": 0.5},
+        data_error=SIGMA, log_prior=mfit.make_bounds_prior(BOUNDS),
+        n_walkers=n_walkers, seed=seed, walker_jitter=0.1)
+    return w, x, y
+
+
+def _analytic_posterior(x, y):
+    A = np.stack([np.ones_like(x), x], axis=1)
+    prec = A.T @ A / SIGMA**2
+    cov = np.linalg.inv(prec)
+    mean = cov @ (A.T @ y / SIGMA**2)
+    return mean, cov
+
+
+BANANA_BOUNDS = {"t1": (-6.0, 6.0), "t2": (-2.0, 10.0)}
+# theta1 ~ N(0,1), theta2 | theta1 ~ N(theta1^2, 0.25^2): a
+# volume-preserving shear of a Gaussian, so the box evidence is exact:
+# log Z = log(2 pi * 1 * 0.25) - log V_box (uniform prior normalization).
+BANANA_TRUTH = math.log(2 * math.pi * 0.25) - math.log(12.0 * 12.0)
+
+
+def _banana_walker(seed=0, n_walkers=512):
+    def model(x, p):
+        return jnp.zeros_like(x)
+
+    def loglik(fn, params, dataset):
+        t1, t2 = params["t1"], params["t2"]
+        return -0.5 * t1 ** 2 - 0.5 * ((t2 - t1 ** 2) / 0.25) ** 2
+
+    w = mfit.walker_create(
+        function=model, data=([0.0, 1.0], [0.0, 0.0]),
+        params={"t1": 0.5, "t2": 0.5}, log_likelihood=loglik,
+        n_walkers=n_walkers, seed=seed, walker_jitter=0.5,
+        log_prior=mfit.make_bounds_prior(BANANA_BOUNDS))
+    w.adaptive_steps(4000, temperature=2.0, auto=None)
+    return w
+
+
+def test_flow_reduces_to_gaussian_on_gaussian_posterior():
+    """Identity-initialized couplings on an exactly-Gaussian posterior:
+    the flow must match the analytic mean/cov and the Laplace evidence
+    (= ADVI's contract), not bend what needs no bending."""
+    w, x, y = _line_walker()
+    fv = w.flow_advi(n_steps=1500, n_samples=64, seed=3)
+    mean, cov = _analytic_posterior(x, y)
+
+    assert isinstance(fv, FlowVIResult)
+    assert abs(fv.mean["b"] - mean[0]) < 4e-2
+    assert abs(fv.mean["m"] - mean[1]) < 4e-2
+    assert fv.sd["b"] == pytest.approx(np.sqrt(cov[0, 0]), rel=0.2)
+    assert fv.sd["m"] == pytest.approx(np.sqrt(cov[1, 1]), rel=0.2)
+
+    w.optimize(300, rounds=2)
+    lap = w.laplace_approx()
+    assert fv.log_z == pytest.approx(lap.log_z, abs=0.2)
+    assert fv.converged_evidence
+    # ELBO is a lower bound (up to MC error)
+    assert fv.elbo <= fv.log_z + 3 * (fv.log_z_error or 0.1)
+
+
+def test_flow_fixes_the_banana_gaussian_advi_cannot():
+    """The headline contract: on the curved posterior the Gaussian
+    family underfits (evidence biased low — the ELBO gap IS the KL to
+    the best Gaussian) while the flow recovers the curvature and an
+    evidence within a few hundredths of the closed form."""
+    w = _banana_walker()
+    g = w.advi(n_steps=1200, n_samples=8, seed=1)
+    fv = w.flow_advi(n_steps=8000, seed=1)
+
+    # Gaussian: biased at least ~0.4 nats low on this target (measured
+    # -0.53); flow: within 0.15.
+    assert g.log_z - BANANA_TRUTH < -0.3
+    assert abs(fv.log_z - BANANA_TRUTH) < 0.15
+    assert fv.elbo > g.elbo + 0.3          # strictly larger family, shown
+    assert fv.pareto_k < 0.7
+
+    # The flow's samples carry the quadratic ridge (theta2 ~ theta1^2).
+    s = fv.sample(4000, seed=2)
+    curv = np.polyfit(s[:, 0], s[:, 1], 2)[0]
+    assert curv > 0.8, curv
+
+
+def test_flow_seed_walker_and_chaining():
+    w, x, y = _line_walker()
+    fv = w.flow_advi(n_steps=800, n_samples=64, seed=5)
+    s = fv.sample(256, seed=1)
+    assert s.shape == (256, 2)
+    assert np.all(np.isfinite(s))
+    # samples respect the declared box
+    assert s[:, 0].min() > BOUNDS["b"][0] and s[:, 0].max() < BOUNDS["b"][1]
+
+    mv = fv.to_mvgaussian()
+    assert mv._mean[list(mv._keys).index("b")] == pytest.approx(fv.mean["b"])
+
+    fv.seed_walker(w, seed=2)
+    pos = np.asarray(w.state.position)
+    assert np.isfinite(np.asarray(w.state.logprob)).all()
+    assert abs(pos[:, 0].mean() - fv.mean["b"]) < 5 * fv.sd["b"]
+
+
+def test_flow_validation_and_no_spec_path():
+    w, _, _ = _line_walker()
+    with pytest.raises(ValueError):
+        w.flow_advi(n_layers=0)
+    with pytest.raises(ValueError):
+        w.flow_advi(n_steps=0)
+
+    # custom (unresolvable) prior -> q in whitened space, evidence None
+    def custom_prior(params, dataset):
+        return jnp.asarray(0.0)
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 2.0, 30)
+    y = 1.0 + 0.5 * x + SIGMA * rng.standard_normal(x.size)
+    w2 = mfit.walker_create(
+        function=line, data=(x, y), params={"b": 1.0, "m": 0.5},
+        data_error=SIGMA, log_prior=custom_prior,
+        n_walkers=64, seed=0, walker_jitter=0.1)
+    w2.adaptive_steps(1500, temperature=2.0, auto=None)
+    fv = w2.flow_advi(n_steps=600, n_samples=32, seed=0)
+    assert fv.log_z is None and fv.elbo is None
+    assert not fv.converged_evidence
+    assert abs(fv.mean["m"] - 0.5) < 0.3
