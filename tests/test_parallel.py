@@ -243,3 +243,31 @@ def test_dryrun_multichip_entrypoint():
         assert np.isfinite(np.asarray(lpmax)).all()
     finally:
         sys.path.remove("/root/repo")
+
+
+def test_sharded_chees_matches_single_device(mesh):
+    """ChEES chunk sharded == unsharded: the trajectory-length machinery
+    adds per-step GROUP reductions (alpha-weighted proposal means, the
+    criterion gradient) that must lower to allreduces, a replicated
+    while_loop trip count (max over groups), and replicated Adam state
+    in WalkerState.chees — all numerically identical across shardings."""
+    import dataclasses
+
+    w = _make_walker(64)
+    config = dataclasses.replace(w.config, kernel="chees")
+    run, _ = build_chunk_runner(w._log_post_one, w.ndim, config, takes_data=True)
+    step = jax.jit(run)
+    data = w._posterior_data()
+
+    state_single, out_single = step(w.state, True, True, True, data)
+    state_sharded, out_sharded = step(shard_state(w.state, mesh), True, True, True, data)
+
+    np.testing.assert_allclose(
+        np.asarray(state_single.position), np.asarray(state_sharded.position), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_single.chees), np.asarray(state_sharded.chees), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(out_single["accept_rate"]), float(out_sharded["accept_rate"]), rtol=1e-10
+    )
