@@ -26,11 +26,16 @@ unbounded (no bounds prior) have no hot-limit reference measure, and the
 hot rungs will wander without equilibrium — bound every parameter before
 asking for an evidence.
 
-The ladder spans ``beta in [1/t_max, 1]``, not quite to 0; the
-``[0, 1/t_max]`` tail is closed with its TI upper bound
-``E_{beta_min}[logpi] / t_max`` (E_beta[logpi] is increasing in beta).
-``tail`` is reported so its magnitude can be checked — if it is not
-small against the quoted error, raise ``t_max``.
+The ladder spans ``beta in [1/t_max, 1]``, not quite to 0.  The
+``[0, 1/t_max]`` tail is closed by one extra stepping stone whose
+samples come from the PRIOR itself (``log E_prior[exp(beta_min
+logpi)]``, ``n_prior`` direct box draws — exact in expectation, its MC
+error folded into ``error``), so an under-hot ladder costs variance
+rather than silent bias; ``tail`` reports the measured segment.  Only
+custom-prior fits with no resolvable box fall back to the linear TI
+bound ``E_{beta_min}[logpi] / t_max``, which ASSUMES the hottest rung
+is prior-distributed (measured +1.45-nat bias on a banana target at
+t_max=30 when it is not).
 """
 
 from __future__ import annotations
@@ -201,7 +206,7 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
                  t_max: float = 1e5, burn: float = 0.5,
                  n_error_batches: int = 8, bounds=None, prior=None,
                  seed: int = 0, auto_ladder: bool = False,
-                 n_prior: int = 4096) -> EvidenceResult:
+                 n_prior: int = 4096, _closure_box=None) -> EvidenceResult:
     """Estimate ``log Z`` for the walker's posterior (see module docs).
 
     Runs :meth:`Walker.tempered_steps` with history (mutating the walker:
@@ -261,7 +266,13 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
             if (prior is not None or bounds is not None) else None
         result = log_evidence(uw, n_steps=n_steps, rungs=rungs, t_max=t_max,
                               burn=burn, n_error_batches=n_error_batches,
-                              bounds=ubox, seed=seed, auto_ladder=auto_ladder)
+                              bounds=ubox, seed=seed, auto_ladder=auto_ladder,
+                              n_prior=n_prior,
+                              # fit-seeded named priors resolve no spec on
+                              # the u-view; the unit cube IS its prior box,
+                              # so the measured closure still applies.
+                              _closure_box={k: (0.0, 1.0)
+                                            for k in walker.spec.keys})
         # Surface the view's ladder diagnostics on the caller's walker
         # (Walker.swap_rates) — the ladder ran on the u-space ensemble.
         walker._swap_trace = uw._swap_trace
@@ -314,11 +325,12 @@ def log_evidence(walker, n_steps: int = 20000, rungs: int = 16,
     # a box (custom priors) the linear closure remains, with its
     # assumption documented above.
     tail_err = 0.0
-    if spec is not None and spec.bounds is not None:
+    box = spec.bounds if spec is not None else None
+    box = box if box is not None else _closure_box
+    if box is not None:
         import jax.numpy as jnp
 
         keys = list(walker.spec.keys)
-        box = spec.bounds
         lo = np.asarray([box[k][0] for k in keys], np.float64)
         hi = np.asarray([box[k][1] for k in keys], np.float64)
         prng = np.random.default_rng(seed + 987654321)
