@@ -44,7 +44,8 @@ from .evidence import (EvidenceResult, LaplaceResult, laplace_approx,
 from .nested import NestedResult, nested_sample
 from .profile import ProfileResult, profile_likelihood
 from .variational import (VIResult, FlowVIResult, NeutraResult, advi,
-                          flow_advi, advi_per_dataset)
+                          flow_advi, advi_per_dataset,
+                          flow_advi_per_dataset)
 from .smc import SMCResult, smc_sample
 from .expressions import (
     expression_credible_interval,
@@ -138,6 +139,7 @@ __all__ = [
     "flow_advi",
     "FlowVIResult",
     "NeutraResult",
+    "flow_advi_per_dataset",
     "SMCResult",
     "PriorSpec",
     "Uniform",

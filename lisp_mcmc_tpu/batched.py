@@ -375,6 +375,15 @@ class BatchedFit(Walker):
 
         return advi_per_dataset(self, *args, **kwargs)
 
+    def flow_advi_per_dataset(self, *args, **kwargs) -> list:
+        """S per-dataset RealNVP flow fits as ONE vmapped program — the
+        curved-posterior upgrade of :meth:`advi_per_dataset` (each
+        returned :class:`~lisp_mcmc_tpu.FlowVIResult` carries its own
+        Pareto-k-guarded ``log_z`` and NeuTra surface)."""
+        from .variational import flow_advi_per_dataset
+
+        return flow_advi_per_dataset(self, *args, **kwargs)
+
     def laplace_per_dataset(self, bounds=None, prior=None,
                             eig_floor: float = 1e-12):
         """Per-dataset Laplace approximations from ONE vmapped Hessian.

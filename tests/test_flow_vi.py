@@ -180,3 +180,44 @@ def test_neutra_sample_exact_and_near_iid():
     assert 0.45 < res.acceptance < 0.75
     # the caller's walker was untouched
     assert w.n_walkers == 512
+
+
+def test_flow_advi_per_dataset_matches_gaussian_per_dataset():
+    """Batched flows: every dataset block trains its own coupling stack
+    in ONE vmapped program; on exactly-Gaussian blocks each must agree
+    with the Gaussian per-dataset verb (and near-constant IS weights
+    must report a healthy tail, not GPD-on-noise garbage)."""
+    from lisp_mcmc_tpu.batched import BatchedFit
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 2.0, 30)
+    datasets = []
+    for s in range(2):
+        y = (1.0 + s) + 0.5 * x + SIGMA * rng.standard_normal(x.size)
+        datasets.append((x, y))
+
+    def model(x, p):
+        return p["b"] + p["m"] * x
+
+    bf = BatchedFit(model, datasets, {"b": 1.0, "m": 0.5}, SIGMA,
+                    log_prior=mfit.make_bounds_prior(BOUNDS),
+                    walkers_per_dataset=128, seed=0, walker_jitter=0.1)
+    bf.adaptive_steps(3000, temperature=2.0, auto=None)
+
+    flows = bf.flow_advi_per_dataset(n_steps=1200, n_samples=64, seed=0)
+    gauss = bf.advi_per_dataset(n_steps=1200, seed=0)
+
+    assert len(flows) == 2
+    for s, (fv, gv) in enumerate(zip(flows, gauss)):
+        assert isinstance(fv, FlowVIResult)
+        assert fv.log_z == pytest.approx(gv.log_z, abs=0.2), (s, fv, gv)
+        assert fv.mean["b"] == pytest.approx(1.0 + s, abs=0.1)
+        assert fv.converged_evidence, fv
+        # per-dataset sampling draws land in the right block's posterior
+        draws = fv.sample(256, seed=1)
+        assert abs(draws[:, 0].mean() - (1.0 + s)) < 0.15
+
+    with pytest.raises(ValueError, match="BatchedFit"):
+        from lisp_mcmc_tpu.variational import flow_advi_per_dataset
+        w, _, _ = _line_walker()
+        flow_advi_per_dataset(w)
