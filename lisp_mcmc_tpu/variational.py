@@ -90,6 +90,13 @@ def _pareto_k(lw: np.ndarray) -> float:
     n = lw.size
     if n < 25:
         return float("nan")
+    if np.all(lw < -1e10):
+        # Every draw hit the non-finite floor (-1e12 "reject"): q found
+        # NO region of finite posterior density (e.g. f32 sigmoid
+        # saturation when the whole mass hugs a prior-box edge).  The
+        # weights are uniform, which would fool the relative-ESS guard
+        # below into blessing garbage — report the worst tail instead.
+        return float("inf")
     wn = np.exp(lw - lw.max())
     r_eff = float(np.sum(wn) ** 2 / (n * np.sum(wn * wn)))
     if r_eff > 0.95:
@@ -238,8 +245,12 @@ def _z_space_setup(walker, prior, bounds):
             u = jax.nn.sigmoid(z)
             return spec.transform(u, keys)
 
+        # f32 sigmoid saturates at |z| ~ 17 (1 - u rounds to 0), which
+        # zeroes the Jacobian and floors every draw — keep the init
+        # inside the dtype's representable sigmoid range.
+        u_eps = 1e-6 if np.dtype(walker.dtype).itemsize <= 4 else 1e-9
         u0 = np.clip(np.asarray(spec.inverse(pos, keys), np.float64),
-                     1e-9, 1.0 - 1e-9)
+                     u_eps, 1.0 - u_eps)
         z0 = np.log(u0) - np.log1p(-u0)
         log_v = float(sum(math.log(spec[k].high - spec[k].low)
                           for k in keys if isinstance(spec[k], Uniform)))
@@ -491,9 +502,10 @@ def advi_per_dataset(fit, prior=None, bounds=None, rank: str = "full",
             u = jax.nn.sigmoid(z)
             return spec.transform(u, keys)
 
+        u_eps = 1e-6 if np.dtype(dtype).itemsize <= 4 else 1e-9
         u0 = np.clip(np.asarray(
             spec.inverse(pos.reshape(-1, d), keys), np.float64),
-            1e-9, 1.0 - 1e-9).reshape(S, -1, d)
+            u_eps, 1.0 - u_eps).reshape(S, -1, d)
         z0 = np.log(u0) - np.log1p(-u0)
         log_v = float(sum(math.log(spec[k].high - spec[k].low)
                           for k in keys if isinstance(spec[k], Uniform)))
@@ -1027,9 +1039,10 @@ def flow_advi_per_dataset(fit, prior=None, bounds=None, n_layers: int = 4,
             u = jax.nn.sigmoid(z)
             return spec.transform(u, keys)
 
+        u_eps = 1e-6 if np.dtype(dtype).itemsize <= 4 else 1e-9
         u0 = np.clip(np.asarray(
             spec.inverse(pos.reshape(-1, d), keys), np.float64),
-            1e-9, 1.0 - 1e-9).reshape(S, -1, d)
+            u_eps, 1.0 - u_eps).reshape(S, -1, d)
         z0 = np.log(u0) - np.log1p(-u0)
         log_v = float(sum(math.log(spec[k].high - spec[k].low)
                           for k in keys if isinstance(spec[k], Uniform)))
