@@ -10,9 +10,9 @@ A complete Bayesian analysis on a synthetic two-peak spectrum:
                      derived-quantity intervals, posterior predictive
                      coverage (`convergence`, `posterior_predictive`)
 5. model choice    — evidence + Bayes factor between one- and two-peak
-                     models, triangulated across all FIVE estimators
+                     models, triangulated across all SIX estimators
                      (`log_evidence`, `smc_sample`, `laplace_approx`,
-                     `nested_sample`, `advi`), plus the prior-free
+                     `nested_sample`, `advi`, `flow_advi`), plus the prior-free
                      predictive view (`diagnostics.waic`)
 6. pipeline audit  — simulation-based calibration of the whole fit
                      pipeline, all simulated datasets as one batched
@@ -171,6 +171,16 @@ def main():
     print(f"log Z (two-peak, ADVI-IS) = {vi.log_z:.1f} "
           f"(elbo {vi.elbo:.1f}, pareto_k {vi.pareto_k:.2f}: {trust}; "
           f"advi-vs-SMC gap: {abs(vi.log_z - res_smc.log_z):.2f})")
+
+    # Sixth: the RealNVP flow's importance sampling — the escalation
+    # rung for when the Gaussian family's k refuses (here the target is
+    # near-Gaussian, so the identity-initialized flow agrees cheaply;
+    # examples/hard_geometry.py shows the curved case it exists for).
+    fv = w_smc.flow_advi(n_steps=2000, n_samples=64, seed=3)
+    ftrust = "trusted" if fv.converged_evidence else "REFUSED (k >= 0.7)"
+    print(f"log Z (two-peak, flow-IS) = {fv.log_z:.1f} "
+          f"(pareto_k {fv.pareto_k:.2f}: {ftrust}; "
+          f"flow-vs-SMC gap: {abs(fv.log_z - res_smc.log_z):.2f})")
 
     # The predictive (prior-free) view of the same comparison: WAIC off
     # posterior histories alone.  The one-peak model also LOSES

@@ -1,13 +1,14 @@
-"""Five evidence estimators, one fit, one convention — the headline
+"""Six evidence estimators, one fit, one convention — the headline
 cross-check (examples/modern_workflow.py) pinned in CI.
 
-Ladder stepping-stone, tempered SMC, Laplace, nested sampling, and ADVI
-importance sampling all estimate log[(∫_box L)/V]; on a smooth unimodal
-Gaussian-peak fit they must mutually agree.  Each pair has DIFFERENT
-failure modes (ladder: schedule/rungs; SMC: resampling noise; Laplace:
-non-Gaussianity; nested: refill correlation; ADVI: variational-family
-mismatch, guarded by Pareto-k), so five-way agreement is strong
-evidence none of them is silently broken.
+Ladder stepping-stone, tempered SMC, Laplace, nested sampling, ADVI
+importance sampling, and flow-ADVI importance sampling all estimate
+log[(∫_box L)/V]; on a smooth unimodal Gaussian-peak fit they must
+mutually agree.  Each pair has DIFFERENT failure modes (ladder:
+schedule/rungs; SMC: resampling noise; Laplace: non-Gaussianity;
+nested: refill correlation; ADVI: variational-family mismatch; flow:
+optimization, both VI arms guarded by Pareto-k), so six-way agreement
+is strong evidence none of them is silently broken.
 """
 
 import numpy as np
@@ -58,6 +59,13 @@ def test_four_estimators_agree(peak_fit):
     assert vi.log_z == pytest.approx(lap.log_z, abs=0.5)
     assert vi.elbo <= vi.log_z + 3 * (vi.log_z_error or 0.0) + 1e-6
 
-    # All five within a tight absolute band of each other.
-    zs = [lap.log_z, ns.log_z, smc.log_z, ladder.log_z, vi.log_z]
+    # The 6th: the RealNVP flow's importance sampling (identity init on
+    # a near-Gaussian target: must agree without needing the full
+    # curved-posterior training budget).
+    fv = w.flow_advi(n_steps=2000, n_samples=64, seed=2)
+    assert fv.converged_evidence
+    assert fv.log_z == pytest.approx(lap.log_z, abs=0.5)
+
+    # All six within a tight absolute band of each other.
+    zs = [lap.log_z, ns.log_z, smc.log_z, ladder.log_z, vi.log_z, fv.log_z]
     assert max(zs) - min(zs) < 3.0, zs
