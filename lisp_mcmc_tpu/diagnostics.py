@@ -324,6 +324,14 @@ def summary(walker, take: int | None = None) -> str:
             f"+- {m['mcse'][k]:.2g}   "
             f"R-hat {m['rhat'][k]:.3f}   ESS {m['ess'][k]:.0f}"
         )
+    if getattr(walker, "config", None) is not None \
+            and walker.config.kernel == "chees" \
+            and hasattr(walker, "chees_trajectory"):
+        tr = walker.chees_trajectory()
+        cap = " AT CAP — raise chees_max_leapfrog" if tr["at_cap"] else ""
+        t = ", ".join(f"{v:.1f}" for v in np.atleast_1d(tr["leapfrog"]))
+        lines.append(f"chees trajectory: {t} leapfrog steps "
+                     f"(budget {tr['budget']}{cap})")
     return "\n".join(lines)
 
 
