@@ -266,10 +266,25 @@ def _z_space_setup(walker, prior, bounds):
         z0 = pos / scales
         log_v = 0.0
 
-    def logdet_j(z):
-        jac = jax.jacfwd(theta_of_z)(z)
-        _, ld = jnp.linalg.slogdet(jac)
-        return ld
+    # PriorSpec's inverse-CDF map (and the no-spec whitened identity)
+    # are COMPONENTWISE, so the Jacobian is diagonal: one jvp with a
+    # ones tangent reads the whole diagonal.  The generic
+    # jacfwd+slogdet path (d transform passes + an LU whose gradient is
+    # a dense inverse) is kept only for correlated maps (MVGaussian) —
+    # it measured ~20x slower inside NeuTra's per-leapfrog gradient.
+    from .priors import PriorSpec as _PS
+
+    elementwise = spec is None or isinstance(spec, _PS)
+
+    if elementwise:
+        def logdet_j(z):
+            _, dz = jax.jvp(theta_of_z, (z,), (jnp.ones_like(z),))
+            return jnp.sum(jnp.log(jnp.abs(dz)))
+    else:
+        def logdet_j(z):
+            jac = jax.jacfwd(theta_of_z)(z)
+            _, ld = jnp.linalg.slogdet(jac)
+            return ld
 
     def logp_z(z, data):
         lp = base(theta_of_z(z), data) + logdet_j(z)
@@ -522,10 +537,21 @@ def advi_per_dataset(fit, prior=None, bounds=None, rank: str = "full",
         z0 = pos / scales[:, None, :]
         log_v = 0.0
 
+    from .priors import PriorSpec as _PS
+
+    if spec is None or isinstance(spec, _PS):
+        def logdet_j(z, s):
+            _, dz = jax.jvp(lambda zz: theta_of_z(zz, s), (z,),
+                            (jnp.ones_like(z),))
+            return jnp.sum(jnp.log(jnp.abs(dz)))
+    else:
+        def logdet_j(z, s):
+            jac = jax.jacfwd(lambda zz: theta_of_z(zz, s))(z)
+            _, ld = jnp.linalg.slogdet(jac)
+            return ld
+
     def logp_z(z, s, data):
-        jac = jax.jacfwd(lambda zz: theta_of_z(zz, s))(z)
-        _, ld = jnp.linalg.slogdet(jac)
-        lp = fit._custom_log_post(theta_of_z(z, s), s, data) + ld
+        lp = fit._custom_log_post(theta_of_z(z, s), s, data) + logdet_j(z, s)
         return jnp.where(jnp.isfinite(lp), lp, jnp.asarray(-1e12, lp.dtype))
 
     build_l, entropy = _build_q(rank, d)
@@ -1058,10 +1084,23 @@ def flow_advi_per_dataset(fit, prior=None, bounds=None, n_layers: int = 4,
         z0 = pos / scales[:, None, :]
         log_v = 0.0
 
+    from .priors import PriorSpec as _PS
+
+    if spec is None or isinstance(spec, _PS):
+        # componentwise map -> diagonal Jacobian via one jvp (see
+        # _z_space_setup for the measured rationale)
+        def logdet_j(z, s):
+            _, dz = jax.jvp(lambda zz: theta_of_z(zz, s), (z,),
+                            (jnp.ones_like(z),))
+            return jnp.sum(jnp.log(jnp.abs(dz)))
+    else:
+        def logdet_j(z, s):
+            jac = jax.jacfwd(lambda zz: theta_of_z(zz, s))(z)
+            _, ld = jnp.linalg.slogdet(jac)
+            return ld
+
     def logp_z(z, s, data_):
-        jac = jax.jacfwd(lambda zz: theta_of_z(zz, s))(z)
-        _, ld = jnp.linalg.slogdet(jac)
-        lp = fit._custom_log_post(theta_of_z(z, s), s, data_) + ld
+        lp = fit._custom_log_post(theta_of_z(z, s), s, data_) + logdet_j(z, s)
         return jnp.where(jnp.isfinite(lp), lp, jnp.asarray(-1e12, lp.dtype))
 
     masks_j = jnp.asarray(

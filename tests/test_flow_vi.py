@@ -50,6 +50,15 @@ BANANA_BOUNDS = {"t1": (-6.0, 6.0), "t2": (-2.0, 10.0)}
 BANANA_TRUTH = math.log(2 * math.pi * 0.25) - math.log(12.0 * 12.0)
 
 
+@pytest.fixture(scope="module")
+def banana_flow():
+    """Shared converged banana walker + trained flow (the two slowest
+    pieces of this module, reused by the evidence and NeuTra tests)."""
+    w = _banana_walker()
+    fv = w.flow_advi(n_steps=8000, seed=1)
+    return w, fv
+
+
 def _banana_walker(seed=0, n_walkers=512):
     def model(x, p):
         return jnp.zeros_like(x)
@@ -89,14 +98,13 @@ def test_flow_reduces_to_gaussian_on_gaussian_posterior():
     assert fv.elbo <= fv.log_z + 3 * (fv.log_z_error or 0.1)
 
 
-def test_flow_fixes_the_banana_gaussian_advi_cannot():
+def test_flow_fixes_the_banana_gaussian_advi_cannot(banana_flow):
     """The headline contract: on the curved posterior the Gaussian
     family underfits (evidence biased low — the ELBO gap IS the KL to
     the best Gaussian) while the flow recovers the curvature and an
     evidence within a few hundredths of the closed form."""
-    w = _banana_walker()
+    w, fv = banana_flow
     g = w.advi(n_steps=1200, n_samples=8, seed=1)
-    fv = w.flow_advi(n_steps=8000, seed=1)
 
     # Gaussian: biased at least ~0.4 nats low on this target (measured
     # -0.53); flow: within 0.15.
@@ -154,15 +162,14 @@ def test_flow_validation_and_no_spec_path():
     assert abs(fv.mean["m"] - 0.5) < 0.3
 
 
-def test_neutra_sample_exact_and_near_iid():
+def test_neutra_sample_exact_and_near_iid(banana_flow):
     """NeuTra: MCMC in the flow's latent space must deliver EXACT
     posterior samples (reparameterization preserves invariance — the
     mapped chain reproduces the banana's moments and curvature) and,
     because the latent target is near-N(0,I), near-iid per-step mixing
     (measured 72% of iid on the bent ridge, vs a few percent for
     position-space random walks)."""
-    w = _banana_walker()
-    fv = w.flow_advi(n_steps=8000, seed=0)
+    w, fv = banana_flow
     res = fv.neutra_sample(w, n_steps=2000, kernel="mala",
                            n_walkers=128, seed=1)
 
