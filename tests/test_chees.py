@@ -196,3 +196,15 @@ def test_chees_state_defaults_zero():
                     jnp.eye(3), n_groups=2)
     assert st.chees.shape == (2, 4)
     np.testing.assert_allclose(np.asarray(st.chees), 0.0)
+
+
+def test_chees_greedy_tuner_compatible():
+    """sample_region's greedy tuner runs pretend-MH steps regardless of
+    kernel; a chees-configured fit must tune without touching the
+    trajectory state (greedy disables all gradient-kernel machinery)."""
+    w, _, _ = _gaussian_walker("chees", n_walkers=64)
+    w.adaptive_steps(800, temperature=1.0, auto=None)
+    before = np.asarray(w.state.chees).copy()
+    w.sample_region(400)
+    np.testing.assert_allclose(np.asarray(w.state.chees), before)
+    assert np.isfinite(np.asarray(w.state.logprob)).all()
