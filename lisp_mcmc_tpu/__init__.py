@@ -45,7 +45,7 @@ from .nested import NestedResult, nested_sample
 from .profile import ProfileResult, profile_likelihood
 from .variational import (VIResult, FlowVIResult, NeutraResult, advi,
                           flow_advi, advi_per_dataset,
-                          flow_advi_per_dataset)
+                          flow_advi_per_dataset, load_flow)
 from .smc import SMCResult, smc_sample
 from .expressions import (
     expression_credible_interval,
@@ -140,6 +140,7 @@ __all__ = [
     "FlowVIResult",
     "NeutraResult",
     "flow_advi_per_dataset",
+    "load_flow",
     "SMCResult",
     "PriorSpec",
     "Uniform",

@@ -62,7 +62,8 @@ import math
 import numpy as np
 
 __all__ = ["VIResult", "FlowVIResult", "NeutraResult", "advi",
-           "flow_advi", "advi_per_dataset", "flow_advi_per_dataset"]
+           "flow_advi", "advi_per_dataset", "flow_advi_per_dataset",
+           "load_flow"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -210,7 +211,7 @@ class VIResult:
                 f"trust_log_z={self.converged_evidence})")
 
 
-def _z_space_setup(walker, prior, bounds):
+def _z_space_setup(walker, prior, bounds, scales=None):
     """Shared unconstrained-space plumbing for the VI families.
 
     Resolves the prior spec (explicit > fitted ``_prior_spec`` > fitted
@@ -219,6 +220,10 @@ def _z_space_setup(walker, prior, bounds):
     support — or the ensemble-whitened identity without), and returns
     the z-space log-posterior with its Jacobian correction, plus the
     ensemble's z-space coordinates for moment initialization.
+    ``scales``: externally fixed whitening scales for the no-spec map
+    (checkpoint reload — the map must match the SAVED flow, not the
+    current ensemble); ignored when a spec resolves.  The resolved
+    scales (or None with a spec) come back as the last element.
     """
     import jax
     import jax.numpy as jnp
@@ -258,7 +263,9 @@ def _z_space_setup(walker, prior, bounds):
         # Whitened identity map; bound walls act as soft barriers.
         from .fit import _nonzero_scales
 
-        scales = _nonzero_scales(np.median(np.abs(pos), axis=0))
+        if scales is None:
+            scales = _nonzero_scales(np.median(np.abs(pos), axis=0))
+        scales = np.asarray(scales, np.float64)
 
         def theta_of_z(z):
             return jnp.asarray(scales, z.dtype) * z
@@ -290,7 +297,8 @@ def _z_space_setup(walker, prior, bounds):
         lp = base(theta_of_z(z), data) + logdet_j(z)
         return jnp.where(jnp.isfinite(lp), lp, jnp.asarray(-1e12, lp.dtype))
 
-    return keys, d, data, spec, theta_of_z, z0, log_v, logp_z
+    return (keys, d, data, spec, theta_of_z, z0, log_v, logp_z,
+            scales if spec is None else None)
 
 
 def _build_q(rank: str, d: int):
@@ -348,7 +356,7 @@ def advi(walker, prior=None, bounds=None, rank: str = "full",
     if n_steps <= 0 or n_samples <= 0:
         raise ValueError("n_steps and n_samples must be positive")
 
-    keys, d, data, spec, theta_of_z, z0, log_v, logp_z = _z_space_setup(
+    keys, d, data, spec, theta_of_z, z0, log_v, logp_z, _ = _z_space_setup(
         walker, prior, bounds)
     dtype = walker.dtype
 
@@ -663,6 +671,39 @@ def advi_per_dataset(fit, prior=None, bounds=None, rank: str = "full",
     return results
 
 
+def _flow_masks(d: int, n_layers: int, dtype):
+    import jax.numpy as jnp
+
+    return jnp.asarray(
+        np.stack([(np.arange(d) % 2 == k % 2).astype(np.float64)
+                  for k in range(n_layers)]), dtype)
+
+
+def _flow_forward_fn(d: int, n_layers: int, s_cap: float, dtype):
+    """Shared RealNVP forward builder: (params, eps) -> (z, logdet)."""
+    import jax.numpy as jnp
+
+    masks_j = _flow_masks(d, n_layers, dtype)
+    cap = jnp.asarray(float(s_cap), dtype)
+
+    def flow_forward(p, eps):
+        y = eps
+        ld = jnp.zeros(eps.shape[:-1], dtype)
+        for k, lp_ in enumerate(p["layers"]):
+            m = masks_j[k]
+            h = jnp.tanh((y * m) @ lp_["w1"] + lp_["b1"])
+            h = jnp.tanh(h @ lp_["w2"] + lp_["b2"])
+            out = h @ lp_["w3"] + lp_["b3"]
+            s = cap * jnp.tanh(out[..., :d] / cap)   # bounded log-scale
+            t = out[..., d:]
+            y = m * y + (1.0 - m) * (y * jnp.exp(s) + t)
+            ld = ld + jnp.sum((1.0 - m) * s, axis=-1)
+        z = p["mu"] + jnp.exp(p["raw"]) * y
+        return z, ld + jnp.sum(p["raw"])
+
+    return flow_forward
+
+
 @dataclasses.dataclass(frozen=True)
 class FlowVIResult(VIResult):
     """A fitted normalizing-flow variational posterior (see
@@ -680,6 +721,12 @@ class FlowVIResult(VIResult):
     # z-space log posterior ((z, data) -> lp): the NeuTra surface.
     _fwd: object = dataclasses.field(default=None, repr=False)
     _logp_z: object = dataclasses.field(default=None, repr=False)
+    # checkpointable pieces: trained parameters, architecture scalars,
+    # and (no-spec fits) the frozen whitening scales the z-map used.
+    _params: object = dataclasses.field(default=None, repr=False)
+    _hidden: int = dataclasses.field(default=0, repr=False)
+    _s_cap: float = dataclasses.field(default=3.0, repr=False)
+    _scales: object = dataclasses.field(default=None, repr=False)
     n_layers: int = 0
 
     def sample(self, n: int, seed: int = 0) -> np.ndarray:
@@ -688,6 +735,49 @@ class FlowVIResult(VIResult):
         key = jax.random.PRNGKey(seed)
         eps = jax.random.normal(key, (int(n), len(self.keys)), self._dtype)
         return np.asarray(self._theta_of_z(self._z_of_eps(eps)), np.float64)
+
+    def save(self, path: str) -> None:
+        """Checkpoint the trained transport (``.npz``).
+
+        Train once, reuse across sessions: :func:`load_flow` rebuilds
+        the full result — ``sample``/``seed_walker``/``neutra_sample``
+        included — against a walker of the same model (the z-map comes
+        from the walker's resolved prior spec, or from the whitening
+        scales frozen here for custom-prior fits).  Summaries
+        (mean/sd/cov, elbo, log_z, Pareto-k) travel with the file.
+        """
+        import json
+
+        if self._params is None:
+            raise ValueError("this FlowVIResult predates the checkpoint "
+                             "surface; refit with flow_advi")
+        arrays = {
+            "mu": np.asarray(self._params["mu"], np.float64),
+            "raw": np.asarray(self._params["raw"], np.float64),
+            "cov": np.asarray(self.cov, np.float64),
+            "elbo_trace": np.asarray(self.elbo_trace, np.float64),
+            "flow_mu": np.asarray(self._mu, np.float64),
+            "flow_chol": np.asarray(self._chol, np.float64),
+        }
+        for k, lay in enumerate(self._params["layers"]):
+            for name, a in lay.items():
+                arrays[f"layer{k}_{name}"] = np.asarray(a, np.float64)
+        if self._scales is not None:
+            arrays["scales"] = np.asarray(self._scales, np.float64)
+        header = {
+            "kind": "flow_advi", "keys": list(self.keys),
+            "n_layers": int(self.n_layers), "hidden": int(self._hidden),
+            "s_cap": float(self._s_cap), "rank": self.rank,
+            "n_steps": int(self.n_steps),
+            "dtype": np.dtype(self._dtype).name,
+            "mean": {k: float(v) for k, v in self.mean.items()},
+            "sd": {k: float(v) for k, v in self.sd.items()},
+            "elbo": self.elbo, "log_z": self.log_z,
+            "log_z_error": self.log_z_error,
+            "pareto_k": float(self.pareto_k),
+        }
+        arrays["__flow_header__"] = np.array(json.dumps(header))
+        np.savez(path, **arrays)
 
     def neutra_sample(self, walker, n_steps: int = 4000,
                       kernel: str = "chees", n_walkers: int | None = None,
@@ -864,15 +954,9 @@ def flow_advi(walker, prior=None, bounds=None, n_layers: int = 4,
         raise ValueError("n_steps, n_samples, n_layers, hidden must be "
                          "positive")
 
-    keys, d, data, spec, theta_of_z, z0, log_v, logp_z = _z_space_setup(
-        walker, prior, bounds)
+    keys, d, data, spec, theta_of_z, z0, log_v, logp_z, w_scales = \
+        _z_space_setup(walker, prior, bounds)
     dtype = walker.dtype
-
-    # Alternating binary masks: layer k transforms the (k%2)-offset half
-    # conditioned on the other half.
-    masks = np.stack([(np.arange(d) % 2 == k % 2).astype(np.float64)
-                      for k in range(int(n_layers))])
-    masks_j = jnp.asarray(masks, dtype)
 
     # Global affine init from the ensemble's z-space moments (same init
     # as advi's meanfield): mu + exp(raw) * y.
@@ -898,23 +982,7 @@ def flow_advi(walker, prior=None, bounds=None, n_layers: int = 4,
         "raw": jnp.asarray(np.log(sd0), dtype),
         "layers": [_layer_init() for _ in range(int(n_layers))],
     }
-    cap = jnp.asarray(float(s_cap), dtype)
-
-    def flow_forward(p, eps):
-        """(n, d) base draws -> (z, log|det dT/deps|) per draw."""
-        y = eps
-        ld = jnp.zeros(eps.shape[:-1], dtype)
-        for k, lp_ in enumerate(p["layers"]):
-            m = masks_j[k]
-            h = jnp.tanh((y * m) @ lp_["w1"] + lp_["b1"])
-            h = jnp.tanh(h @ lp_["w2"] + lp_["b2"])
-            out = h @ lp_["w3"] + lp_["b3"]
-            s = cap * jnp.tanh(out[..., :d] / cap)   # bounded log-scale
-            t = out[..., d:]
-            y = m * y + (1.0 - m) * (y * jnp.exp(s) + t)
-            ld = ld + jnp.sum((1.0 - m) * s, axis=-1)
-        z = p["mu"] + jnp.exp(p["raw"]) * y
-        return z, ld + jnp.sum(p["raw"])
+    flow_forward = _flow_forward_fn(d, int(n_layers), s_cap, dtype)
 
     def draw_lw(p, key, n, data_):
         """n reparameterized draws -> (z, log p(z) - log q(z))."""
@@ -1009,6 +1077,8 @@ def flow_advi(walker, prior=None, bounds=None, n_layers: int = 4,
         _z_of_eps=z_of_eps,
         _fwd=lambda eps: flow_forward(params, eps),
         _logp_z=logp_z,
+        _params=jax.tree_util.tree_map(lambda a: np.asarray(a), params),
+        _hidden=int(hidden), _s_cap=float(s_cap), _scales=w_scales,
         n_layers=int(n_layers),
     )
 
@@ -1103,25 +1173,7 @@ def flow_advi_per_dataset(fit, prior=None, bounds=None, n_layers: int = 4,
         lp = fit._custom_log_post(theta_of_z(z, s), s, data_) + logdet_j(z, s)
         return jnp.where(jnp.isfinite(lp), lp, jnp.asarray(-1e12, lp.dtype))
 
-    masks_j = jnp.asarray(
-        np.stack([(np.arange(d) % 2 == k % 2).astype(np.float64)
-                  for k in range(int(n_layers))]), dtype)
-    cap = jnp.asarray(float(s_cap), dtype)
-
-    def flow_forward(p, eps):
-        y = eps
-        ld = jnp.zeros(eps.shape[:-1], dtype)
-        for k, lp_ in enumerate(p["layers"]):
-            m = masks_j[k]
-            h = jnp.tanh((y * m) @ lp_["w1"] + lp_["b1"])
-            h = jnp.tanh(h @ lp_["w2"] + lp_["b2"])
-            out = h @ lp_["w3"] + lp_["b3"]
-            sr = cap * jnp.tanh(out[..., :d] / cap)
-            t = out[..., d:]
-            y = m * y + (1.0 - m) * (y * jnp.exp(sr) + t)
-            ld = ld + jnp.sum((1.0 - m) * sr, axis=-1)
-        z = p["mu"] + jnp.exp(p["raw"]) * y
-        return z, ld + jnp.sum(p["raw"])
+    flow_forward = _flow_forward_fn(d, int(n_layers), s_cap, dtype)
 
     mu0 = z0.mean(axis=1)                                        # (S, d)
     sd0 = np.maximum(z0.std(axis=1, ddof=1), 1e-3)               # (S, d)
@@ -1231,3 +1283,76 @@ def flow_advi_per_dataset(fit, prior=None, bounds=None, n_layers: int = 4,
             n_layers=int(n_layers),
         ))
     return results
+
+
+def load_flow(path: str, walker, prior=None, bounds=None) -> FlowVIResult:
+    """Reload a :meth:`FlowVIResult.save` checkpoint against ``walker``.
+
+    The walker supplies the posterior surface and (via the usual
+    resolution order) the prior spec whose inverse-CDF map the flow was
+    trained through; for custom-prior fits the whitening scales frozen
+    in the file reproduce the exact training-time z-map regardless of
+    where the ensemble has moved since.  Returns a fully-armed
+    :class:`FlowVIResult` (sampling, seeding, NeuTra) with the SAVED
+    summaries — no retraining, no re-evaluation.
+    """
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    with np.load(path, allow_pickle=False) as z:
+        if "__flow_header__" not in z.files:
+            raise ValueError(f"{path}: not a flow_advi checkpoint")
+        header = json.loads(str(z["__flow_header__"][()]))
+        arrays = {k: z[k] for k in z.files if k != "__flow_header__"}
+
+    keys_saved = list(header["keys"])
+    if list(walker.spec.keys) != keys_saved:
+        raise ValueError(
+            f"load_flow: walker parameters {list(walker.spec.keys)} do not "
+            f"match the checkpoint's {keys_saved}")
+    scales = arrays.get("scales")
+    keys, d, data, spec, theta_of_z, _z0, _log_v, logp_z, _ = _z_space_setup(
+        walker, prior, bounds, scales=scales)
+    if (spec is None) != (scales is not None):
+        raise ValueError(
+            "load_flow: the checkpoint was trained "
+            + ("WITHOUT" if scales is not None else "WITH")
+            + " a resolvable prior spec, but this walker resolves the "
+            "opposite — the z-space maps would disagree; reload against a "
+            "fit constructed like the one that trained the flow")
+
+    dtype = jnp.float64 if header["dtype"] == "float64" else jnp.float32
+    n_layers = int(header["n_layers"])
+    params = {
+        "mu": jnp.asarray(arrays["mu"], dtype),
+        "raw": jnp.asarray(arrays["raw"], dtype),
+        "layers": [
+            {name: jnp.asarray(arrays[f"layer{k}_{name}"], dtype)
+             for name in ("w1", "b1", "w2", "b2", "w3", "b3")}
+            for k in range(n_layers)
+        ],
+    }
+    flow_forward = _flow_forward_fn(d, n_layers, float(header["s_cap"]),
+                                    dtype)
+    return FlowVIResult(
+        keys=tuple(keys_saved),
+        mean=dict(header["mean"]), sd=dict(header["sd"]),
+        cov=np.asarray(arrays["cov"], np.float64),
+        elbo=header["elbo"], log_z=header["log_z"],
+        log_z_error=header["log_z_error"],
+        pareto_k=float(header["pareto_k"]),
+        elbo_trace=np.asarray(arrays["elbo_trace"], np.float64),
+        rank=header["rank"], n_steps=int(header["n_steps"]),
+        _mu=np.asarray(arrays["flow_mu"], np.float64),
+        _chol=np.asarray(arrays["flow_chol"], np.float64),
+        _theta_of_z=jax.jit(jax.vmap(theta_of_z)), _dtype=dtype,
+        _z_of_eps=jax.jit(lambda eps: flow_forward(params, eps)[0]),
+        _fwd=lambda eps: flow_forward(params, eps),
+        _logp_z=logp_z,
+        _params=jax.tree_util.tree_map(lambda a: np.asarray(a), params),
+        _hidden=int(header["hidden"]), _s_cap=float(header["s_cap"]),
+        _scales=None if scales is None else np.asarray(scales, np.float64),
+        n_layers=n_layers,
+    )

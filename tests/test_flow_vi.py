@@ -254,3 +254,45 @@ def test_flow_named_prior_matches_laplace():
     # samples live on the prior's (unbounded) support, centered right
     s = fv.sample(512, seed=2)
     assert abs(s[:, 0].mean() - 1.0) < 0.1
+
+
+def test_flow_save_load_roundtrip(tmp_path):
+    """The trained transport checkpoints: train once, reload against a
+    same-model walker, and get bitwise-identical samples plus the full
+    surface (seeding, NeuTra) without retraining.  No-spec fits freeze
+    their whitening scales in the file, so the reloaded z-map matches
+    the TRAINING-time map even after the ensemble moves on; a
+    spec-mismatched reload raises instead of silently disagreeing."""
+    w, x, y = _line_walker()
+    fv = w.flow_advi(n_steps=800, n_samples=64, seed=5)
+    path = str(tmp_path / "flow.npz")
+    fv.save(path)
+    fv2 = mfit.load_flow(path, w)
+    np.testing.assert_array_equal(fv.sample(256, seed=9),
+                                  fv2.sample(256, seed=9))
+    assert fv2.log_z == fv.log_z and fv2.pareto_k == fv.pareto_k
+    res = fv2.neutra_sample(w, n_steps=400, kernel="mala",
+                            n_walkers=64, seed=1)
+    assert abs(res.samples[:, 0].mean() - fv.mean["b"]) < 5 * fv.sd["b"]
+
+    # custom-prior fit: frozen scales survive ensemble movement
+    def custom_prior(params, dataset):
+        return jnp.asarray(0.0)
+
+    rng = np.random.default_rng(0)
+    x2 = np.linspace(0.0, 2.0, 30)
+    y2 = 1.0 + 0.5 * x2 + SIGMA * rng.standard_normal(x2.size)
+    w2 = mfit.walker_create(
+        function=line, data=(x2, y2), params={"b": 1.0, "m": 0.5},
+        data_error=SIGMA, log_prior=custom_prior,
+        n_walkers=64, seed=0, walker_jitter=0.1)
+    w2.adaptive_steps(1200, temperature=2.0, auto=None)
+    f3 = w2.flow_advi(n_steps=400, n_samples=32, seed=0)
+    path2 = str(tmp_path / "flow2.npz")
+    f3.save(path2)
+    w2.adaptive_steps(600, temperature=1.0, auto=None)
+    f4 = mfit.load_flow(path2, w2)
+    np.testing.assert_array_equal(f3.sample(128, seed=3),
+                                  f4.sample(128, seed=3))
+    with pytest.raises(ValueError, match="z-space maps"):
+        mfit.load_flow(path2, w)
