@@ -830,6 +830,7 @@ class Walker:
             np.repeat(np.arange(K, dtype=np.int32), self.n_walkers // K)
         )
         self.n_groups = K
+        prev_chees = self.state.chees
         self.state = dataclasses.replace(
             self.state,
             l_matrix=jnp.broadcast_to(
@@ -892,7 +893,11 @@ class Walker:
                 m_sum=jnp.zeros((1, d), self.dtype),
                 m_outer=jnp.zeros((1, d, d), self.dtype),
                 m_count=jnp.zeros((1,), self.dtype),
-                chees=jnp.zeros((1, 4), self.dtype),
+                # restore the pre-run trajectory state (a rwm tempered
+                # search never touches it; zeroing would discard a
+                # chees fit's learned t and re-pay the adaptation
+                # transient on the next sampling phase)
+                chees=jnp.asarray(prev_chees, self.dtype)[:1],
             )
 
     def chees_trajectory(self) -> dict:

@@ -1149,7 +1149,7 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         new_grad = jnp.where(accept[:, None], g1, g)
         return (new_state, accept_counts + accf, force_cold, new_grad), out
 
-    def one_step_chees(carry, i, data=None):
+    def one_step_chees(carry, i, data=None, adapt=True):
         """ChEES-HMC step (kernel='chees', Hoffman, Radul & Sountsov 2021).
 
         HMC whose trajectory length tunes ITSELF: NUTS's recursive tree
@@ -1170,7 +1170,10 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
 
         Per step a group-shared jitter u ~ U(0,1) sets the leapfrog count
         n = ceil(u t) (paper §4: jittering is what lets a single t mimic
-        NUTS's range of trajectory lengths).  Because u is SHARED across
+        NUTS's range of trajectory lengths).  ``adapt`` (the driver's
+        traced adapt_enabled) gates the per-step Adam write itself —
+        a boundary-only reset would leave "frozen" phases running a
+        drifting t inside each chunk and snapping back at its end.  Because u is SHARED across
         the group's walkers, every walker integrates the same n steps and
         the bounded ``while_loop`` pays exactly n gradient evaluations —
         no per-walker masking waste (expected cost t/2 evals/step, against
@@ -1283,7 +1286,10 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         lr = jnp.asarray(config.chees_lr, dtype)
         new_off = jnp.clip(
             offset + lr * mhat / (jnp.sqrt(vhat) + 1e-8), off_lo, off_hi)
-        new_chees = jnp.stack([new_off, m, v, cnt], axis=1).astype(dtype)
+        new_chees = jnp.where(
+            jnp.asarray(adapt),
+            jnp.stack([new_off, m, v, cnt], axis=1).astype(dtype),
+            state.chees)
 
         new_state, accf, out = _apply_step(
             state, key, x1, lp1, x1 - state.position, accept, False
@@ -1883,20 +1889,20 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
                            trace, adapt_enabled, allow_refresh)
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
         if gradk:
-            grad_step = (one_step_mala if mala
-                         else one_step_hmc if hmc else one_step_chees)
-            chees0 = state.chees
+            if chees:
+                # Trajectory adaptation honors adapt_enabled PER STEP
+                # (many_steps freezes t like it freezes L — gating the
+                # write, not resetting at the boundary, so a frozen
+                # phase never runs a drifting kernel inside the chunk).
+                step_fn = lambda carry, i: one_step_chees(
+                    carry, i, data, adapt_enabled)
+            else:
+                grad_step = one_step_mala if mala else one_step_hmc
+                step_fn = lambda carry, i: grad_step(carry, i, data)
             (state, accept_counts, _, _), trace = lax.scan(
-                lambda carry, i: grad_step(carry, i, data),
+                step_fn,
                 _mala_carry(state, zero_counts, force_cold, data), jnp.arange(chunk)
             )
-            if chees:
-                # Trajectory-length adaptation honors the driver's
-                # adapt_enabled switch (many_steps freezes t like it
-                # freezes L).
-                state = dataclasses.replace(
-                    state,
-                    chees=jnp.where(adapt_enabled, state.chees, chees0))
         else:
             plain_step = (one_step_stretch if stretch
                           else one_step_demc if demc
@@ -1926,7 +1932,8 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
         elif hmc:
             step = one_step_hmc
         elif chees:
-            step = one_step_chees
+            def step(carry, i, data=None):
+                return one_step_chees(carry, i, data, adapt_enabled)
         elif stretch:
             step = one_step_stretch
         elif demc:
@@ -1941,7 +1948,6 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             return carry, (out, carry[0].position, carry[0].logprob)
 
         zero_counts = jnp.zeros((state.position.shape[0],), state.position.dtype)
-        chees0 = state.chees
         if gradk:
             carry0 = _mala_carry(state, zero_counts, force_cold, data)
         else:
@@ -1976,9 +1982,6 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             state, accept_counts = carry[0], carry[1]
         else:
             state, accept_counts, _ = carry
-        if chees:
-            state = dataclasses.replace(
-                state, chees=jnp.where(adapt_enabled, state.chees, chees0))
         state, out = _finish(state, accept_counts, trace, adapt_enabled, allow_refresh)
         if tempered:
             state, out["swap_rate"] = replica_swap(state, force_cold)

@@ -591,11 +591,11 @@ def advi_per_dataset(fit, prior=None, bounds=None, rank: str = "full",
     opt = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(sched))
     avg_from = int(0.75 * n_steps)
 
-    def run_one(params, key, s):
+    def run_one(params, key, s, data_):
         def neg_elbo(p, k):
             eps = jax.random.normal(k, (n_mc, d), dtype)
             z = p["mu"][None, :] + eps @ build_l(p).T
-            lp = jax.vmap(logp_z, in_axes=(0, None, None))(z, s, data)
+            lp = jax.vmap(logp_z, in_axes=(0, None, None))(z, s, data_)
             return -(jnp.mean(lp) + entropy(p))
 
         opt_state = opt.init(params)
@@ -624,16 +624,20 @@ def advi_per_dataset(fit, prior=None, bounds=None, rank: str = "full",
         chol = build_l(params)
         z = params["mu"][None, :] + eps @ chol.T
         theta = jax.vmap(theta_of_z, in_axes=(0, None))(z, s)
-        lp = jax.vmap(logp_z, in_axes=(0, None, None))(z, s, data)
+        lp = jax.vmap(logp_z, in_axes=(0, None, None))(z, s, data_)
         logq = -0.5 * jnp.sum(eps * eps, axis=1) \
             - 0.5 * d * _LOG_2PI - jnp.sum(jnp.log(jnp.diag(chol)))
         return params, trace, theta, lp - logq
 
     run_keys = jax.vmap(jax.random.PRNGKey)(
         seed + jnp.arange(S, dtype=jnp.uint32))
+    # Datasets ride as a jit ARGUMENT (broadcast across the vmapped
+    # axis), never a closure constant — the repo-wide compile-cache
+    # contract (CLAUDE.md).
     params, traces, thetas, lws = jax.jit(jax.vmap(
-        run_one, in_axes=(0, 0, 0)))(params, run_keys,
-                                     jnp.arange(S, dtype=jnp.int32))
+        run_one, in_axes=(0, 0, 0, None)))(params, run_keys,
+                                           jnp.arange(S, dtype=jnp.int32),
+                                           data)
 
     thetas = np.asarray(thetas, np.float64)
     lws = np.asarray(lws, np.float64)
@@ -1201,13 +1205,13 @@ def flow_advi_per_dataset(fit, prior=None, bounds=None, n_layers: int = 4,
     opt = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(sched))
     avg_from = int(0.9 * n_steps)
 
-    def run_one(params, key, s):
+    def run_one(params, key, s, data_):
         def draw_lw(p, k, n):
             eps = jax.random.normal(k, (n, d), dtype)
             z, ld = flow_forward(p, eps)
             logq = (-0.5 * jnp.sum(eps * eps, axis=1)
                     - 0.5 * d * _LOG_2PI - ld)
-            lp = jax.vmap(logp_z, in_axes=(0, None, None))(z, s, data)
+            lp = jax.vmap(logp_z, in_axes=(0, None, None))(z, s, data_)
             return z, lp - logq
 
         def neg_elbo(p, k):
@@ -1241,9 +1245,11 @@ def flow_advi_per_dataset(fit, prior=None, bounds=None, n_layers: int = 4,
 
     run_keys = jax.vmap(jax.random.PRNGKey)(
         seed + jnp.arange(S, dtype=jnp.uint32))
+    # Datasets as a jit argument, not a closure constant (CLAUDE.md).
     params, traces, thetas, lws = jax.jit(jax.vmap(
-        run_one, in_axes=(0, 0, 0)))(params, run_keys,
-                                     jnp.arange(S, dtype=jnp.int32))
+        run_one, in_axes=(0, 0, 0, None)))(params, run_keys,
+                                           jnp.arange(S, dtype=jnp.int32),
+                                           data)
 
     thetas = np.asarray(thetas, np.float64)
     lws = np.asarray(lws, np.float64)
@@ -1280,6 +1286,10 @@ def flow_advi_per_dataset(fit, prior=None, bounds=None, n_layers: int = 4,
                 lambda eps, _p=params_s: flow_forward(_p, eps)[0]),
             _fwd=lambda eps, _p=params_s: flow_forward(_p, eps),
             _logp_z=lambda z, data_, _s=s: logp_z(z, _s, data_),
+            _params=jax.tree_util.tree_map(lambda a: np.asarray(a),
+                                           params_s),
+            _hidden=int(hidden), _s_cap=float(s_cap),
+            _scales=None if spec is not None else np.asarray(scales[s]),
             n_layers=int(n_layers),
         ))
     return results

@@ -296,3 +296,38 @@ def test_flow_save_load_roundtrip(tmp_path):
                                   f4.sample(128, seed=3))
     with pytest.raises(ValueError, match="z-space maps"):
         mfit.load_flow(path2, w)
+
+
+def test_flow_per_dataset_save_load(tmp_path):
+    """Per-dataset flow results checkpoint too: reload against a
+    standalone single-dataset walker of the same model reproduces the
+    sampling bitwise (review finding r3: the batched path used to
+    return results without the checkpoint fields)."""
+    from lisp_mcmc_tpu.batched import BatchedFit
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 2.0, 30)
+    datasets = []
+    for s in range(2):
+        y = (1.0 + s) + 0.5 * x + SIGMA * rng.standard_normal(x.size)
+        datasets.append((x, y))
+
+    def model(x, p):
+        return p["b"] + p["m"] * x
+
+    bf = BatchedFit(model, datasets, {"b": 1.0, "m": 0.5}, SIGMA,
+                    log_prior=mfit.make_bounds_prior(BOUNDS),
+                    walkers_per_dataset=128, seed=0, walker_jitter=0.1)
+    bf.adaptive_steps(1500, temperature=2.0, auto=None)
+    flows = bf.flow_advi_per_dataset(n_steps=800, n_samples=64, seed=0)
+    path = str(tmp_path / "flow_ds1.npz")
+    flows[1].save(path)
+
+    w1 = mfit.walker_create(
+        function=model, data=datasets[1], params={"b": 1.0, "m": 0.5},
+        data_error=SIGMA, log_prior=mfit.make_bounds_prior(BOUNDS),
+        n_walkers=64, seed=0, walker_jitter=0.1)
+    loaded = mfit.load_flow(path, w1)
+    np.testing.assert_array_equal(flows[1].sample(128, seed=7),
+                                  loaded.sample(128, seed=7))
+    assert loaded.log_z == flows[1].log_z
