@@ -208,3 +208,25 @@ def test_chees_greedy_tuner_compatible():
     w.sample_region(400)
     np.testing.assert_allclose(np.asarray(w.state.chees), before)
     assert np.isfinite(np.asarray(w.state.logprob)).all()
+
+
+def test_chees_drives_smc_moves():
+    """SMC moves run whatever kernel the fit configured — the chees
+    chunk under SMC's per-stage numeric temperature override must
+    produce a correct evidence (pinned against Laplace)."""
+    from lisp_mcmc_tpu.models import line
+
+    sigma = 0.05
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 2.0, 40)
+    y = 1.0 + 0.5 * x + sigma * rng.standard_normal(x.size)
+    bounds = {"b": (-3.0, 5.0), "m": (-2.0, 4.0)}
+    w = mfit.walker_create(
+        function=line, data=(x, y), params={"b": 1.0, "m": 0.5},
+        data_error=sigma, log_prior=mfit.make_bounds_prior(bounds),
+        n_walkers=256, seed=0, walker_jitter=0.1,
+        config=FitConfig(kernel="chees"))
+    res = w.smc_sample(bounds, n_move=100)
+    w.optimize(300, rounds=2)
+    lap = w.laplace_approx()
+    assert res.log_z == pytest.approx(lap.log_z, abs=0.5)
