@@ -128,11 +128,18 @@ def main():
           f"ridge coefficient "
           f"{np.polyfit(res.samples[:, 0], res.samples[:, 1], 2)[0]:.2f}")
 
-    # -- 5. chain: posterior-shaped restarts from the flow --------------
+    # -- 5. chain: the flow is an artifact, not a one-off ---------------
     fv.seed_walker(w, seed=3)
     print(f"[5] seeded ensemble logprob mean "
           f"{float(np.mean(np.asarray(w.state.logprob))):.2f} — the flow "
           "IS the warm start for the next experiment")
+    import tempfile
+    path = tempfile.mktemp(suffix=".npz")
+    fv.save(path)
+    fv2 = mfit.load_flow(path, w)
+    same = np.array_equal(fv.sample(64, seed=4), fv2.sample(64, seed=4))
+    print(f"    checkpointed transport reloads bitwise: {same} — train "
+          "once per model, reuse across sessions")
 
 
 if __name__ == "__main__":
