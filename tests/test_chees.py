@@ -230,3 +230,20 @@ def test_chees_drives_smc_moves():
     w.optimize(300, rounds=2)
     lap = w.laplace_approx()
     assert res.log_z == pytest.approx(lap.log_z, abs=0.5)
+
+
+def test_chees_sbc_calibrated():
+    """Simulation-based calibration through a chees sampling phase: the
+    strongest end-to-end exactness audit a kernel can get — uniform
+    ranks require the self-tuning trajectories to leave the posterior
+    exactly invariant across 40 independent simulated fits."""
+    from lisp_mcmc_tpu.models import line
+
+    x = np.linspace(0.0, 10.0, 40)
+    bounds = {"m": (0.5, 3.0), "b": (-2.0, 2.0)}
+    res = mfit.sbc_check(line, bounds, x, 0.3, n_sims=40,
+                         walkers_per_dataset=32, n_steps=2000, seed=1,
+                         sampling_steps=2000, sampling_kernel="chees",
+                         burn_fraction=0.33)
+    assert res.ok()
+    assert all(p > 0.005 for p in res.p_values.values())
