@@ -189,6 +189,30 @@ def test_chees_grouped_state_per_group():
     assert np.all(ch[:, 3] > 0)
 
 
+def test_chees_groups_adapt_independently():
+    """Spectra with very different posterior widths must land on
+    DIFFERENT trajectory lengths (measured: 6.1 vs 19.4 leapfrog for
+    sigma 0.01 vs 0.3 line fits) — one shared t would defeat the point
+    of per-group adaptation."""
+    from lisp_mcmc_tpu.batched import BatchedFit
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 1.0, 32)
+    sigmas = [0.01, 0.3]
+    datasets = [(x, 2.0 * x + 0.5 + sg * rng.normal(size=x.size))
+                for sg in sigmas]
+
+    def model(x, p):
+        return p["m"] * x + p["b"]
+
+    bf = BatchedFit(model, datasets, {"m": 1.0, "b": 0.0}, sigmas,
+                    walkers_per_dataset=128, seed=0, walker_jitter=0.2,
+                    config=FitConfig(kernel="chees"))
+    bf.adaptive_steps(3000, temperature=1.0, auto=None)
+    off = np.asarray(bf.state.chees)[:, 0]
+    assert abs(off[0] - off[1]) > 0.3, off
+
+
 def test_chees_state_defaults_zero():
     import jax
 
