@@ -14,8 +14,15 @@ the generalization of that pattern to a single ensemble:
   - the posterior evaluates the whole batch with zero per-walker data
     gathers (positions reshape to ``(S, B, d)`` against ``(S, P)`` data).
 
-``BatchedFit`` is model-agnostic (Gaussian likelihood); the NV pipeline's
-:class:`lisp_mcmc_tpu.nv.BatchedNVFit` is this class plus domain defaults.
+``BatchedFit`` is model-agnostic and likelihood-agnostic: the default
+Gaussian reduction runs a specialized z-sum hot path against the cached
+per-dataset constants (no per-step divides/logs), and any other library
+or factory likelihood (student-t, noise-scale, Poisson, x-error,
+``create_log_likelihood_function``) runs through a stacked-``Dataset``
+vmap path that evaluates the SAME ``likelihood(fn, params, dataset)``
+contract the single-fit :class:`~lisp_mcmc_tpu.fit.Walker` uses.  The NV
+pipeline's :class:`lisp_mcmc_tpu.nv.BatchedNVFit` is this class plus
+domain defaults.
 """
 
 from __future__ import annotations
@@ -89,7 +96,13 @@ class BatchedFit(Walker):
     dict (shared) or a list of per-dataset guess dicts.  ``data_error``:
     scalar, per-dataset scalars, or per-point arrays.  ``log_prior``:
     one prior callable or :class:`~lisp_mcmc_tpu.PriorSpec`, applied per
-    walker (with ``dataset=None``).
+    walker (with ``dataset=None``).  ``log_likelihood``: any library or
+    factory dataset reduction (default: the Gaussian
+    ``log_likelihood_normal``, which keeps the specialized z-sum hot
+    path); a data-dependent likelihood factory (``log-liklihood-fixer``
+    semantics, mcmc-fitting.lisp:842-845) resolves ONCE against dataset
+    0 — batched fits share one compiled posterior, so per-dataset
+    specialization is not supported.
     """
 
     def __init__(
@@ -100,6 +113,7 @@ class BatchedFit(Walker):
         data_error=None,
         *,
         log_prior: Callable | None = None,
+        log_likelihood: Callable | None = None,
         walkers_per_dataset: int = 128,
         seed: int = 0,
         walker_jitter: float = 0.02,
@@ -133,38 +147,95 @@ class BatchedFit(Walker):
                  for (x, y), err in zip(datasets, errors)]
 
         spec = ParamSpec.from_params(guesses[0])
-        batch_data = {
-            "x": jnp.stack([ds.x for ds in dsets]),              # (S, P)
-            "y": jnp.stack([ds.y for ds in dsets]),              # (S, P)
-            "inv_sigma": jnp.stack([ds.inv_sigma for ds in dsets]),
-            "const": jnp.stack([ds.log_norm_const for ds in dsets]),  # (S,)
-        }
         self.n_datasets = S
         self.walkers_per_dataset = walkers_per_dataset
 
-        def log_post(theta, dataset_idx, data):
-            """Per-walker posterior (diagnostics path)."""
-            p = spec.unflatten(theta)
-            mu = function(data["x"][dataset_idx], p)
-            z = (data["y"][dataset_idx] - mu) * data["inv_sigma"][dataset_idx]
-            return data["const"][dataset_idx] - 0.5 * jnp.sum(z * z) + prior(p, None)
+        if log_likelihood is not None \
+                and log_likelihood is not log_likelihood_normal:
+            # Data-dependent factory resolution (reference 842-845): once,
+            # against dataset 0 (one compiled posterior for the batch).
+            from .likelihoods import resolve_likelihood
 
-        def batched_log_post(positions, data):
-            """Hot path: reshape to (S, B, d); no per-walker gathers."""
-            pos_s = positions.reshape(S, walkers_per_dataset, -1)
+            likelihood = resolve_likelihood(
+                log_likelihood, function, guesses[0], dsets[0])
+        else:
+            likelihood = log_likelihood_normal
 
-            def per_dataset(theta_block, x, y, inv_sig, const):
-                def one(theta):
-                    p = spec.unflatten(theta)
-                    z = (y - function(x, p)) * inv_sig
-                    return const - 0.5 * jnp.sum(z * z) + prior(p, None)
+        if likelihood is log_likelihood_normal:
+            batch_data = {
+                "x": jnp.stack([ds.x for ds in dsets]),              # (S, P)
+                "y": jnp.stack([ds.y for ds in dsets]),              # (S, P)
+                "inv_sigma": jnp.stack([ds.inv_sigma for ds in dsets]),
+                "const": jnp.stack([ds.log_norm_const for ds in dsets]),  # (S,)
+            }
 
-                return jax.vmap(one)(theta_block)
+            def log_post(theta, dataset_idx, data):
+                """Per-walker posterior (diagnostics path)."""
+                p = spec.unflatten(theta)
+                mu = function(data["x"][dataset_idx], p)
+                z = (data["y"][dataset_idx] - mu) * data["inv_sigma"][dataset_idx]
+                return data["const"][dataset_idx] - 0.5 * jnp.sum(z * z) + prior(p, None)
 
-            lps = jax.vmap(per_dataset)(
-                pos_s, data["x"], data["y"], data["inv_sigma"], data["const"]
-            )
-            return lps.reshape(positions.shape[0])
+            def batched_log_post(positions, data):
+                """Hot path: reshape to (S, B, d); no per-walker gathers."""
+                pos_s = positions.reshape(S, walkers_per_dataset, -1)
+
+                def per_dataset(theta_block, x, y, inv_sig, const):
+                    def one(theta):
+                        p = spec.unflatten(theta)
+                        z = (y - function(x, p)) * inv_sig
+                        return const - 0.5 * jnp.sum(z * z) + prior(p, None)
+
+                    return jax.vmap(one)(theta_block)
+
+                lps = jax.vmap(per_dataset)(
+                    pos_s, data["x"], data["y"], data["inv_sigma"], data["const"]
+                )
+                return lps.reshape(positions.shape[0])
+        else:
+            # Custom-likelihood path: stack the per-dataset Dataset pytrees
+            # into ONE Dataset whose every data field carries a leading S
+            # axis, then vmap the single-fit likelihood contract over it.
+            # The stack keeps the (G, B, ...) reshape fast path (CLAUDE.md
+            # invariant — no per-walker dataset gathers in the hot block)
+            # and rides through jit as an ARGUMENT like every dataset here.
+            # The static meta `n` is per-dataset host metadata the compute
+            # path never reads (reductions are mask-exact); the stacked
+            # pytree records the padded length, and the per-dataset
+            # toolchain reads true lengths from `self._datasets`.
+            batch_data = {"ds": Dataset(
+                x=jnp.stack([ds.x for ds in dsets]),
+                y=jnp.stack([ds.y for ds in dsets]),
+                sigma=jnp.stack([ds.sigma for ds in dsets]),
+                mask=jnp.stack([ds.mask for ds in dsets]),
+                n=int(dsets[0].x.shape[0]),
+                inv_sigma=jnp.stack([ds.inv_sigma for ds in dsets]),
+                log_norm_const=jnp.stack([ds.log_norm_const for ds in dsets]),
+                log_norm_const_point=jnp.stack(
+                    [ds.log_norm_const_point for ds in dsets]),
+                log_fact_y=jnp.stack([ds.log_fact_y for ds in dsets]),
+            )}
+
+            def log_post(theta, dataset_idx, data):
+                """Per-walker posterior (diagnostics path): gather slice s."""
+                p = spec.unflatten(theta)
+                ds_s = jax.tree_util.tree_map(
+                    lambda a: a[dataset_idx], data["ds"])
+                return likelihood(function, p, ds_s) + prior(p, None)
+
+            def batched_log_post(positions, data):
+                """Hot path: (S, B, d) blocks against the stacked Dataset."""
+                pos_s = positions.reshape(S, walkers_per_dataset, -1)
+
+                def per_dataset(theta_block, ds_s):
+                    def one(theta):
+                        p = spec.unflatten(theta)
+                        return likelihood(function, p, ds_s) + prior(p, None)
+
+                    return jax.vmap(one)(theta_block)
+
+                lps = jax.vmap(per_dataset)(pos_s, data["ds"])
+                return lps.reshape(positions.shape[0])
 
         group_ids = np.repeat(np.arange(S, dtype=np.int32), walkers_per_dataset)
         init = np.stack([
@@ -179,7 +250,7 @@ class BatchedFit(Walker):
 
         super().__init__(
             terms=[_Term(fn=function, dataset=ds0,
-                         likelihood=log_likelihood_normal, prior=prior)],
+                         likelihood=likelihood, prior=prior)],
             spec=spec,
             initial_vector=jnp.asarray(positions, dtype),
             n_walkers=S * walkers_per_dataset,

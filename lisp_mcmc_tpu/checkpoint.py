@@ -374,13 +374,19 @@ def batched_save(fit, path: str, take: int | None = None) -> None:
     :func:`walker_save`.  A non-registry prior must be re-supplied to
     :func:`batched_load` (the reference's walker-load contract).
     """
-    data = fit._custom_data
-    if data is None or not hasattr(fit, "walkers_per_dataset"):
+    if fit._custom_data is None or not hasattr(fit, "walkers_per_dataset"):
         raise ValueError("batched_save: not a BatchedFit; use walker_save")
-    inv_sigma = np.asarray(data["inv_sigma"], np.float64)
+    # Stack from the per-dataset Dataset objects (the single source of
+    # truth for BOTH posterior paths — Gaussian z-sum and the custom-
+    # likelihood stacked-Dataset path).  Pad-lane errors save as 0; load
+    # slices each dataset back to its true length before Dataset.create.
+    inv_sigma = np.stack(
+        [np.asarray(ds.inv_sigma, np.float64) for ds in fit._datasets])
     arrays = _dump_state(fit, take)
-    arrays["batch_x"] = np.asarray(data["x"], np.float64)
-    arrays["batch_y"] = np.asarray(data["y"], np.float64)
+    arrays["batch_x"] = np.stack(
+        [np.asarray(ds.x, np.float64) for ds in fit._datasets])
+    arrays["batch_y"] = np.stack(
+        [np.asarray(ds.y, np.float64) for ds in fit._datasets])
     arrays["batch_err"] = np.where(inv_sigma > 0, 1.0 / np.where(inv_sigma > 0, inv_sigma, 1.0), 0.0)
     term = fit.terms[0]
     header = {
@@ -405,17 +411,22 @@ def batched_save(fit, path: str, take: int | None = None) -> None:
         "dtype": np.dtype(fit.dtype).name,
         "config": dataclasses.asdict(fit.config),
         "function": _fn_name(term.fn),
+        "likelihood": _fn_name(term.likelihood),
         **_prior_meta(term.prior),
     }
     arrays["header"] = np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
 
 
-def batched_load(path: str, *, function=None, log_prior=None, quiet: bool = False):
+def batched_load(path: str, *, function=None, log_likelihood=None,
+                 log_prior=None, quiet: bool = False):
     """Load a :func:`batched_save` checkpoint into a resumable BatchedFit.
 
     Names resolve like :func:`walker_load` (explicit callable > registry >
-    printed recommendations + None).
+    printed recommendations + None).  Factory likelihoods (student-t,
+    noise-scale, ...) are closures the registry cannot rebuild — pass the
+    re-created factory via ``log_likelihood`` (the reference's own
+    walker-load contract for unserializable callables, 996-997).
     """
     from .batched import BatchedFit
     from .models import MODEL_REGISTRY
@@ -431,10 +442,16 @@ def batched_load(path: str, *, function=None, log_prior=None, quiet: bool = Fals
     _register_domain_priors()
     fns = _resolve([header["function"]], function, MODEL_REGISTRY, "function", quiet)
     prior = _resolve_prior(header, log_prior, quiet)
-    if fns is None or prior is None:
+    # Pre-likelihood (< r3 session 3) batched files carry no likelihood
+    # name: they were Gaussian by construction.
+    ll_name = header.get("likelihood", "log_likelihood_normal")
+    lls = _resolve([ll_name], log_likelihood, LIKELIHOOD_REGISTRY,
+                   "log_likelihood", quiet)
+    if fns is None or prior is None or lls is None:
         if not quiet:
             print("*Recommendations*")
             print(f"function: {header['function']}")
+            print(f"log_likelihood: {ll_name}")
             print(f"log_prior: {header['prior']}")
         return None
 
@@ -459,6 +476,7 @@ def batched_load(path: str, *, function=None, log_prior=None, quiet: bool = Fals
         fns[0], [(x[g, :ns[g]], y[g, :ns[g]]) for g in range(S)], guesses,
         data_error=[err[g, :ns[g]] for g in range(S)],
         log_prior=None if header["prior"] == "log_prior_flat" else prior,
+        log_likelihood=lls[0],
         walkers_per_dataset=B, dtype=dtype,
         config=FitConfig(**header["config"]),
     )

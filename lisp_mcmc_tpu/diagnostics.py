@@ -1130,16 +1130,18 @@ def _batched_refit(walker, name: str, holdouts, n_steps: int,
     ``score_block(j)`` gives the (S, P) pointwise log-likelihood of the
     ORIGINAL dataset under block j's posterior draws.
 
-    Guards: single-term fits, 1-D abscissae, and the plain Gaussian
-    reduction only — BatchedFit's hot path is hard-coded to the
-    Gaussian z-sum (batched.py log_post), so refitting a student-t /
-    noise-scale / Poisson fit here would silently sample the WRONG
-    leave-out posterior and stamp it "exact".
+    Guards: single-term fits, 1-D abscissae, and a likelihood with a
+    recoverable per-point form (any library reduction or a factory that
+    ships ``_pointwise`` — student-t / noise-scale / Poisson / x-error
+    all qualify; the refits sample under the SAME likelihood via
+    BatchedFit's custom-likelihood path).
     """
     import jax
 
     from .batched import BatchedFit
     from .likelihoods import (log_likelihood_normal,
+                              log_likelihood_normal_cutoff,
+                              log_likelihood_poisson,
                               pointwise_log_likelihood)
 
     if len(walker.terms) != 1:
@@ -1147,11 +1149,15 @@ def _batched_refit(walker, name: str, holdouts, n_steps: int,
                          "supported — refit without the held-out points "
                          "by hand")
     term = walker.terms[0]
-    if term.likelihood is not log_likelihood_normal:
+    if term.likelihood not in (log_likelihood_normal,
+                               log_likelihood_normal_cutoff,
+                               log_likelihood_poisson) \
+            and not hasattr(term.likelihood, "_pointwise"):
         raise ValueError(
-            f"{name}: refits require the plain Gaussian reduction "
-            "(BatchedFit's vectorized posterior is the Gaussian z-sum); "
-            f"this fit uses {getattr(term.likelihood, '__name__', term.likelihood)!r} "
+            f"{name}: refits need a likelihood with a per-point form "
+            "(a library reduction or a create_log_likelihood_function/"
+            "factory likelihood shipping _pointwise); this fit uses "
+            f"{getattr(term.likelihood, '__name__', term.likelihood)!r} "
             "— refit without the held-out points by hand")
     ds = term.dataset
     x_full = np.asarray(ds.x, np.float64)
@@ -1175,6 +1181,7 @@ def _batched_refit(walker, name: str, holdouts, n_steps: int,
     fit = BatchedFit(
         term.fn, datasets, walker.most_likely_params(),
         data_error=errors, log_prior=_refit_prior,
+        log_likelihood=term.likelihood,
         walkers_per_dataset=walkers_per_dataset, seed=seed,
         walker_jitter=0.02, dtype=walker.dtype)
     fit.adaptive_steps(n_steps, temperature=temperature, auto=None)
@@ -1230,8 +1237,10 @@ def reloo(walker, result: LOOResult | None = None,
     ``make_student_t_likelihood`` / :func:`loo_pit`).
 
     Restrictions (see :func:`_batched_refit`): single-term fits, 1-D
-    abscissae, plain Gaussian reduction only — a global fit's flagged
-    term, or a robust/Poisson fit, must be refit by hand.  The refits
+    abscissae, and a likelihood with a per-point form (library
+    reductions and the robust factories all qualify; refits sample
+    under the fit's own likelihood) — a global fit's flagged term
+    must be refit by hand.  The refits
     anneal then draw from a cold mala phase (``burn_fraction`` applies
     to that phase), so the "exact" values never see warm rows.  No
     reference analogue: the reference has no LOO machinery at all; this
@@ -1316,7 +1325,8 @@ def kfold(walker, k: int = 10, folds=None, n_steps: int = 8000,
     ids (length n, values 0..k-1) — use it for grouped/structured data
     (leave-one-segment-out).  Same restrictions and refit recipe as
     :func:`reloo` (see :func:`_batched_refit`): single-term fits, 1-D
-    abscissae, plain Gaussian reduction; anneal + cold mala phase.
+    abscissae, a likelihood with a per-point form (the fit's own
+    likelihood drives the refits); anneal + cold mala phase.
 
     Reference: Vehtari, Gelman & Gabry (2017), section on K-fold CV.
     No reference-code analogue (the Lisp original has no cross-
