@@ -178,10 +178,16 @@ def make_student_t_likelihood(nu: float = 4.0):
         tail = 0.5 * betainc(nu / 2.0, 0.5, nu / (nu + z * z))
         return jnp.where(z >= 0.0, 1.0 - tail, tail)
 
+    def _sbc_simulator(rng, mu, sigma, params):
+        # Host-side generative twin for sbc_check: one simulated dataset
+        # per call (numpy rng; mu/sigma are (P,) for the shared grid).
+        return mu + sigma * rng.standard_t(nu, mu.shape)
+
     likelihood.__name__ = f"student_t_likelihood_nu{nu:g}"
     likelihood._pointwise = _pointwise
     likelihood._predictive_sampler = _sampler
     likelihood._pointwise_cdf = _cdf
+    likelihood._sbc_simulator = _sbc_simulator
     likelihood._nu = nu
     return likelihood
 
@@ -236,10 +242,17 @@ def make_noise_scale_likelihood(key: str = "noise_scale"):
         z = (dataset.y - mu) * dataset.inv_sigma
         return ndtr(z / k)
 
+    def _sbc_simulator(rng, mu, sigma, params):
+        # Generative twin: the TRUE k scales the noise (k is a fitted
+        # parameter, so sbc_check draws it from the prior spec too).
+        k = float(params[key])
+        return mu + k * sigma * rng.standard_normal(mu.shape)
+
     likelihood.__name__ = f"noise_scale_likelihood[{key}]"
     likelihood._pointwise = _pointwise
     likelihood._predictive_sampler = _sampler
     likelihood._pointwise_cdf = _cdf
+    likelihood._sbc_simulator = _sbc_simulator
     likelihood._noise_key = key
     return likelihood
 

@@ -88,11 +88,55 @@ def _uniformity_pvalue(ranks_j: np.ndarray, n_draws: int, n_bins: int) -> float:
     return float(chi2.sf(stat, n_bins - 1))
 
 
+def _observation_model(simulate, log_likelihood, data_error, x):
+    """Resolve the generative twin of the fit's likelihood.
+
+    Returns ``draw(rng, mu, p_true) -> y`` (host-side, one dataset per
+    call).  An explicit ``simulate`` always wins; otherwise the twin is
+    derived from ``log_likelihood`` — never guessed, because a
+    simulator/likelihood mismatch is precisely the defect SBC exists to
+    detect.
+    """
+    from .likelihoods import (log_likelihood_normal,
+                              log_likelihood_normal_cutoff,
+                              log_likelihood_poisson)
+
+    if callable(simulate):
+        return lambda rng, mu, p: simulate(rng, mu)
+
+    def _sigma():
+        if data_error is None:
+            raise ValueError(
+                "sbc_check: this observation model needs data_error "
+                "(the per-point noise scale)")
+        return np.broadcast_to(np.asarray(data_error, np.float64),
+                               x.shape[:1]).astype(np.float64)
+
+    if log_likelihood is None or log_likelihood in (
+            log_likelihood_normal, log_likelihood_normal_cutoff):
+        sigma = _sigma()
+        return lambda rng, mu, p: mu + sigma * rng.standard_normal(mu.shape)
+    if log_likelihood is log_likelihood_poisson:
+        # Counts; the NaN floor handles mu <= 0 in the FIT, but the
+        # simulator must clip (np.random.poisson rejects negative lam).
+        return lambda rng, mu, p: rng.poisson(
+            np.clip(mu, 0.0, None)).astype(np.float64)
+    sim = getattr(log_likelihood, "_sbc_simulator", None)
+    if sim is not None:
+        sigma = _sigma()
+        return lambda rng, mu, p: sim(rng, mu, sigma, p)
+    raise ValueError(
+        "sbc_check: no generative twin for likelihood "
+        f"{getattr(log_likelihood, '__name__', log_likelihood)!r} — pass "
+        "simulate=(rng, mu) -> y matching it (SBC cannot guess the "
+        "observation model; a mismatch is what it detects)")
+
+
 def sbc_check(
     function: Callable,
     bounds: Mapping[str, tuple],
     x,
-    data_error,
+    data_error=None,
     *,
     n_sims: int = 64,
     walkers_per_dataset: int = 64,
@@ -105,6 +149,7 @@ def sbc_check(
     config=None,
     dtype=None,
     simulate: Callable | None = None,
+    log_likelihood: Callable | None = None,
     fit=None,
     sampling_steps: int = 0,
     sampling_kernel: str = "mala",
@@ -120,9 +165,18 @@ def sbc_check(
     each truth among ``n_draws`` thinned posterior draws from its
     walker block.
 
-    ``simulate(rng, mu) -> y`` overrides the Gaussian observation model
-    (it must match the likelihood the fit uses — pass ``config`` /
-    a prebuilt ``fit`` for non-Gaussian pipelines).  ``fit`` (a
+    ``log_likelihood`` calibrates a NON-Gaussian pipeline end to end:
+    the same reduction drives the batched fit (BatchedFit's
+    custom-likelihood path) AND selects the matching observation
+    simulator — Poisson counts for ``log_likelihood_poisson``, the
+    factory's generative twin (``_sbc_simulator``) for student-t /
+    noise-scale (whose fitted ``noise_scale`` truth scales the
+    simulated noise).  A custom reduction without a generative twin
+    must pass ``simulate`` explicitly (a likelihood/simulator MISMATCH
+    is exactly what SBC detects, so the pairing is never guessed).
+
+    ``simulate(rng, mu) -> y`` overrides the observation model
+    (it must match the likelihood the fit uses).  ``fit`` (a
     constructed-but-unstepped BatchedFit over the simulated datasets)
     overrides the default construction entirely; ``sbc_check`` then
     only drives the stepping and ranking.
@@ -167,16 +221,14 @@ def sbc_check(
     truths = spec.sample(rng, n_sims, keys)
 
     x = np.asarray(x, np.float64)
-    sim_err = None if callable(simulate) else np.broadcast_to(
-        np.asarray(data_error, np.float64), x.shape[:1]).astype(np.float64)
+    draw_y = _observation_model(simulate, log_likelihood, data_error, x)
 
     datasets, guesses = [], []
     for i in range(n_sims):
         p_true = dict(zip(keys, truths[i]))
         mu = np.asarray(function(jnp.asarray(x),
                                  {k: jnp.asarray(v) for k, v in p_true.items()}))
-        y = simulate(rng, mu) if simulate else mu + sim_err * rng.standard_normal(x.shape[0])
-        datasets.append((x, y))
+        datasets.append((x, draw_y(rng, mu, p_true)))
         # Independent prior draw as the guess: starting AT the truth
         # would mask burn-in defects, which are part of what SBC audits.
         guesses.append(dict(zip(keys, spec.sample(rng, 1, keys)[0])))
@@ -185,6 +237,7 @@ def sbc_check(
         fit = BatchedFit(
             function, datasets, guesses, data_error=data_error,
             log_prior=spec.as_log_prior(),
+            log_likelihood=log_likelihood,
             walkers_per_dataset=walkers_per_dataset, seed=seed,
             walker_jitter=0.0, config=config, dtype=dtype,
         )

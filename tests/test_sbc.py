@@ -127,3 +127,65 @@ def test_sampling_phase_sbc_calibrated():
                          burn_fraction=0.33)
     assert res.ok()
     assert all(p > 0.005 for p in res.p_values.values())
+
+
+# ---- non-Gaussian pipelines (r3: log_likelihood= derives the twin) ----
+
+
+def test_student_t_pipeline_calibrated():
+    """log_likelihood= drives fit AND simulator: a student-t pipeline
+    is calibrated end to end (heavy-tailed noise, t-likelihood fit)."""
+    res = mfit.sbc_check(line, BOUNDS, X, 0.5, n_sims=40,
+                         walkers_per_dataset=32, n_steps=2500, seed=0,
+                         log_likelihood=mfit.make_student_t_likelihood(4.0))
+    assert res.ok()
+
+
+def test_gaussian_fit_on_cauchy_noise_caught():
+    """The converse: Gaussian fit on Cauchy-tailed data must FAIL the
+    audit (posterior too narrow for the true tails — the likelihood
+    mismatch SBC exists to detect)."""
+    sim = mfit.make_student_t_likelihood(1.0)._sbc_simulator
+    res = mfit.sbc_check(line, BOUNDS, X, 0.5, n_sims=40,
+                         walkers_per_dataset=32, n_steps=2500, seed=0,
+                         simulate=lambda rng, mu: sim(rng, mu, 0.5, None))
+    assert not res.ok()
+
+
+def test_poisson_pipeline_calibrated():
+    """Counts end to end: Poisson simulator + Poisson likelihood
+    (data_error=None; rate from the line model)."""
+    res = mfit.sbc_check(line, {"m": (0.1, 2.0), "b": (2.0, 12.0)}, X,
+                         None, n_sims=40, walkers_per_dataset=32,
+                         n_steps=2500, seed=1,
+                         log_likelihood=mfit.log_likelihood_poisson)
+    assert res.ok()
+
+
+def test_noise_scale_pipeline_calibrated():
+    """The fitted noise level is itself a calibrated parameter: truths
+    for `noise_scale` draw from the prior and scale the simulated
+    noise; its ranks must be uniform too."""
+    res = mfit.sbc_check(
+        line, {"m": (0.5, 3.0), "b": (-1.0, 2.0),
+               "noise_scale": (0.2, 2.0)}, X, 1.0,
+        n_sims=40, walkers_per_dataset=32, n_steps=2500, seed=2,
+        log_likelihood=mfit.make_noise_scale_likelihood())
+    assert res.ok()
+    assert "noise_scale" in res.p_values
+
+
+def test_no_generative_twin_refused():
+    """A custom reduction without _sbc_simulator must refuse loudly —
+    SBC never guesses the observation model."""
+    def weird(fn, params, ds):
+        return 0.0
+
+    with pytest.raises(ValueError, match="generative twin"):
+        mfit.sbc_check(line, BOUNDS, X, 0.5, n_sims=4,
+                       log_likelihood=weird)
+
+
+def test_gaussian_needs_data_error():
+    with pytest.raises(ValueError, match="data_error"):
+        mfit.sbc_check(line, BOUNDS, X, None, n_sims=4)
