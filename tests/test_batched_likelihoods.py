@@ -258,3 +258,35 @@ def test_gaussian_batched_checkpoint_format_still_loads(rng, tmp_path):
         assert a.n == b.n
         assert np.allclose(np.asarray(a.sigma)[: a.n],
                            np.asarray(b.sigma)[: b.n])
+
+
+def test_per_dataset_predictive_under_custom_likelihood(rng):
+    """posterior_predictive_per_dataset / loo_pit_per_dataset ride the
+    factory's predictive sampler (t tails, params-aware noise-scale):
+    coverage lands near nominal on well-specified robust fits."""
+    datasets = []
+    for s in range(3):
+        x = np.linspace(0, 10, 40)
+        y = 2.0 * x + 1.0 + 0.5 * rng.standard_t(4, x.size)
+        datasets.append((x, y))
+    fit = BatchedFit(line, datasets, {"m": 1.5, "b": 0.5}, data_error=0.5,
+                     log_likelihood=make_student_t_likelihood(4.0),
+                     walkers_per_dataset=48, seed=0)
+    fit.adaptive_steps(3000, auto=None)
+    fit.burn_steps(len(fit) // 2)
+    for d in fit.posterior_predictive_per_dataset():
+        assert 0.75 <= d.coverage() <= 1.0
+    for r in fit.loo_pit_per_dataset():
+        assert getattr(r, "ok", True) in (True, False)   # runs, verdicts
+
+    ns = BatchedFit(line, datasets,
+                    {"m": 1.5, "b": 0.5, "noise_scale": 1.0},
+                    data_error=1.0,
+                    log_likelihood=make_noise_scale_likelihood(),
+                    log_prior=mfit.make_bounds_prior(
+                        {"noise_scale": (1e-2, 1e2)}),
+                    walkers_per_dataset=48, seed=1)
+    ns.adaptive_steps(3000, auto=None)
+    ns.burn_steps(len(ns) // 2)
+    for d in ns.posterior_predictive_per_dataset():
+        assert 0.75 <= d.coverage() <= 1.0
