@@ -1117,6 +1117,158 @@ def prior_sensitivity(walker, prior=None, take: int | None = None,
     )
 
 
+def _require_per_point(name: str, likelihood):
+    """Refits/scoring need a per-point form; refuse loudly otherwise."""
+    from .likelihoods import (log_likelihood_normal,
+                              log_likelihood_normal_cutoff,
+                              log_likelihood_poisson)
+
+    if likelihood not in (log_likelihood_normal,
+                          log_likelihood_normal_cutoff,
+                          log_likelihood_poisson) \
+            and not hasattr(likelihood, "_pointwise"):
+        raise ValueError(
+            f"{name}: refits need a likelihood with a per-point form "
+            "(a library reduction or a create_log_likelihood_function/"
+            "factory likelihood shipping _pointwise); this fit uses "
+            f"{getattr(likelihood, '__name__', likelihood)!r} "
+            "— refit without the held-out points by hand")
+
+
+def _global_batched_refit(walker, name: str, holdouts, n_steps: int,
+                          temperature: float, walkers_per_dataset: int,
+                          burn_fraction: float, max_samples: int,
+                          seed: int):
+    """Multi-term twin of :func:`_batched_refit`: leave-out refits of a
+    GLOBAL fit (shared parameters, T dataset terms — the test.lisp:58-70
+    workflow) as adaptation groups of one grouped Walker.
+
+    Held-out points are removed by MASK, not by slicing: each block's
+    per-term :class:`~lisp_mcmc_tpu.data.Dataset` is rebuilt with the
+    reduced mask, so every cached walker-independent constant
+    (inv_sigma, per-point log-normalizations, log y!) is exact for the
+    reduced point set — reductions are mask-exact by construction
+    (data.py), and every block keeps ONE static shape (the TPU-native
+    form of "delete a point").  The K leave-out posteriors — each the
+    FULL T-term sum — run as K adaptation groups of one Walker, with
+    the stacked per-term Datasets riding jit as arguments.
+
+    Returns ``(fit, score_block)`` with ``score_block(j) -> (S, N)``
+    pointwise log-likelihood of the ORIGINAL data (term-major real
+    points, the same axis :func:`_pointwise_ll_matrix` builds) under
+    block j's posterior draws.
+    """
+    import jax
+
+    from .data import Dataset
+    from .fit import Walker, history_block_columns
+    from .likelihoods import pointwise_log_likelihood
+
+    terms = walker.terms
+    for t in terms:
+        _require_per_point(name, t.likelihood)
+        if np.asarray(t.dataset.x).ndim != 1:
+            raise ValueError(f"{name}: multi-column x is not supported")
+    K = len(holdouts)
+    B = walkers_per_dataset
+    spec = walker.spec
+    ns = [t.dataset.n for t in terms]
+    offsets = np.concatenate([[0], np.cumsum(ns)])
+
+    blocks = []
+    for ti, term in enumerate(terms):
+        ds = term.dataset
+        per_block = []
+        for keep in holdouts:
+            seg = np.asarray(keep[offsets[ti]:offsets[ti + 1]], np.float64)
+            mask = np.asarray(ds.mask, np.float64).copy()
+            mask[:ns[ti]] *= seg
+            per_block.append(Dataset(
+                x=ds.x, y=ds.y, sigma=ds.sigma,
+                mask=jnp.asarray(mask, np.asarray(ds.mask).dtype), n=ds.n))
+        blocks.append(jax.tree_util.tree_map(
+            lambda *a: jnp.stack(a), *per_block))
+    # Originals ride along for prior fixer semantics (837-845): the
+    # prior terms evaluate against the UNREDUCED datasets, like the
+    # single-term path's _refit_prior.  Both live in the data pytree
+    # (datasets pass through jit as arguments, never closure constants).
+    data = {"blocks": tuple(blocks),
+            "orig": tuple(t.dataset for t in terms)}
+
+    def _terms_lp(p, datasets, origs, dtype):
+        total = jnp.asarray(0.0, dtype)
+        for term, ds_t, ods in zip(terms, datasets, origs):
+            total = total + term.likelihood(term.fn, p, ds_t)
+            total = total + term.prior(p, ods)
+        return total
+
+    def log_post(theta, block_idx, data):
+        """Per-walker posterior (diagnostics path): gather block slice."""
+        p = spec.unflatten(theta)
+        ds_k = tuple(jax.tree_util.tree_map(lambda a: a[block_idx], st)
+                     for st in data["blocks"])
+        return _terms_lp(p, ds_k, data["orig"], theta.dtype)
+
+    def batched_log_post(positions, data):
+        """Hot path: (K, B, d) blocks against the stacked term Datasets."""
+        pos_k = positions.reshape(K, B, -1)
+
+        def per_block(theta_block, *ds_blocks):
+            def one(theta):
+                p = spec.unflatten(theta)
+                return _terms_lp(p, ds_blocks, data["orig"], theta.dtype)
+
+            return jax.vmap(one)(theta_block)
+
+        lps = jax.vmap(per_block, in_axes=(0,) + (0,) * len(terms))(
+            pos_k, *data["blocks"])
+        return lps.reshape(positions.shape[0])
+
+    group_ids = np.repeat(np.arange(K, dtype=np.int32), B)
+    fit = Walker(
+        terms=list(terms), spec=spec,
+        initial_vector=spec.flatten(walker.most_likely_params(),
+                                    dtype=walker.dtype),
+        n_walkers=K * B, seed=seed, walker_jitter=0.02,
+        dtype=walker.dtype,
+        aux=jnp.asarray(group_ids), group_ids=group_ids, n_groups=K,
+        log_posterior=log_post, posterior_data=data,
+        batched_log_posterior=batched_log_post,
+    )
+    if fit.config.history_walkers and fit.config.history_walkers < K * B:
+        # Scoring needs every block retained; the evenly-spaced walker
+        # subsample would cross blocks (same guard as sbc_check).
+        fit.config = dataclasses.replace(fit.config, history_walkers=0)
+    fit.adaptive_steps(n_steps, temperature=temperature, auto=None)
+    fit.reset()                                   # drop warm anneal rows
+    fit.sampling_steps(max(2000, n_steps // 2), kernel="mala")
+    fit.burn_steps(int(len(fit) * burn_fraction))
+
+    def _ll_full(vec):
+        p = spec.unflatten(vec)
+        return jnp.concatenate([
+            pointwise_log_likelihood(t.likelihood, t.fn, p, t.dataset)
+            for t in terms])
+
+    ll_fn = jax.jit(jax.vmap(_ll_full))
+    real = np.concatenate([np.asarray(t.dataset.mask, np.float64)
+                           for t in terms]) > 0.0
+
+    def score_block(j):
+        pos, _ = fit._history(None)               # (T, K*B, d)
+        pos = np.asarray(pos)
+        cols = history_block_columns(fit, pos.shape[1])[j]
+        block = pos[:, cols, :].reshape(-1, spec.ndim)
+        idx = np.unique(np.linspace(0, block.shape[0] - 1,
+                                    min(max_samples,
+                                        block.shape[0])).astype(int))
+        ll = np.asarray(ll_fn(jnp.asarray(block[idx], walker.dtype)),
+                        np.float64)
+        return ll[:, real]
+
+    return fit, score_block
+
+
 def _batched_refit(walker, name: str, holdouts, n_steps: int,
                    temperature: float, walkers_per_dataset: int,
                    burn_fraction: float, max_samples: int, seed: int):
@@ -1130,35 +1282,25 @@ def _batched_refit(walker, name: str, holdouts, n_steps: int,
     ``score_block(j)`` gives the (S, P) pointwise log-likelihood of the
     ORIGINAL dataset under block j's posterior draws.
 
-    Guards: single-term fits, 1-D abscissae, and a likelihood with a
-    recoverable per-point form (any library reduction or a factory that
-    ships ``_pointwise`` — student-t / noise-scale / Poisson / x-error
-    all qualify; the refits sample under the SAME likelihood via
-    BatchedFit's custom-likelihood path).
+    Guards: 1-D abscissae and likelihoods with a recoverable per-point
+    form (any library reduction or a factory that ships ``_pointwise``
+    — student-t / noise-scale / Poisson / x-error all qualify; the
+    refits sample under the SAME likelihood via BatchedFit's
+    custom-likelihood path).  Multi-term global fits dispatch to
+    :func:`_global_batched_refit` (mask-based holdouts over the
+    concatenated point axis).
     """
     import jax
 
     from .batched import BatchedFit
-    from .likelihoods import (log_likelihood_normal,
-                              log_likelihood_normal_cutoff,
-                              log_likelihood_poisson,
-                              pointwise_log_likelihood)
+    from .likelihoods import pointwise_log_likelihood
 
     if len(walker.terms) != 1:
-        raise ValueError(f"{name}: multi-term global fits are not "
-                         "supported — refit without the held-out points "
-                         "by hand")
+        return _global_batched_refit(
+            walker, name, holdouts, n_steps, temperature,
+            walkers_per_dataset, burn_fraction, max_samples, seed)
     term = walker.terms[0]
-    if term.likelihood not in (log_likelihood_normal,
-                               log_likelihood_normal_cutoff,
-                               log_likelihood_poisson) \
-            and not hasattr(term.likelihood, "_pointwise"):
-        raise ValueError(
-            f"{name}: refits need a likelihood with a per-point form "
-            "(a library reduction or a create_log_likelihood_function/"
-            "factory likelihood shipping _pointwise); this fit uses "
-            f"{getattr(term.likelihood, '__name__', term.likelihood)!r} "
-            "— refit without the held-out points by hand")
+    _require_per_point(name, term.likelihood)
     ds = term.dataset
     x_full = np.asarray(ds.x, np.float64)
     if x_full.ndim != 1:
@@ -1236,11 +1378,13 @@ def reloo(walker, result: LOOResult | None = None,
     misspecification (fix the likelihood; see
     ``make_student_t_likelihood`` / :func:`loo_pit`).
 
-    Restrictions (see :func:`_batched_refit`): single-term fits, 1-D
-    abscissae, and a likelihood with a per-point form (library
-    reductions and the robust factories all qualify; refits sample
-    under the fit's own likelihood) — a global fit's flagged term
-    must be refit by hand.  The refits
+    Restrictions (see :func:`_batched_refit`): 1-D abscissae and
+    likelihoods with a per-point form (library reductions and the
+    robust factories all qualify; refits sample under the fit's own
+    likelihood).  Multi-term GLOBAL fits are supported: flagged points
+    index the term-major concatenated axis (:func:`loo`'s), and each
+    leave-out posterior keeps every term, with the held-out point
+    removed by mask (:func:`_global_batched_refit`).  The refits
     anneal then draw from a cold mala phase (``burn_fraction`` applies
     to that phase), so the "exact" values never see warm rows.  No
     reference analogue: the reference has no LOO machinery at all; this
@@ -1257,7 +1401,7 @@ def reloo(walker, result: LOOResult | None = None,
             f"{max_refits}) — that many influential points means the "
             "model is misspecified; fix the likelihood instead of "
             "refitting around it")
-    n = walker.terms[0].dataset.n
+    n = sum(t.dataset.n for t in walker.terms)
     _, score_block = _batched_refit(
         walker, "reloo", [np.arange(n) != i for i in flagged],
         n_steps, temperature, walkers_per_dataset, burn_fraction,
@@ -1323,16 +1467,18 @@ def kfold(walker, k: int = 10, folds=None, n_steps: int = 8000,
 
     ``folds`` overrides the seeded random partition with explicit fold
     ids (length n, values 0..k-1) — use it for grouped/structured data
-    (leave-one-segment-out).  Same restrictions and refit recipe as
-    :func:`reloo` (see :func:`_batched_refit`): single-term fits, 1-D
-    abscissae, a likelihood with a per-point form (the fit's own
-    likelihood drives the refits); anneal + cold mala phase.
+    (leave-one-segment-out over the term-major concatenated axis for
+    global fits).  Same restrictions and refit recipe as :func:`reloo`
+    (see :func:`_batched_refit`): 1-D abscissae, likelihoods with a
+    per-point form (the fit's own likelihood drives the refits),
+    multi-term global fits via mask-based holdouts; anneal + cold mala
+    phase.
 
     Reference: Vehtari, Gelman & Gabry (2017), section on K-fold CV.
     No reference-code analogue (the Lisp original has no cross-
     validation machinery at all).
     """
-    n = walker.terms[0].dataset.n
+    n = sum(t.dataset.n for t in walker.terms)
 
     if folds is not None:
         folds = np.asarray(folds, np.int64)
