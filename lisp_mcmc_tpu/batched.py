@@ -84,6 +84,12 @@ class _DatasetView:
         pos, lp = self._history(take)
         return pos.reshape(-1, pos.shape[-1]), lp.reshape(-1)
 
+    def most_likely_params(self) -> dict:
+        """The BLOCK's own best params (refit seeds: reloo/kfold on a
+        view) — the batch-global argmax could be another dataset's
+        optimum (same trap reset_to_most_likely guards against)."""
+        return self._fit.best_params_per_dataset()[self._s]
+
 
 class BatchedFit(Walker):
     """S independent fits as one ``(S*B, d)`` walker ensemble.

@@ -314,3 +314,23 @@ def test_x_error_likelihood_through_batched(rng):
         m_y = york.best_params_per_dataset()[s]["m"]
         m_n = naive.best_params_per_dataset()[s]["m"]
         assert abs(m_y - 2.0) < abs(m_n - 2.0)
+
+
+def test_reloo_kfold_on_dataset_view(rng):
+    """Refit-CV on a BatchedFit block: dataset_view exposes the block's
+    OWN best params as the refit seed (the batch-global argmax could
+    be another dataset's optimum), so reloo/kfold run per dataset."""
+    x = np.linspace(0.0, 10.0, 30)
+    datasets = [(x, 2.0 * x + 1.0 + rng.normal(0, 0.3, 30)),
+                (x, 0.5 * x - 1.0 + rng.normal(0, 0.3, 30))]
+    fit = BatchedFit(line, datasets, {"m": 1.0, "b": 0.0},
+                     data_error=0.3, walkers_per_dataset=64, seed=0)
+    fit.adaptive_steps(3000, auto=None)
+    fit.burn_steps(len(fit) // 2)
+    view = fit.dataset_view(1)
+    assert view.most_likely_params()["m"] == pytest.approx(0.5, abs=0.2)
+    base = loo(view)
+    th = min(0.7, float(base.pareto_k.max()) - 1e-6)
+    r = reloo(view, base, k_threshold=th, n_steps=1500, max_refits=4)
+    kf = kfold(view, k=4, n_steps=1500)
+    assert np.isfinite(r.elpd) and np.isfinite(kf.elpd)
