@@ -378,16 +378,18 @@ def batched_save(fit, path: str, take: int | None = None) -> None:
         raise ValueError("batched_save: not a BatchedFit; use walker_save")
     # Stack from the per-dataset Dataset objects (the single source of
     # truth for BOTH posterior paths — Gaussian z-sum and the custom-
-    # likelihood stacked-Dataset path).  Pad-lane errors save as 0; load
-    # slices each dataset back to its true length before Dataset.create.
-    inv_sigma = np.stack(
-        [np.asarray(ds.inv_sigma, np.float64) for ds in fit._datasets])
+    # likelihood stacked-Dataset path).  Sigma saves DIRECTLY (a
+    # 1/inv_sigma reconstruction drifts 1 ulp and breaks the bitwise
+    # round-trip); pad lanes save as 0 via the mask, and load slices
+    # each dataset back to its true length before Dataset.create.
     arrays = _dump_state(fit, take)
     arrays["batch_x"] = np.stack(
         [np.asarray(ds.x, np.float64) for ds in fit._datasets])
     arrays["batch_y"] = np.stack(
         [np.asarray(ds.y, np.float64) for ds in fit._datasets])
-    arrays["batch_err"] = np.where(inv_sigma > 0, 1.0 / np.where(inv_sigma > 0, inv_sigma, 1.0), 0.0)
+    arrays["batch_err"] = np.stack(
+        [np.asarray(ds.sigma, np.float64) * np.asarray(ds.mask, np.float64)
+         for ds in fit._datasets])
     term = fit.terms[0]
     header = {
         "format_version": FORMAT_VERSION,

@@ -1119,13 +1119,9 @@ def prior_sensitivity(walker, prior=None, take: int | None = None,
 
 def _require_per_point(name: str, likelihood):
     """Refits/scoring need a per-point form; refuse loudly otherwise."""
-    from .likelihoods import (log_likelihood_normal,
-                              log_likelihood_normal_cutoff,
-                              log_likelihood_poisson)
+    from .likelihoods import LIBRARY_POINTWISE
 
-    if likelihood not in (log_likelihood_normal,
-                          log_likelihood_normal_cutoff,
-                          log_likelihood_poisson) \
+    if likelihood not in LIBRARY_POINTWISE \
             and not hasattr(likelihood, "_pointwise"):
         raise ValueError(
             f"{name}: refits need a likelihood with a per-point form "
@@ -1254,11 +1250,18 @@ def _global_batched_refit(walker, name: str, holdouts, n_steps: int,
     real = np.concatenate([np.asarray(t.dataset.mask, np.float64)
                            for t in terms]) > 0.0
 
+    # Materialize the history ONCE: score_block runs K times and the
+    # (T, K*B, d) host conversion + column mapping are identical calls.
+    _hist_cache: dict = {}
+
     def score_block(j):
-        pos, _ = fit._history(None)               # (T, K*B, d)
-        pos = np.asarray(pos)
-        cols = history_block_columns(fit, pos.shape[1])[j]
-        block = pos[:, cols, :].reshape(-1, spec.ndim)
+        if "pos" not in _hist_cache:
+            pos, _ = fit._history(None)           # (T, K*B, d)
+            _hist_cache["pos"] = np.asarray(pos)
+            _hist_cache["cols"] = history_block_columns(
+                fit, _hist_cache["pos"].shape[1])
+        pos = _hist_cache["pos"]
+        block = pos[:, _hist_cache["cols"][j], :].reshape(-1, spec.ndim)
         idx = np.unique(np.linspace(0, block.shape[0] - 1,
                                     min(max_samples,
                                         block.shape[0])).astype(int))
@@ -1274,80 +1277,34 @@ def _batched_refit(walker, name: str, holdouts, n_steps: int,
                    burn_fraction: float, max_samples: int, seed: int):
     """Shared refit scaffolding of :func:`reloo` and :func:`kfold`.
 
-    Builds one leave-out dataset per entry of ``holdouts`` (a boolean
-    keep-mask each), fits them as blocks of ONE BatchedFit (anneal,
-    then a cold mala sampling phase — ranking/scoring from warm anneal
-    rows would bias every "exact" elpd low, the same caveat
-    :func:`waic` documents), and returns ``(fit, score_block)`` where
-    ``score_block(j)`` gives the (S, P) pointwise log-likelihood of the
-    ORIGINAL dataset under block j's posterior draws.
+    Builds one leave-out posterior per entry of ``holdouts`` (a boolean
+    keep-mask over the term-major concatenated real-point axis), fits
+    them as adaptation groups of ONE grouped ensemble (anneal, then a
+    cold mala sampling phase — ranking/scoring from warm anneal rows
+    would bias every "exact" elpd low, the same caveat :func:`waic`
+    documents), and returns ``(fit, score_block)`` where
+    ``score_block(j)`` gives the (S, N) pointwise log-likelihood of the
+    ORIGINAL data under block j's posterior draws.
 
     Guards: 1-D abscissae and likelihoods with a recoverable per-point
     form (any library reduction or a factory that ships ``_pointwise``
     — student-t / noise-scale / Poisson / x-error all qualify; the
-    refits sample under the SAME likelihood via BatchedFit's
-    custom-likelihood path).  Multi-term global fits dispatch to
-    :func:`_global_batched_refit` (mask-based holdouts over the
-    concatenated point axis).
+    refits sample under the fit's OWN likelihood).
+
+    All refit-CV rides :func:`_global_batched_refit`'s mask-based
+    grouped-Walker machinery — a single-term fit is just the T=1 case.
+    The pre-r3s3 single-term path held points out by SLICING the
+    arrays instead; that computes the same leave-out posterior for
+    in-dataset likelihoods but silently MISALIGNS per-point closures:
+    ``make_x_error_likelihood(sigma_x_array)`` pads its full-length
+    sigma_x against the sliced grid, giving every point after the
+    first held-out index its neighbor's sigma_x (review finding, r3
+    session 3).  Masking keeps point positions fixed, so per-point
+    closures stay aligned by construction.
     """
-    import jax
-
-    from .batched import BatchedFit
-    from .likelihoods import pointwise_log_likelihood
-
-    if len(walker.terms) != 1:
-        return _global_batched_refit(
-            walker, name, holdouts, n_steps, temperature,
-            walkers_per_dataset, burn_fraction, max_samples, seed)
-    term = walker.terms[0]
-    _require_per_point(name, term.likelihood)
-    ds = term.dataset
-    x_full = np.asarray(ds.x, np.float64)
-    if x_full.ndim != 1:
-        raise ValueError(f"{name}: multi-column x is not supported")
-    n = ds.n
-    x, y = x_full[:n], np.asarray(ds.y, np.float64)[:n]
-    sigma = np.asarray(ds.sigma, np.float64)[:n]
-    datasets, errors = [], []
-    for keep in holdouts:
-        datasets.append((x[keep], y[keep]))
-        errors.append(sigma[keep])
-    # The prior evaluates against the ORIGINAL dataset (data-dependent
-    # fixers resolved there, reference 837-845 semantics); BatchedFit
-    # itself would pass dataset=None, breaking priors that read it.
-    prior = term.prior
-
-    def _refit_prior(p, _ds, _prior=prior, _orig=ds):
-        return _prior(p, _orig)
-
-    fit = BatchedFit(
-        term.fn, datasets, walker.most_likely_params(),
-        data_error=errors, log_prior=_refit_prior,
-        log_likelihood=term.likelihood,
-        walkers_per_dataset=walkers_per_dataset, seed=seed,
-        walker_jitter=0.02, dtype=walker.dtype)
-    fit.adaptive_steps(n_steps, temperature=temperature, auto=None)
-    fit.reset()                                   # drop warm anneal rows
-    fit.sampling_steps(max(2000, n_steps // 2), kernel="mala")
-    fit.burn_steps(int(len(fit) * burn_fraction))
-
-    spec = fit.spec
-
-    def _ll_full(vec):
-        return pointwise_log_likelihood(
-            term.likelihood, term.fn, spec.unflatten(vec), ds)
-
-    ll_fn = jax.jit(jax.vmap(_ll_full))
-
-    def score_block(j):
-        pos, _ = fit.dataset_view(j).steps()
-        pos = np.asarray(pos)
-        idx = np.unique(np.linspace(0, pos.shape[0] - 1,
-                                    min(max_samples, pos.shape[0])).astype(int))
-        return np.asarray(ll_fn(jnp.asarray(pos[idx], walker.dtype)),
-                          np.float64)
-
-    return fit, score_block
+    return _global_batched_refit(
+        walker, name, holdouts, n_steps, temperature,
+        walkers_per_dataset, burn_fraction, max_samples, seed)
 
 
 def reloo(walker, result: LOOResult | None = None,

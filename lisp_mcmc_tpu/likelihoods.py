@@ -378,6 +378,13 @@ def create_log_likelihood_function(point_log_likelihood: Callable):
     return likelihood
 
 
+# The library reductions pointwise_log_likelihood recognizes by
+# identity.  Guards that ask "does this likelihood have a per-point
+# form?" (diagnostics._require_per_point) must consult THIS tuple plus
+# the `_pointwise` attribute — a private copy of the list would drift.
+LIBRARY_POINTWISE = None  # assigned below (the branches define the set)
+
+
 def pointwise_log_likelihood(likelihood, fn, params, dataset: Dataset):
     """Per-point log-density vector for one walker (padded lanes -> 0).
 
@@ -408,6 +415,10 @@ def pointwise_log_likelihood(likelihood, fn, params, dataset: Dataset):
         f"{getattr(likelihood, '__name__', likelihood)!r} — use a library "
         "reduction or create_log_likelihood_function (custom reductions "
         "have no recoverable per-point form)")
+
+
+LIBRARY_POINTWISE = (log_likelihood_normal, log_likelihood_normal_cutoff,
+                     log_likelihood_poisson)
 
 
 def pointwise_cdf(likelihood, fn, params, dataset: Dataset):

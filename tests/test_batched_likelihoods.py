@@ -256,8 +256,9 @@ def test_gaussian_batched_checkpoint_format_still_loads(rng, tmp_path):
                           np.asarray(back.state.position))
     for a, b in zip(fit._datasets, back._datasets):
         assert a.n == b.n
-        assert np.allclose(np.asarray(a.sigma)[: a.n],
-                           np.asarray(b.sigma)[: b.n])
+        # sigma saves directly (not via 1/inv_sigma): bitwise round-trip
+        assert np.array_equal(np.asarray(a.sigma)[: a.n],
+                              np.asarray(b.sigma)[: b.n])
 
 
 def test_per_dataset_predictive_under_custom_likelihood(rng):

@@ -180,3 +180,39 @@ def test_global_refit_refuses_no_per_point_form(rng):
     w.adaptive_steps(200, auto=None)
     with pytest.raises(ValueError, match="per-point form"):
         kfold(w, k=4, n_steps=200)
+
+
+def test_single_term_refit_keeps_per_point_closures_aligned(rng):
+    """The r3s3 review finding: slicing holdouts out misaligned
+    per-point likelihood closures (make_x_error_likelihood with a
+    per-point sigma_x array padded its full-length sigma_x against the
+    sliced grid).  Mask-based holdouts keep positions fixed: the
+    block posterior must equal a sliced refit whose sigma_x was sliced
+    IN STEP with the data, to 1e-9."""
+    n = 24
+    x_true = np.linspace(0.0, 10.0, n)
+    sigma_x = np.full(n, 0.1)
+    sigma_x[::3] = 0.8                       # strongly heterogeneous
+    x_obs = x_true + rng.normal(0, 1.0, n) * sigma_x
+    y = 2.0 * x_true + 1.0 + rng.normal(0, 0.2, n)
+    w = walker_create(function=line, data=(x_obs, y),
+                      params={"m": 1.5, "b": 0.5}, data_error=0.2,
+                      log_likelihood=mfit.make_x_error_likelihood(sigma_x),
+                      n_walkers=32, seed=0, walker_jitter=0.05)
+    w.adaptive_steps(400, auto=None)
+    i = 2                                    # held-out interior point
+    from lisp_mcmc_tpu.diagnostics import _batched_refit
+
+    fit, _ = _batched_refit(
+        w, "test", [np.arange(n) != i], n_steps=200, temperature=2.0,
+        walkers_per_dataset=8, burn_fraction=0.3, max_samples=16, seed=0)
+    keep = np.arange(n) != i
+    ref = walker_create(
+        function=line, data=(x_obs[keep], y[keep]),
+        params={"m": 1.5, "b": 0.5}, data_error=0.2,
+        log_likelihood=mfit.make_x_error_likelihood(sigma_x[keep]),
+        n_walkers=2, seed=0)
+    theta = fit.spec.flatten({"m": 2.1, "b": 0.9}, dtype=fit.dtype)
+    lp_blk = float(fit._custom_log_post(theta, 0, fit._posterior_data()))
+    assert lp_blk == pytest.approx(
+        ref.diagnose_params({"m": 2.1, "b": 0.9}), abs=1e-9)
