@@ -217,7 +217,8 @@ class BatchedNVFit(BatchedFit):
 
     def __init__(self, spectra, walkers_per_spectrum: int = 128, seed: int = 0,
                  model=double_lorentzian_bg, prior=None, dtype=None,
-                 config=None, walker_jitter: float = 0.02):
+                 config=None, walker_jitter: float = 0.02,
+                 log_likelihood=None):
         if len(spectra) == 0:
             raise ValueError("no spectra provided")
         x0 = np.asarray(spectra[0][0], dtype=np.float64)
@@ -239,6 +240,7 @@ class BatchedNVFit(BatchedFit):
         super().__init__(
             model, spectra, guesses, errors,
             log_prior=prior,
+            log_likelihood=log_likelihood,
             walkers_per_dataset=walkers_per_spectrum,
             seed=seed, walker_jitter=walker_jitter,
             dtype=dtype, config=config,

@@ -134,3 +134,41 @@ def test_nv_noise_estimate_floors_constant_deciles():
     sd = nv_data_std_dev(y)
     assert sd > 0.0
     assert nv_data_std_dev(np.zeros(50)) > 0.0
+
+
+def test_batched_nv_fit_robust_likelihood(rng):
+    """BatchedNVFit(log_likelihood=...) rides BatchedFit's
+    likelihood-agnostic path: with one cosmic-ray point per spectrum
+    the t(4) scan fit recovers in-box truths and beats the Gaussian's
+    pooled dip-position error (measured 5.3 vs 8.4 MHz on this seed)."""
+    import jax.numpy as jnp
+
+    import lisp_mcmc_tpu as mfit
+
+    x = np.linspace(2800.0, 2940.0, 128)
+    spectra, truths = [], []
+    for s in range(3):
+        p = {"scale1": 3e-4, "scale2": 2e-4, "mu1": 2856.0 + s,
+             "mu2": 2878.0 + s, "sigma": 10.0, "bg0": 1e-3}
+        mu = np.asarray(double_lorentzian_bg(
+            jnp.asarray(x), {k: jnp.asarray(v) for k, v in p.items()}))
+        y = mu + rng.normal(0, 2e-5, x.size)
+        y[40 + 2 * s] -= 2.5e-4              # spurious 12x-noise dip
+        spectra.append((x, y))
+        truths.append((2856.0 + s, 2878.0 + s))
+
+    def total_err(fit):
+        err = 0.0
+        for s in range(3):
+            best = fit.best_params_per_spectrum()[s]
+            mus = sorted([best["mu1"], best["mu2"]])
+            err += abs(mus[0] - truths[s][0]) + abs(mus[1] - truths[s][1])
+        return err
+
+    robust = nv.BatchedNVFit(spectra, walkers_per_spectrum=64, seed=0,
+                          log_likelihood=mfit.make_student_t_likelihood(4.0))
+    robust.adaptive_steps(8000, auto=None)
+    gauss = nv.BatchedNVFit(spectra, walkers_per_spectrum=64, seed=0)
+    gauss.adaptive_steps(8000, auto=None)
+    assert total_err(robust) < total_err(gauss)
+    assert total_err(robust) < 7.0
