@@ -41,7 +41,7 @@ from .control import clear_stop, estop, request_stop, stop_requested
 from .data import Dataset, clean_data, clean_data_error, create_walker_data
 from .evidence import (EvidenceResult, LaplaceResult, laplace_approx,
                        log_bayes_factor, log_evidence)
-from .nested import NestedResult, nested_sample
+from .nested import NestedResult, nested_per_dataset, nested_sample
 from .profile import ProfileResult, profile_likelihood
 from .variational import (VIResult, FlowVIResult, NeutraResult, advi,
                           flow_advi, advi_per_dataset,
@@ -130,6 +130,7 @@ __all__ = [
     "LaplaceResult",
     "laplace_approx",
     "NestedResult",
+    "nested_per_dataset",
     "nested_sample",
     "ProfileResult",
     "profile_likelihood",

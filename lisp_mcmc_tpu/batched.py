@@ -461,6 +461,17 @@ class BatchedFit(Walker):
 
         return flow_advi_per_dataset(self, *args, **kwargs)
 
+    def nested_per_dataset(self, bounds=None, **kwargs) -> list:
+        """S per-dataset nested-sampling runs as ONE vmapped program
+        (``nested.nested_per_dataset``): each dataset gets its own live
+        set, evidence ``log_z +- log_z_err``, posterior draws, and
+        insertion-rank diagnostic — the information-theoretic evidence
+        column of a scan-grid model comparison (difference two batched
+        fits' ``log_z`` lists for per-spectrum Bayes factors)."""
+        from .nested import nested_per_dataset
+
+        return nested_per_dataset(self, bounds, **kwargs)
+
     def laplace_per_dataset(self, bounds=None, prior=None,
                             eig_floor: float = 1e-12):
         """Per-dataset Laplace approximations from ONE vmapped Hessian.
