@@ -10,8 +10,11 @@ comparison tools answer it spectrum-by-spectrum:
                              Hessian (instant, curvature-based)
   - `waic_per_dataset`     — S predictive scores per family from the
                              collected histories (prior-free)
+  - `nested_per_dataset`   — S nested-sampling evidences per family as
+                             ONE vmapped program (exact ridge-safe
+                             integrals where Laplace flags n_clamped)
 
-Run: ``python examples/scan_model_comparison.py`` (~1 min CPU).
+Run: ``python examples/scan_model_comparison.py`` (~2 min CPU).
 """
 
 import os
@@ -137,6 +140,27 @@ def main():
     # (at tiny-but-nonzero splits the high-SNR data may still resolve
     # the asymmetry — "undecided" is a statement about margins, not a
     # guarantee of label "one peak").
+
+    # Third column where it matters: on the merged spectra the two-peak
+    # Laplace evidence was FLAGGED (n_clamped > 0: the mu1=mu2 ridge is
+    # degenerate, a Gaussian integral there is a guess).  Nested sampling
+    # integrates the ridge exactly — all S runs per family ride one
+    # vmapped device program, fresh live sets from the prior (the fits'
+    # ensembles are untouched).
+    ns2 = fit2.nested_per_dataset(n_live=256, seed=0)
+    ns1 = fit1.nested_per_dataset(n_live=256, seed=0)
+    print("spectrum  split  dlogZ(nested)+-err   dlogZ(Laplace)")
+    for s, split in enumerate(splits):
+        dz_n = ns2[s].log_z - ns1[s].log_z
+        err = float(np.hypot(ns2[s].log_z_err, ns1[s].log_z_err))
+        dz_l = lap2[s].log_z - lap1[s].log_z
+        print(f"    {s}    {split:5.1f}   {dz_n:10.1f}+-{err:4.2f}"
+              f"   {dz_l:10.1f}")
+    # On clean-curvature spectra the two estimators agree; the resolved
+    # end must be decisively two-peak under BOTH.
+    for s in (0, 1, 2):
+        dz_n = ns2[s].log_z - ns1[s].log_z
+        assert dz_n > 10.0, (s, dz_n)
 
 
 if __name__ == "__main__":

@@ -24,7 +24,7 @@ __all__ = ["metrics", "ess_per_param", "ess_from_history", "rhat_per_param",
            "summary", "trace_profile",
            "WAICResult", "waic", "waic_compare",
            "LOOResult", "loo", "loo_compare", "reloo",
-           "KFoldResult", "kfold", "model_weights",
+           "KFoldResult", "kfold", "model_weights", "evidence_weights",
            "LOOPITResult", "loo_pit",
            "PriorSensitivityResult", "prior_sensitivity",
            "AuditResult", "audit"]
@@ -1537,4 +1537,40 @@ def model_weights(results, method: str = "stacking",
         theta_new = theta + lr * grad_theta
         theta = theta_new - theta_new.max()
     w = np.exp(theta)
+    return w / w.sum()
+
+
+def evidence_weights(results, log_prior_odds=None) -> np.ndarray:
+    """Posterior model probabilities from marginal evidences (BMA).
+
+    The evidence-side sibling of :func:`model_weights`: where stacking /
+    pseudo-BMA+ weight models by *predictive* score (WAIC/LOO pointwise
+    elpds), this is plain Bayesian model averaging —
+    ``P(M_k | data) ∝ Z_k * P(M_k)`` — from any of the framework's five
+    evidence estimators.  ``results``: floats (log Z) or any mix of
+    objects carrying ``.log_z`` (``EvidenceResult``, ``LaplaceResult``,
+    ``NestedResult``, ``SMCResult``, ``VIResult``, ``FlowVIResult``).
+    ``log_prior_odds``: optional per-model log prior weights (default
+    equal).  Returns probabilities summing to 1 in input order.
+
+    Caveat the WAIC/LOO docstrings don't need: evidences depend on the
+    declared PRIOR (an M-closed notion), so only compare models whose
+    log_z share the framework convention (priors.py "Convention") — the
+    per-dataset comparison columns in
+    ``examples/scan_model_comparison.py`` do.
+    """
+    if len(results) < 2:
+        raise ValueError("evidence_weights: need >= 2 models")
+    lz = np.asarray([float(getattr(r, "log_z", r)) for r in results],
+                    np.float64)
+    if not np.all(np.isfinite(lz)):
+        raise ValueError(f"evidence_weights: non-finite log_z in {lz}")
+    if log_prior_odds is not None:
+        lpo = np.asarray(log_prior_odds, np.float64)
+        if lpo.shape != lz.shape:
+            raise ValueError("evidence_weights: log_prior_odds must match "
+                             f"results ({lpo.shape} vs {lz.shape})")
+        lz = lz + lpo
+    z = lz - lz.max()
+    w = np.exp(z)
     return w / w.sum()

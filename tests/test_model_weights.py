@@ -1,6 +1,8 @@
 """Model-averaging weights (diagnostics.model_weights): stacking and
 pseudo-BMA+ over per-point WAIC/LOO elpds (Yao et al. 2018)."""
 
+import math
+
 import numpy as np
 import pytest
 
@@ -58,3 +60,26 @@ def test_validation():
         model_weights([_fake(pw), _fake(np.zeros(11))])
     with pytest.raises(ValueError, match="unknown method"):
         model_weights([_fake(pw), _fake(pw)], method="nope")
+
+
+def test_evidence_weights_bma():
+    """BMA probabilities from log evidences: softmax in log_z, prior
+    odds shift them, and anything carrying .log_z is accepted."""
+    from types import SimpleNamespace
+
+    from lisp_mcmc_tpu.diagnostics import evidence_weights
+
+    w = evidence_weights([0.0, math.log(3.0)])
+    assert w == pytest.approx([0.25, 0.75])
+    # Equal evidence + 4:1 prior odds -> 80/20.
+    w = evidence_weights([5.0, 5.0], log_prior_odds=[math.log(4.0), 0.0])
+    assert w == pytest.approx([0.8, 0.2])
+    # Objects with .log_z (Laplace/Nested/SMC/VI results) mix with floats.
+    w = evidence_weights([SimpleNamespace(log_z=1.0), 1.0, 1.0])
+    assert w == pytest.approx([1 / 3] * 3)
+    with pytest.raises(ValueError, match=">= 2"):
+        evidence_weights([1.0])
+    with pytest.raises(ValueError, match="non-finite"):
+        evidence_weights([1.0, float("nan")])
+    with pytest.raises(ValueError, match="log_prior_odds"):
+        evidence_weights([1.0, 2.0], log_prior_odds=[0.0])
