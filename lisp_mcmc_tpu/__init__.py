@@ -32,6 +32,8 @@ from .batched import BatchedFit
 from .checkpoint import (
     batched_load,
     batched_save,
+    hierarchical_load,
+    hierarchical_save,
     walker_load,
     walker_save,
     walker_set_load,
@@ -41,6 +43,7 @@ from .control import clear_stop, estop, request_stop, stop_requested
 from .data import Dataset, clean_data, clean_data_error, create_walker_data
 from .evidence import (EvidenceResult, LaplaceResult, laplace_approx,
                        log_bayes_factor, log_evidence)
+from .hierarchical import HierarchicalFit
 from .nested import NestedResult, nested_per_dataset, nested_sample
 from .profile import ProfileResult, profile_likelihood
 from .variational import (VIResult, FlowVIResult, NeutraResult, advi,
@@ -122,6 +125,7 @@ def enable_compilation_cache(path: str | None = None) -> str:
 __all__ = [
     "BatchedFit",
     "Dataset",
+    "HierarchicalFit",
     "FitConfig",
     "Walker",
     "WalkerSet",
@@ -199,6 +203,8 @@ __all__ = [
     "temperature_schedule",
     "batched_load",
     "batched_save",
+    "hierarchical_load",
+    "hierarchical_save",
     "walker_load",
     "walker_save",
     "walker_set_load",

@@ -36,7 +36,8 @@ from .likelihoods import (
 from .priors import log_prior_flat
 
 __all__ = ["walker_save", "walker_load", "walker_set_save", "walker_set_load",
-           "batched_save", "batched_load"]
+           "batched_save", "batched_load",
+           "hierarchical_save", "hierarchical_load"]
 
 # v2 (round 2): FitConfig gained refresh_damping / max_history_bytes /
 # history_walkers, headers gained kind="custom" and "subclass" — older
@@ -490,6 +491,115 @@ def batched_load(path: str, *, function=None, log_likelihood=None,
         from .nv import BatchedNVFit
 
         fit.__class__ = BatchedNVFit
+    return _restore_state(fit, arrays, header, dtype)
+
+
+def hierarchical_save(fit, path: str, take: int | None = None) -> None:
+    """Save a :class:`~lisp_mcmc_tpu.HierarchicalFit` to ``path``.
+
+    Same names-not-closures contract as :func:`batched_save`; the
+    hierarchy's structure (pooled names, hyperpriors, non-pooled local
+    priors) serializes as distribution RECIPES via each dist's
+    ``to_meta`` — the prior is always a product of the named 1-D family,
+    so no callable ever needs to travel.
+    """
+    from .hierarchical import HierarchicalFit
+
+    if not isinstance(fit, HierarchicalFit):
+        raise ValueError("hierarchical_save: not a HierarchicalFit; "
+                         "use walker_save / batched_save")
+    arrays = _dump_state(fit, take)
+    arrays["batch_x"] = np.stack(
+        [np.asarray(ds.x, np.float64) for ds in fit._datasets])
+    arrays["batch_y"] = np.stack(
+        [np.asarray(ds.y, np.float64) for ds in fit._datasets])
+    arrays["batch_err"] = np.stack(
+        [np.asarray(ds.sigma, np.float64) * np.asarray(ds.mask, np.float64)
+         for ds in fit._datasets])
+    term = fit.terms[0]
+    header = {
+        "format_version": FORMAT_VERSION,
+        "kind": "hierarchical",
+        "param_keys": list(fit.spec.keys),
+        "local_keys": list(fit.local_spec.keys),
+        "pooled": list(fit.pooled),
+        "hyper": {p: {"mu": mu.to_meta(), "tau": tau.to_meta()}
+                  for p, (mu, tau) in fit._hyper.items()},
+        "local_priors": {k: d.to_meta()
+                         for k, d in fit._local_dists.items()},
+        # Any valid guess rebuilds the fit (state replaces it); the
+        # decoded per-dataset best is always valid.
+        "guesses": [{k: float(v) for k, v in g.items()}
+                    for g in fit.params_per_dataset("best")],
+        "n_walkers": fit.n_walkers,
+        "n_datasets": int(fit.n_datasets),
+        "n_points_per_dataset": [int(ds.n) for ds in fit._datasets],
+        "prng_impl": str(__import__("jax").random.key_impl(fit.state.key)),
+        "dtype": np.dtype(fit.dtype).name,
+        "config": dataclasses.asdict(fit.config),
+        "function": _fn_name(term.fn),
+        "likelihood": _fn_name(term.likelihood),
+    }
+    arrays["header"] = np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def hierarchical_load(path: str, *, function=None, log_likelihood=None,
+                      quiet: bool = False):
+    """Load a :func:`hierarchical_save` checkpoint, resumable mid-run.
+
+    The model resolves by registry name or explicit ``function=``;
+    factory likelihoods (student-t, ...) must be re-supplied via
+    ``log_likelihood`` (the reference's walker-load contract for
+    unserializable callables, mcmc-fitting.lisp:996-997).  Hyper and
+    local priors rebuild exactly from their serialized recipes.
+    """
+    from .hierarchical import HierarchicalFit
+    from .models import MODEL_REGISTRY
+    from .priors import _dist_from_meta
+
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    header = json.loads(bytes(arrays.pop("header")).decode())
+    if header.get("kind") != "hierarchical":
+        raise ValueError("hierarchical_load: not a hierarchical checkpoint; "
+                         "use walker_load / batched_load")
+    if header["format_version"] > FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {header['format_version']} "
+                         "is newer than supported")
+
+    fns = _resolve([header["function"]], function, MODEL_REGISTRY,
+                   "function", quiet)
+    lls = _resolve([header["likelihood"]], log_likelihood,
+                   LIKELIHOOD_REGISTRY, "log_likelihood", quiet)
+    if fns is None or lls is None:
+        if not quiet:
+            print("*Recommendations*")
+            print(f"function: {header['function']}")
+            print(f"log_likelihood: {header['likelihood']}")
+        return None
+
+    dtype = jnp.dtype(header["dtype"])
+    S = header["n_datasets"]
+    ns = header["n_points_per_dataset"]
+    x, y, err = arrays["batch_x"], arrays["batch_y"], arrays["batch_err"]
+    hyper = {p: (_dist_from_meta(m["mu"]), _dist_from_meta(m["tau"]))
+             for p, m in header["hyper"].items()}
+    local_priors = {k: _dist_from_meta(m)
+                    for k, m in header["local_priors"].items()}
+    # Guess dicts must present keys in the saved local-spec order (the
+    # walk-space layout derives from it).
+    guesses = [{k: g[k] for k in header["local_keys"]}
+               for g in header["guesses"]]
+    fit = HierarchicalFit(
+        fns[0], [(x[g, :ns[g]], y[g, :ns[g]]) for g in range(S)], guesses,
+        data_error=[err[g, :ns[g]] for g in range(S)],
+        pooled=header["pooled"], hyper=hyper,
+        local_priors=local_priors or None,
+        log_likelihood=lls[0],
+        n_walkers=header["n_walkers"], dtype=dtype,
+        config=FitConfig(**header["config"]),
+    )
     return _restore_state(fit, arrays, header, dtype)
 
 

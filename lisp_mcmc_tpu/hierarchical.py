@@ -1,0 +1,494 @@
+"""Hierarchical (partial-pooling) fits: S datasets, shared population.
+
+The reference's batch workflow fits every spectrum of a scan grid
+independently (``dir->nv-walkers`` advances a Lisp list of walkers one
+at a time, nv-specific.lisp:58-66) and its only cross-spectrum coupling
+is the *shared-parameter global fit* (same value for every dataset,
+test.lisp:58-70).  Between those two extremes sits the model this module
+adds: per-dataset parameters drawn from a common population,
+
+    theta[s, p] ~ Normal(mu_p, tau_p)        for pooled parameter p,
+    mu_p, tau_p ~ declared hyperpriors,
+
+so sparse spectra borrow strength from the rest of the grid instead of
+each fending for itself.
+
+TPU-first design decisions:
+
+- **Non-centered parameterization is the representation, not an
+  option.**  The walk coordinates are ``z[s, p]`` with
+  ``theta = mu + tau * z``; the decode happens inside the jitted
+  posterior.  Two payoffs: (a) the funnel geometry that makes centered
+  hierarchical posteriors hard at small per-dataset data (Neal's funnel:
+  the theta-tau valley) becomes a near-independent Gaussian in z, and
+  (b) the ENTIRE prior is a product of independent 1-D distributions —
+  ``z ~ N(0,1)``, hypers and non-pooled locals from their declared
+  specs — i.e. exactly a :class:`~lisp_mcmc_tpu.PriorSpec`.  Every
+  estimator and calibration verb built on the named-prior convention
+  (``nested_sample``, ``smc_sample``, ``log_evidence``, ``laplace``,
+  ``advi``/``flow_advi``, ``prior_predictive``) therefore consumes a
+  hierarchical fit with zero new math.
+- **One stacked ensemble, no gathers.**  Each walker carries the whole
+  grid: positions are ``(W, 2*P + S*d_local)`` and the likelihood
+  evaluates all ``(W, S)`` dataset terms as one vmapped program against
+  the stacked ``(S, N)`` Dataset pytree (the same argument-passing
+  contract as :class:`~lisp_mcmc_tpu.BatchedFit` — data rides through
+  jit as a pytree argument, never a closure constant).
+- **Full-covariance adaptation absorbs the z–hyper coupling.**  The
+  classic centered-vs-non-centered tradeoff (non-centered couples z to
+  (mu, tau) when the data are strong) is softened here because the
+  proposal is the adaptive full-d covariance (Haario scaling,
+  mcmc-fitting.lisp:929-942 lineage): the learned L carries the
+  z–mu–tau correlations.  For large grids prefer the gradient kernels
+  (``kernel="chees"``) — d grows as ``2P + S*d_local``.
+
+Reference citations: the pooled likelihood term generalizes the
+independent-walker batch driver (nv-specific.lisp:58-66); prior
+semantics follow the bounds/penalty conventions of
+mcmc-fitting.lisp:346-369 via the PriorSpec machinery (priors.py
+"Convention").
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import Dataset
+from .fit import Walker, _Term
+from .likelihoods import log_likelihood_normal
+from .params import ParamSpec
+from .priors import Gaussian, LogNormal, PriorSpec, Uniform, log_prior_flat
+
+__all__ = ["HierarchicalFit"]
+
+
+def _as_dist(v, what):
+    if isinstance(v, (Uniform, Gaussian, LogNormal)):
+        return v
+    if isinstance(v, (tuple, list)) and len(v) == 2:
+        return Uniform(float(v[0]), float(v[1]))
+    raise ValueError(f"{what}: expected a distribution or (low, high) "
+                     f"tuple, got {v!r}")
+
+
+def _dist_median(d) -> float:
+    return float(np.asarray(d.icdf(jnp.asarray(0.5))))
+
+
+class _HierarchicalView:
+    """Single-dataset facade over a HierarchicalFit, in NATURAL space.
+
+    Presents exactly the surface the predictive/diagnostic toolchain
+    dispatches on (``steps``/``spec``/``dtype``/``terms``, no group_ids,
+    no custom posterior): history positions are decoded from the walk's
+    (z, mu, tau) coordinates to dataset ``s``'s theta, so
+    ``diagnostics.waic/loo/loo_pit`` and
+    ``predictive.posterior_predictive`` run unmodified per dataset.
+    The logprob column is the fit's JOINT log-posterior (only position
+    columns feed the per-dataset verbs).
+    """
+
+    group_ids = None
+    _custom_log_post = None
+    _custom_batched = None
+
+    def __init__(self, fit: "HierarchicalFit", s: int):
+        self.spec = fit.local_spec
+        self.dtype = fit.dtype
+        self.terms = [_Term(fn=fit.terms[0].fn, dataset=fit._datasets[s],
+                            likelihood=fit._likelihood,
+                            prior=log_prior_flat)]
+        self._fit = fit
+        self._s = s
+
+    def _history(self, take=None):
+        pos, lp = self._fit._history(take)          # (T, W, d), (T, W)
+        nat = self._fit._decode_np(np.asarray(pos))  # (T, W, S, dl)
+        return nat[:, :, self._s, :], np.asarray(lp)
+
+    def steps(self, take=None):
+        pos, lp = self._history(take)
+        return pos.reshape(-1, pos.shape[-1]), lp.reshape(-1)
+
+    def most_likely_params(self) -> dict:
+        return self._fit.params_per_dataset("best")[self._s]
+
+
+class HierarchicalFit(Walker):
+    """Partial pooling across S datasets as ONE walker ensemble.
+
+    ``function``: one model ``f(x, params) -> y`` shared by all
+    datasets.  ``datasets``: list of ``(x, y)`` pairs (ragged lengths
+    pad like :class:`~lisp_mcmc_tpu.BatchedFit`).  ``params``: one guess
+    dict or a per-dataset list.  ``pooled``: names of local parameters
+    drawn from the population (default: all of them); the rest stay
+    independent per dataset.  ``hyper``: ``{name: (mu_prior,
+    tau_prior)}`` hyperprior overrides — distributions or ``(low,
+    high)`` tuples; ``tau`` priors must have non-negative support.
+    Defaults are magnitude-derived weakly-informative choices
+    (``mu ~ Gaussian(guess, |guess|)``, ``tau ~
+    LogNormal(log(|guess|/4), 1)``) — fine for exploration, declare
+    ``hyper=`` for real work.  ``local_priors``: priors for NON-pooled
+    per-dataset parameters (same entries per dataset); when every
+    non-pooled name has one, :attr:`prior_spec` is a complete
+    :class:`~lisp_mcmc_tpu.PriorSpec` and the whole evidence/
+    calibration layer applies (otherwise those locals are flat and
+    evidence verbs see no resolvable prior).
+
+    Walk-space parameter names (``spec.keys``):
+    ``{p}__mu`` / ``{p}__tau`` hypers, ``{p}__z{s}`` standardized
+    per-dataset offsets for pooled ``p``, ``{p}__{s}`` natural values
+    for non-pooled ``p``.  Natural-space access:
+    :meth:`params_per_dataset`, :meth:`hyper_params`,
+    :meth:`dataset_view`.
+    """
+
+    def __init__(
+        self,
+        function: Callable,
+        datasets: Sequence,
+        params,
+        data_error=None,
+        *,
+        pooled: Sequence[str] | None = None,
+        hyper: Mapping | None = None,
+        local_priors: Mapping | None = None,
+        log_likelihood: Callable | None = None,
+        n_walkers: int = 256,
+        seed: int = 0,
+        walker_jitter: float = 0.02,
+        dtype=None,
+        config=None,
+    ):
+        from .batched import BatchedFit
+        from .fit import default_dtype
+
+        dtype = dtype or default_dtype()
+        S = len(datasets)
+        if S < 2:
+            raise ValueError("HierarchicalFit: need >= 2 datasets to pool "
+                             "(one dataset has no population to share)")
+
+        guesses = params if isinstance(params, (list, tuple)) else [params] * S
+        if len(guesses) != S:
+            raise ValueError(f"{len(guesses)} parameter guesses for {S} datasets")
+        local_spec = ParamSpec.from_params(guesses[0])
+        local_keys = local_spec.keys
+        dl = local_spec.ndim
+
+        pooled = list(local_keys) if pooled is None else \
+            [k[1:] if k.startswith(":") else k for k in pooled]
+        unknown = [p for p in pooled if p not in local_keys]
+        if unknown:
+            raise ValueError(f"pooled names {unknown} not in params "
+                             f"{list(local_keys)}")
+        if not pooled:
+            raise ValueError("HierarchicalFit: pooled=[] pools nothing — "
+                             "use BatchedFit for independent fits")
+        dp = len(pooled)
+        pooled_cols = np.asarray([local_spec.index(p) for p in pooled])
+
+        # ----- hyperpriors (mu_p, tau_p) --------------------------------
+        g0 = np.asarray([float(np.mean([float(g[k]) for g in guesses]))
+                         for k in local_keys])
+        from .fit import _nonzero_scales
+
+        scales = _nonzero_scales(g0)
+        hyper = dict(hyper or {})
+        self._hyper = {}
+        for p in pooled:
+            j = local_spec.index(p)
+            if p in hyper:
+                mu_d, tau_d = hyper.pop(p)
+                mu_d = _as_dist(mu_d, f"hyper[{p}].mu")
+                tau_d = _as_dist(tau_d, f"hyper[{p}].tau")
+            else:
+                s_p = abs(float(scales[j]))
+                mu_d = Gaussian(float(g0[j]), s_p)
+                tau_d = LogNormal(float(np.log(s_p / 4.0)), 1.0)
+            if tau_d.support[0] < 0:
+                raise ValueError(
+                    f"hyper[{p}]: tau prior must have non-negative support, "
+                    f"got {tau_d.support}")
+            self._hyper[p] = (mu_d, tau_d)
+        if hyper:
+            raise ValueError(f"hyper entries for non-pooled names: "
+                             f"{sorted(hyper)}")
+
+        # ----- non-pooled local priors ----------------------------------
+        non_pooled = [k for k in local_keys if k not in pooled]
+        local_priors = {
+            (k[1:] if k.startswith(":") else k): v
+            for k, v in dict(local_priors or {}).items()}
+        unknown = [k for k in local_priors if k not in non_pooled]
+        if unknown:
+            raise ValueError(
+                f"local_priors for {unknown} — only NON-pooled local "
+                f"parameters take one (pooled parameters get theirs from "
+                f"the population; non-pooled here: {non_pooled})")
+        self._local_dists = {k: _as_dist(v, f"local_priors[{k}]")
+                             for k, v in local_priors.items()}
+
+        # ----- walk-space layout ----------------------------------------
+        # [mu_0..mu_dp-1 | tau_0..tau_dp-1 | s-major local blocks (S, dl)]
+        keys = [f"{p}__mu" for p in pooled] + [f"{p}__tau" for p in pooled]
+        for s in range(S):
+            keys += [f"{k}__z{s}" if k in pooled else f"{k}__{s}"
+                     for k in local_keys]
+        spec = ParamSpec(tuple(keys))
+        self.local_spec = local_spec
+        self.pooled = tuple(pooled)
+        self.n_datasets = S
+        self._n_hyper = 2 * dp
+        self._pooled_cols = pooled_cols
+
+        # Static decode matrices: P (dl, dp) selects pooled hyper columns;
+        # closure constants are structural (fixed for the fit), datasets
+        # still ride through jit as arguments (CLAUDE.md invariant).
+        P = np.zeros((dl, dp))
+        P[pooled_cols, np.arange(dp)] = 1.0
+        mask = np.zeros(dl)
+        mask[pooled_cols] = 1.0
+        P_j = jnp.asarray(P, dtype)
+        mask_j = jnp.asarray(mask, dtype)
+        self._P_np, self._mask_np = P, mask
+
+        def decode(theta):
+            """(..., d) walk coordinates -> (..., S, dl) natural theta."""
+            mu = theta[..., :dp]
+            tau = theta[..., dp:2 * dp]
+            loc = theta[..., 2 * dp:]
+            loc = loc.reshape(loc.shape[:-1] + (S, dl))
+            mu_cols = mu @ P_j.T                        # (..., dl)
+            tau_cols = (1.0 - mask_j) + tau @ P_j.T
+            return loc * tau_cols[..., None, :] + mu_cols[..., None, :]
+
+        self._decode = decode
+
+        # ----- data stack (BatchedFit's custom-likelihood contract) -----
+        errors = BatchedFit._normalize_errors(data_error, datasets)
+        n_max = max(len(np.asarray(d[0])) for d in datasets)
+        dsets = [Dataset.create(x, y, err, dtype=dtype, min_len=n_max)
+                 for (x, y), err in zip(datasets, errors)]
+        self._datasets = dsets
+        batch_data = {"ds": Dataset(
+            x=jnp.stack([ds.x for ds in dsets]),
+            y=jnp.stack([ds.y for ds in dsets]),
+            sigma=jnp.stack([ds.sigma for ds in dsets]),
+            mask=jnp.stack([ds.mask for ds in dsets]),
+            n=int(dsets[0].x.shape[0]),
+            inv_sigma=jnp.stack([ds.inv_sigma for ds in dsets]),
+            log_norm_const=jnp.stack([ds.log_norm_const for ds in dsets]),
+            log_norm_const_point=jnp.stack(
+                [ds.log_norm_const_point for ds in dsets]),
+            log_fact_y=jnp.stack([ds.log_fact_y for ds in dsets]),
+        )}
+
+        if log_likelihood is not None \
+                and log_likelihood is not log_likelihood_normal:
+            from .likelihoods import resolve_likelihood
+
+            likelihood = resolve_likelihood(
+                log_likelihood, function, guesses[0], dsets[0])
+        else:
+            likelihood = log_likelihood_normal
+        self._likelihood = likelihood
+
+        # ----- prior: product of independent 1-D dists ------------------
+        dists = {f"{p}__mu": self._hyper[p][0] for p in pooled}
+        dists.update({f"{p}__tau": self._hyper[p][1] for p in pooled})
+        for s in range(S):
+            for k in local_keys:
+                if k in pooled:
+                    dists[f"{k}__z{s}"] = Gaussian(0.0, 1.0)
+                elif k in self._local_dists:
+                    dists[f"{k}__{s}"] = self._local_dists[k]
+        self._complete_prior = len(dists) == spec.ndim
+        if self._complete_prior:
+            # Every coordinate named -> the full evidence/calibration
+            # layer applies (resolve_prior_spec finds _prior_spec).
+            self.prior_spec = PriorSpec(dists)
+            prior = self.prior_spec.as_log_prior()
+        else:
+            # Flat non-pooled locals: still a valid posterior, but no
+            # normalizable prior measure for the evidence verbs.
+            self.prior_spec = None
+            partial = PriorSpec(dists).as_log_prior()
+
+            def prior(params, dataset=None, _partial=partial, _d=dists):
+                sub = {k: params[k] for k in _d}
+                return _partial(sub, dataset)
+
+            prior.__name__ = "hierarchical_partial_prior"
+
+        def log_post(theta, data):
+            nat = decode(theta)                        # (S, dl)
+
+            def per_ds(th_s, ds_s):
+                return likelihood(function, local_spec.unflatten(th_s), ds_s)
+
+            lik = jnp.sum(jax.vmap(per_ds)(nat, data["ds"]))
+            return lik + prior(spec.unflatten(theta), None)
+
+        # ----- initial ensemble -----------------------------------------
+        rng = np.random.default_rng(seed)
+        mu0 = g0[pooled_cols]
+        tau0 = np.asarray([_dist_median(self._hyper[p][1]) for p in pooled])
+        guess_mat = np.asarray(
+            [[float(g[k]) for k in local_keys] for g in guesses])  # (S, dl)
+        z0 = (guess_mat[:, pooled_cols] - mu0) / np.maximum(tau0, 1e-300)
+        z0 = np.clip(z0, -3.0, 3.0)
+
+        pos = np.empty((n_walkers, spec.ndim))
+        jit = walker_jitter
+        mu_scale = np.maximum(np.abs(mu0), tau0)   # spread even at mu0 = 0
+        pos[:, :dp] = mu0 + jit * mu_scale * rng.standard_normal(
+            (n_walkers, dp))
+        pos[:, dp:2 * dp] = tau0 * np.exp(
+            jit * rng.standard_normal((n_walkers, dp)))
+        loc = np.broadcast_to(guess_mat, (n_walkers, S, dl)).copy()
+        loc[:, :, pooled_cols] = (
+            z0 + 0.3 * rng.standard_normal((n_walkers, S, dp)))
+        np_cols = np.asarray([j for j in range(dl) if j not in pooled_cols],
+                             dtype=int)
+        if np_cols.size:
+            # Additive jitter at the parameter's derived scale: identical
+            # to the base class's multiplicative jitter for nonzero
+            # guesses, but a zero guess (e.g. a background term) still
+            # gets ensemble spread instead of a degenerate column.
+            loc[:, :, np_cols] += (
+                jit * np.abs(scales[np_cols])[None, None, :]
+                * rng.standard_normal((n_walkers, S, np_cols.size)))
+        pos[:, 2 * dp:] = loc.reshape(n_walkers, S * dl)
+
+        # Proposal seed scales in WALK space: z ~ 0.5, mu ~ tau0 (the
+        # population spread is mu's natural step), tau ~ tau0/2,
+        # non-pooled locals ~ their magnitudes (base-class policy).
+        l_scales = np.empty(spec.ndim)
+        l_scales[:dp] = np.maximum(tau0, np.abs(mu0) * 1e-3 + 1e-300)
+        l_scales[dp:2 * dp] = 0.5 * tau0
+        lscale_loc = np.empty((S, dl))
+        lscale_loc[:, pooled_cols] = 0.5
+        if np_cols.size:
+            # Scales derived from the FULL guess vector (zero guesses
+            # inherit a fallback from the other magnitudes, the base
+            # class's _nonzero_scales policy) — deriving from the
+            # non-pooled subset alone would hand an all-zero subset a
+            # meaningless 1e-3.
+            lscale_loc[:, np_cols] = np.abs(scales[np_cols])[None, :]
+        l_scales[2 * dp:] = lscale_loc.reshape(-1)
+        self._l_seed = l_scales
+
+        ds0 = dsets[0]
+        super().__init__(
+            terms=[_Term(fn=function, dataset=ds0,
+                         likelihood=likelihood, prior=prior)],
+            spec=spec,
+            initial_vector=jnp.asarray(pos, dtype),
+            n_walkers=n_walkers,
+            seed=seed,
+            walker_jitter=0.0,   # jitter applied above, walk-space aware
+            config=config,
+            dtype=dtype,
+            log_posterior=log_post,
+            posterior_data=batch_data,
+        )
+
+    def _initial_l_matrix(self, vec):
+        """Walk-space proposal seed (z coordinates start at ~0, so the
+        base diag-of-magnitudes policy, fit.py _initial_l_matrix, would
+        hand them a meaningless fallback scale)."""
+        if getattr(self, "_l_seed", None) is None:  # base-class init order
+            return super()._initial_l_matrix(vec)
+        return jnp.asarray(np.diag(self._l_seed), self.dtype)
+
+    # ------------------------------------------------------------ decode
+
+    def _decode_np(self, pos: np.ndarray) -> np.ndarray:
+        """Host twin of the jitted decode: (..., d) -> (..., S, dl)."""
+        dp = len(self.pooled)
+        S, dl = self.n_datasets, self.local_spec.ndim
+        mu = pos[..., :dp]
+        tau = pos[..., dp:2 * dp]
+        loc = pos[..., 2 * dp:].reshape(pos.shape[:-1] + (S, dl))
+        mu_cols = mu @ self._P_np.T
+        tau_cols = (1.0 - self._mask_np) + tau @ self._P_np.T
+        return loc * tau_cols[..., None, :] + mu_cols[..., None, :]
+
+    def decode_params(self, theta) -> np.ndarray:
+        """Walk-space vector(s) -> natural (..., S, d_local) array."""
+        return self._decode_np(np.asarray(theta, np.float64))
+
+    # ----------------------------------------------------------- queries
+
+    def _best_vector(self) -> np.ndarray:
+        best_lp = np.asarray(self.state.best_logprob)
+        return np.asarray(self.state.best_position)[int(best_lp.argmax())]
+
+    def params_per_dataset(self, kind: str = "best") -> list[dict]:
+        """Per-dataset NATURAL parameter dicts.
+
+        ``kind="best"``: decode of the ensemble's most-likely walk point
+        (the joint MAP estimate — one coherent (hypers, locals) vector).
+        ``kind="median"``: per-coordinate posterior median of the
+        decoded history (marginal summaries).
+        """
+        if kind == "best":
+            nat = self._decode_np(self._best_vector())
+        elif kind == "median":
+            pos, _ = self._history(None)
+            nat = np.median(self._decode_np(np.asarray(pos)), axis=(0, 1))
+        else:
+            raise ValueError(f"kind must be 'best' or 'median', got {kind!r}")
+        return [self.local_spec.make(nat[s].tolist())
+                for s in range(self.n_datasets)]
+
+    def hyper_params(self, kind: str = "best") -> dict:
+        """Population summary: ``{"mu": {name: v}, "tau": {name: v}}``."""
+        dp = len(self.pooled)
+        if kind == "best":
+            vec = self._best_vector()
+        elif kind == "median":
+            pos, _ = self._history(None)
+            vec = np.median(np.asarray(pos).reshape(-1, self.spec.ndim),
+                            axis=0)
+        else:
+            raise ValueError(f"kind must be 'best' or 'median', got {kind!r}")
+        return {"mu": dict(zip(self.pooled, vec[:dp].tolist())),
+                "tau": dict(zip(self.pooled, vec[dp:2 * dp].tolist()))}
+
+    def dataset_view(self, s: int) -> _HierarchicalView:
+        """Natural-space single-dataset view (predictive toolchain
+        surface: ``diagnostics.waic/loo/loo_pit``,
+        ``posterior_predictive`` run unmodified on it)."""
+        if not 0 <= s < self.n_datasets:
+            raise IndexError(f"dataset {s} of {self.n_datasets}")
+        return _HierarchicalView(self, s)
+
+    def waic_per_dataset(self, **kwargs) -> list:
+        from .diagnostics import waic
+
+        return [waic(self.dataset_view(s), **kwargs)
+                for s in range(self.n_datasets)]
+
+    def loo_per_dataset(self, **kwargs) -> list:
+        from .diagnostics import loo
+
+        return [loo(self.dataset_view(s), **kwargs)
+                for s in range(self.n_datasets)]
+
+    def posterior_predictive_per_dataset(self, **kwargs) -> list:
+        from .predictive import posterior_predictive
+
+        return [posterior_predictive(self.dataset_view(s), **kwargs)[0]
+                for s in range(self.n_datasets)]
+
+    def loo_pit_per_dataset(self, **kwargs) -> list:
+        from .diagnostics import loo_pit
+
+        return [loo_pit(self.dataset_view(s), **kwargs)
+                for s in range(self.n_datasets)]
