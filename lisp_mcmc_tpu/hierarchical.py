@@ -492,3 +492,12 @@ class HierarchicalFit(Walker):
 
         return [loo_pit(self.dataset_view(s), **kwargs)
                 for s in range(self.n_datasets)]
+
+    def expressions_per_dataset(self, expr: str) -> list[float]:
+        """Evaluate a derived-quantity expression at each dataset's
+        decoded best-fit params (the hierarchical counterpart of
+        ``walker-set-get-f``, nv-specific.lisp:87)."""
+        from .expressions import eval_expression
+
+        return [eval_expression(expr, p)
+                for p in self.params_per_dataset("best")]

@@ -299,3 +299,20 @@ def test_checkpoint_roundtrip(conjugate_fit, tmp_path):
     # resumable: a short continuation runs on the restored state
     fit2.adaptive_steps(120, auto=None)
     assert np.isfinite(fit2.most_likely_step()[0])
+
+
+def test_expressions_per_dataset():
+    """Derived quantities evaluate at each dataset's decoded best."""
+    rng = np.random.default_rng(2)
+    x = np.linspace(0, 1, 6)
+    ds = [(x, rng.standard_normal(6)) for _ in range(2)]
+    fit = mfit.HierarchicalFit(
+        lambda x, p: p["a"] * x + p["b"], ds, {"a": 2.0, "b": 0.5},
+        pooled=["a"], data_error=1.0,
+        hyper={"a": (Gaussian(2, 2), LogNormal(0.0, 0.5))},
+        local_priors={"b": Gaussian(0, 2)}, n_walkers=8, seed=0)
+    vals = fit.expressions_per_dataset("(/ :a :b)")
+    best = fit.params_per_dataset("best")
+    for s in range(2):
+        assert vals[s] == pytest.approx(best[s]["a"] / best[s]["b"],
+                                        rel=1e-12)
