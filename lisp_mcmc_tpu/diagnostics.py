@@ -387,8 +387,9 @@ def _pointwise_ll_matrix(walker, name: str, take: int | None,
         raise ValueError(f"{name}: grouped/batched fits mix per-dataset "
                          "populations in one history; compute per "
                          "dataset (BatchedFit -> per-dataset walkers)")
-    if getattr(walker, "_custom_log_post", None) is not None or \
-            getattr(walker, "_custom_batched", None) is not None:
+    hook = getattr(walker, "_pointwise_ll", None)
+    if hook is None and (getattr(walker, "_custom_log_post", None) is not None
+                         or getattr(walker, "_custom_batched", None) is not None):
         raise ValueError(f"{name}: custom posteriors have no per-point "
                          "likelihood decomposition")
     from .likelihoods import pointwise_log_likelihood
@@ -402,6 +403,15 @@ def _pointwise_ll_matrix(walker, name: str, take: int | None,
                                 min(max_samples, n_avail)).astype(int))
     samples = jnp.asarray(np.asarray(pos)[idx], walker.dtype)
     spec = walker.spec
+
+    if hook is not None:
+        # Structured ensembles whose LIKELIHOOD is still decomposable
+        # even though the walk space is custom (HierarchicalFit: the
+        # coordinates are (hypers, z) but each dataset's per-point
+        # Gaussian/robust density is well-defined at the decoded
+        # params).  The hook returns ((n, N) ll over REAL points, in
+        # dataset-major point order) for the given sample rows.
+        return np.asarray(hook(samples), np.float64), samples
 
     ll_blocks, mask_blocks = [], []
     for t in walker.terms:
@@ -761,6 +771,13 @@ def loo_pit(walker, take: int | None = None,
 
     ll, samples = _pointwise_ll_matrix(walker, "loo_pit", take, max_samples)
     spec = walker.spec
+    cdf_hook = getattr(walker, "_pointwise_cdf", None)
+    if cdf_hook is not None:
+        # Same structured-ensemble escape as _pointwise_ll_matrix: the
+        # hook returns (n, N) predictive CDFs over real points in the
+        # same dataset-major order as the ll matrix.
+        cdf = np.asarray(cdf_hook(samples), np.float64)
+        return _loo_pit_from(ll, cdf)
     cdf_blocks, mask_blocks = [], []
     for t in walker.terms:
         def one(vec, _t=t):
@@ -772,8 +789,11 @@ def loo_pit(walker, take: int | None = None,
         mask_blocks.append(np.asarray(t.dataset.mask, np.float64))
     cdf = np.concatenate(cdf_blocks, axis=1)
     real = np.concatenate(mask_blocks) > 0.0
-    cdf = cdf[:, real]
+    return _loo_pit_from(ll, cdf[:, real])
 
+
+def _loo_pit_from(ll: np.ndarray, cdf: np.ndarray) -> "LOOPITResult":
+    """PSIS-weighted PIT + KS verdict from matched (n, N) matrices."""
     s_count, n = ll.shape
     pit = np.empty(n)
     k_i = np.empty(n)
@@ -1160,6 +1180,16 @@ def _global_batched_refit(walker, name: str, holdouts, n_steps: int,
     from .fit import Walker, history_block_columns
     from .likelihoods import pointwise_log_likelihood
 
+    if getattr(walker, "_custom_log_post", None) is not None or \
+            getattr(walker, "_custom_batched", None) is not None:
+        # Without this guard the rebuild below would unflatten WALK-space
+        # coordinates into the model (a HierarchicalFit's terms hold one
+        # representative dataset + the walk-space spec) and fail deep in
+        # tracing — or worse, fit the wrong posterior.
+        raise ValueError(
+            f"{name}: refit-CV rebuilds the posterior from the fit's "
+            "terms; custom-posterior fits (incl. HierarchicalFit) are "
+            "not reconstructible — use waic/loo (pointwise) instead")
     terms = walker.terms
     for t in terms:
         _require_per_point(name, t.likelihood)

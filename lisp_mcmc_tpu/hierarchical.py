@@ -493,6 +493,55 @@ class HierarchicalFit(Walker):
         return [loo_pit(self.dataset_view(s), **kwargs)
                 for s in range(self.n_datasets)]
 
+    # ----------------------------------------- joint pointwise toolchain
+
+    def _pointwise_matrix(self, samples, pointwise_fn, tag: str):
+        """(n, d) walk samples -> (n, N_real) per-point values over ALL
+        datasets (dataset-major), via decode + the stacked Dataset."""
+        data = self._posterior_data()["ds"]
+        fn = self.terms[0].fn
+        lik, lsp, decode = self._likelihood, self.local_spec, self._decode
+        key = ("_pointwise", tag)
+        jitted = self._runner_cache.get(key)
+        if jitted is None:
+            def one(vec, ds):
+                nat = decode(vec)                      # (S, dl)
+
+                def per(th_s, ds_s):
+                    return pointwise_fn(lik, fn, lsp.unflatten(th_s), ds_s)
+
+                return jax.vmap(per)(nat, ds).reshape(-1)   # (S*P,)
+
+            jitted = jax.jit(jax.vmap(one, in_axes=(0, None)))
+            self._runner_cache[key] = jitted
+        out = np.asarray(jitted(samples, data), np.float64)
+        real = np.asarray(data.mask).reshape(-1) > 0.0
+        return out[:, real]
+
+    def _pointwise_ll(self, samples):
+        """Joint pointwise log-likelihood hook: the walk space is custom
+        but the LIKELIHOOD decomposes per point at the decoded params,
+        so whole-fit waic/loo/loo_pit/prior_sensitivity apply (compare
+        pooled vs unpooled models on the same total data)."""
+        from .likelihoods import pointwise_log_likelihood
+
+        return self._pointwise_matrix(samples, pointwise_log_likelihood,
+                                      "ll")
+
+    def _pointwise_cdf(self, samples):
+        from .likelihoods import pointwise_cdf
+
+        return self._pointwise_matrix(samples, pointwise_cdf, "cdf")
+
+    def audit_per_dataset(self, **kwargs) -> list:
+        """Per-dataset calibration report cards (``diagnostics.audit``
+        on each natural-space view; prior-dependent checks record as
+        ``skipped`` — the pooled prior lives in walk space)."""
+        from .diagnostics import audit
+
+        return [audit(self.dataset_view(s), **kwargs)
+                for s in range(self.n_datasets)]
+
     def expressions_per_dataset(self, expr: str) -> list[float]:
         """Evaluate a derived-quantity expression at each dataset's
         decoded best-fit params (the hierarchical counterpart of
