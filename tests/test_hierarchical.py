@@ -344,3 +344,31 @@ def test_joint_pointwise_toolchain(conjugate_fit):
     # guard itself is exercised by kfold (always refits).
     with pytest.raises(ValueError, match="not reconstructible"):
         diagnostics.kfold(conjugate_fit, 4)
+
+
+def test_sharded_matches_unsharded():
+    """Chain-axis DP on a hierarchical fit is bitwise-identical to the
+    single-device run (C23 composition: custom posterior + mesh)."""
+    from lisp_mcmc_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(4)
+    x = np.linspace(0, 1, 10)
+    ds = [(x, (1.5 + 0.1 * s) * x + 0.8 + 0.1 * rng.standard_normal(10))
+          for s in range(3)]
+
+    def make():
+        return mfit.HierarchicalFit(
+            lambda x, p: p["a"] * x + p["b"], ds, {"a": 1.5, "b": 0.8},
+            pooled=["a"], data_error=0.1,
+            hyper={"a": (Gaussian(1.5, 1.0), LogNormal(np.log(0.2), 0.5))},
+            local_priors={"b": Gaussian(0.8, 1.0)}, n_walkers=64, seed=0)
+
+    w1 = make()
+    w1.adaptive_steps(400, auto=None)
+    w2 = make()
+    w2.shard(make_mesh())
+    w2.adaptive_steps(400, auto=None)
+    np.testing.assert_array_equal(np.asarray(w1.state.position),
+                                  np.asarray(w2.state.position))
+    np.testing.assert_array_equal(np.asarray(w1.state.logprob),
+                                  np.asarray(w2.state.logprob))
