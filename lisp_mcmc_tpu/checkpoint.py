@@ -141,6 +141,15 @@ def walker_save(walker, path: str, take: int | None = None) -> None:
             "batched_save, which captures the stacked datasets and block "
             "layout this format does not."
         )
+    if hasattr(walker, "pooled") and hasattr(walker, "local_spec"):
+        # Without this redirect the custom escape hatch below would save
+        # a bare checkpoint with no hyper/local-prior recipes, no pooled
+        # list, and an unreconstructible log_posterior closure.
+        raise ValueError(
+            "walker_save: this is a HierarchicalFit — use "
+            "hierarchical_save, which serializes the pooling structure "
+            "as distribution recipes this format does not."
+        )
     if (getattr(walker, "_custom_log_post", None) is not None
             or getattr(walker, "_custom_batched", None) is not None
             or walker.aux is not None or walker.group_ids is not None):
@@ -366,6 +375,44 @@ def _restore_state(walker, arrays, header, dtype):
     return walker
 
 
+def _stack_batch_arrays(fit, take) -> dict:
+    """Chain arrays + the stacked dataset triplet, shared by
+    :func:`batched_save` and :func:`hierarchical_save`.
+
+    Stacks from the per-dataset Dataset objects (the single source of
+    truth for every posterior path).  Sigma saves DIRECTLY (a
+    1/inv_sigma reconstruction drifts 1 ulp and breaks the bitwise
+    round-trip); pad lanes save as 0 via the mask, and load slices
+    each dataset back to its true length before Dataset.create.
+    """
+    arrays = _dump_state(fit, take)
+    arrays["batch_x"] = np.stack(
+        [np.asarray(ds.x, np.float64) for ds in fit._datasets])
+    arrays["batch_y"] = np.stack(
+        [np.asarray(ds.y, np.float64) for ds in fit._datasets])
+    arrays["batch_err"] = np.stack(
+        [np.asarray(ds.sigma, np.float64) * np.asarray(ds.mask, np.float64)
+         for ds in fit._datasets])
+    return arrays
+
+
+def _batch_header_fields(fit) -> dict:
+    """Header fields common to the batched and hierarchical formats."""
+    term = fit.terms[0]
+    return {
+        "format_version": FORMAT_VERSION,
+        "param_keys": list(fit.spec.keys),
+        "n_walkers": fit.n_walkers,
+        "n_datasets": int(fit.n_datasets),
+        "n_points_per_dataset": [int(ds.n) for ds in fit._datasets],
+        "prng_impl": str(__import__("jax").random.key_impl(fit.state.key)),
+        "dtype": np.dtype(fit.dtype).name,
+        "config": dataclasses.asdict(fit.config),
+        "function": _fn_name(term.fn),
+        "likelihood": _fn_name(term.likelihood),
+    }
+
+
 def batched_save(fit, path: str, take: int | None = None) -> None:
     """Save a :class:`~lisp_mcmc_tpu.batched.BatchedFit` to ``path``.
 
@@ -377,44 +424,23 @@ def batched_save(fit, path: str, take: int | None = None) -> None:
     """
     if fit._custom_data is None or not hasattr(fit, "walkers_per_dataset"):
         raise ValueError("batched_save: not a BatchedFit; use walker_save")
-    # Stack from the per-dataset Dataset objects (the single source of
-    # truth for BOTH posterior paths — Gaussian z-sum and the custom-
-    # likelihood stacked-Dataset path).  Sigma saves DIRECTLY (a
-    # 1/inv_sigma reconstruction drifts 1 ulp and breaks the bitwise
-    # round-trip); pad lanes save as 0 via the mask, and load slices
-    # each dataset back to its true length before Dataset.create.
-    arrays = _dump_state(fit, take)
-    arrays["batch_x"] = np.stack(
-        [np.asarray(ds.x, np.float64) for ds in fit._datasets])
-    arrays["batch_y"] = np.stack(
-        [np.asarray(ds.y, np.float64) for ds in fit._datasets])
-    arrays["batch_err"] = np.stack(
-        [np.asarray(ds.sigma, np.float64) * np.asarray(ds.mask, np.float64)
-         for ds in fit._datasets])
+    arrays = _stack_batch_arrays(fit, take)
     term = fit.terms[0]
     header = {
-        "format_version": FORMAT_VERSION,
+        **_batch_header_fields(fit),
         "kind": "batched",
         # Concrete class so load restores the subclass surface
         # (n_spectra, field_offsets, ...).  BatchedNVFit carries no state
         # beyond BatchedFit — its __init__ only derives constructor
         # arguments — so recording the name suffices.
         "subclass": type(fit).__name__,
-        "param_keys": list(fit.spec.keys),
-        "n_walkers": fit.n_walkers,
-        "n_datasets": int(fit.n_datasets),
         "n_points": int(fit.terms[0].dataset.n),
-        # Ragged batches: every dataset's TRUE length (pre-padding).
+        # Ragged batches: n_points_per_dataset (from the shared header
+        # fields) carries every dataset's TRUE pre-padding length —
         # n_points alone (dataset 0) would slice longer datasets short
         # (silent truncation) or leave zero-error pad lanes in shorter
         # ones (Dataset.create rejects them at load).
-        "n_points_per_dataset": [int(ds.n) for ds in fit._datasets],
         "walkers_per_dataset": int(fit.walkers_per_dataset),
-        "prng_impl": str(__import__("jax").random.key_impl(fit.state.key)),
-        "dtype": np.dtype(fit.dtype).name,
-        "config": dataclasses.asdict(fit.config),
-        "function": _fn_name(term.fn),
-        "likelihood": _fn_name(term.likelihood),
         **_prior_meta(term.prior),
     }
     arrays["header"] = np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
@@ -508,19 +534,10 @@ def hierarchical_save(fit, path: str, take: int | None = None) -> None:
     if not isinstance(fit, HierarchicalFit):
         raise ValueError("hierarchical_save: not a HierarchicalFit; "
                          "use walker_save / batched_save")
-    arrays = _dump_state(fit, take)
-    arrays["batch_x"] = np.stack(
-        [np.asarray(ds.x, np.float64) for ds in fit._datasets])
-    arrays["batch_y"] = np.stack(
-        [np.asarray(ds.y, np.float64) for ds in fit._datasets])
-    arrays["batch_err"] = np.stack(
-        [np.asarray(ds.sigma, np.float64) * np.asarray(ds.mask, np.float64)
-         for ds in fit._datasets])
-    term = fit.terms[0]
+    arrays = _stack_batch_arrays(fit, take)
     header = {
-        "format_version": FORMAT_VERSION,
+        **_batch_header_fields(fit),
         "kind": "hierarchical",
-        "param_keys": list(fit.spec.keys),
         "local_keys": list(fit.local_spec.keys),
         "pooled": list(fit.pooled),
         "hyper": {p: {"mu": mu.to_meta(), "tau": tau.to_meta()}
@@ -531,14 +548,6 @@ def hierarchical_save(fit, path: str, take: int | None = None) -> None:
         # decoded per-dataset best is always valid.
         "guesses": [{k: float(v) for k, v in g.items()}
                     for g in fit.params_per_dataset("best")],
-        "n_walkers": fit.n_walkers,
-        "n_datasets": int(fit.n_datasets),
-        "n_points_per_dataset": [int(ds.n) for ds in fit._datasets],
-        "prng_impl": str(__import__("jax").random.key_impl(fit.state.key)),
-        "dtype": np.dtype(fit.dtype).name,
-        "config": dataclasses.asdict(fit.config),
-        "function": _fn_name(term.fn),
-        "likelihood": _fn_name(term.likelihood),
     }
     arrays["header"] = np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)

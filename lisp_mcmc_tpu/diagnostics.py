@@ -1047,6 +1047,12 @@ def prior_sensitivity(walker, prior=None, take: int | None = None,
     if not 1.0 < alpha < 2.0:
         raise ValueError(f"prior_sensitivity: alpha must be in (1, 2), "
                          f"got {alpha} (it is a perturbation around 1)")
+    unsupported = getattr(walker, "_prior_sensitivity_unsupported", None)
+    if unsupported:
+        # Facade views whose installed prior is a flat stand-in (the real
+        # prior lives elsewhere): scaling it would trivially diagnose
+        # every parameter "robust" — refuse instead of misreporting.
+        raise ValueError(f"prior_sensitivity: {unsupported}")
     from .priors import resolve_prior_spec
 
     ll, samples = _pointwise_ll_matrix(
@@ -1180,6 +1186,13 @@ def _global_batched_refit(walker, name: str, holdouts, n_steps: int,
     from .fit import Walker, history_block_columns
     from .likelihoods import pointwise_log_likelihood
 
+    unsupported = getattr(walker, "_refit_unsupported", None)
+    if unsupported:
+        # Facade views (HierarchicalFit.dataset_view) null the custom-
+        # posterior attributes below, but refitting their single-dataset
+        # terms would silently drop the population prior — a DIFFERENT
+        # model than the one that produced the flags.
+        raise ValueError(f"{name}: {unsupported}")
     if getattr(walker, "_custom_log_post", None) is not None or \
             getattr(walker, "_custom_batched", None) is not None:
         # Without this guard the rebuild below would unflatten WALK-space

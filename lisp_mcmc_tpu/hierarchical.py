@@ -24,10 +24,11 @@ TPU-first design decisions:
   (b) the ENTIRE prior is a product of independent 1-D distributions —
   ``z ~ N(0,1)``, hypers and non-pooled locals from their declared
   specs — i.e. exactly a :class:`~lisp_mcmc_tpu.PriorSpec`.  Every
-  estimator and calibration verb built on the named-prior convention
-  (``nested_sample``, ``smc_sample``, ``log_evidence``, ``laplace``,
-  ``advi``/``flow_advi``, ``prior_predictive``) therefore consumes a
-  hierarchical fit with zero new math.
+  estimator built on the named-prior convention (``nested_sample``,
+  ``smc_sample``, ``log_evidence``, ``laplace_approx``,
+  ``advi``/``flow_advi``) therefore consumes a hierarchical fit with
+  zero new math; :meth:`prior_predictive` adds only the decode,
+  returning one per-dataset draw set.
 - **One stacked ensemble, no gathers.**  Each walker carries the whole
   grid: positions are ``(W, 2*P + S*d_local)`` and the likelihood
   evaluates all ``(W, S)`` dataset terms as one vmapped program against
@@ -95,6 +96,23 @@ class _HierarchicalView:
     group_ids = None
     _custom_log_post = None
     _custom_batched = None
+    # Refit-CV on a view would rebuild a DIFFERENT model (single-dataset
+    # likelihood, flat prior, no population term) and return plausible
+    # but wrong "exact" elpds — _global_batched_refit checks this marker.
+    _refit_unsupported = (
+        "hierarchical dataset views cannot be refit: the rebuilt "
+        "posterior would drop the population prior (a different model "
+        "than the one that produced the Pareto-k flags); use waic/loo "
+        "on the view, or the joint toolchain on the full fit")
+    # Power-scaling the view's flat stand-in prior would trivially read
+    # "robust" for every parameter — the pooled prior lives in walk
+    # space.  diagnostics.prior_sensitivity checks this marker (audit
+    # records it as skipped).
+    _prior_sensitivity_unsupported = (
+        "hierarchical dataset views carry a flat stand-in prior (the "
+        "pooled prior lives in walk space), so per-dataset power-"
+        "scaling would trivially read 'robust'; run prior_sensitivity "
+        "on the FULL fit instead")
 
     def __init__(self, fit: "HierarchicalFit", s: int):
         self.spec = fit.local_spec
@@ -107,8 +125,8 @@ class _HierarchicalView:
 
     def _history(self, take=None):
         pos, lp = self._fit._history(take)          # (T, W, d), (T, W)
-        nat = self._fit._decode_np(np.asarray(pos))  # (T, W, S, dl)
-        return nat[:, :, self._s, :], np.asarray(lp)
+        nat = self._fit._decode_np_one(np.asarray(pos), self._s)
+        return nat, np.asarray(lp)
 
     def steps(self, take=None):
         pos, lp = self._history(take)
@@ -419,6 +437,23 @@ class HierarchicalFit(Walker):
         tau_cols = (1.0 - self._mask_np) + tau @ self._P_np.T
         return loc * tau_cols[..., None, :] + mu_cols[..., None, :]
 
+    def _decode_np_one(self, pos: np.ndarray, s: int) -> np.ndarray:
+        """Decode ONLY dataset ``s``'s block: (..., d) -> (..., dl).
+
+        The per-dataset view loops (waic/loo/loo_pit/audit over S
+        views) call this instead of :meth:`_decode_np` — decoding the
+        full (..., S, dl) grid per view would make those loops O(S^2)
+        in decode work and S-times peak memory.
+        """
+        dp = len(self.pooled)
+        dl = self.local_spec.ndim
+        mu = pos[..., :dp]
+        tau = pos[..., dp:2 * dp]
+        loc = pos[..., 2 * dp + s * dl:2 * dp + (s + 1) * dl]
+        mu_cols = mu @ self._P_np.T
+        tau_cols = (1.0 - self._mask_np) + tau @ self._P_np.T
+        return loc * tau_cols + mu_cols
+
     def decode_params(self, theta) -> np.ndarray:
         """Walk-space vector(s) -> natural (..., S, d_local) array."""
         return self._decode_np(np.asarray(theta, np.float64))
@@ -535,12 +570,41 @@ class HierarchicalFit(Walker):
 
     def audit_per_dataset(self, **kwargs) -> list:
         """Per-dataset calibration report cards (``diagnostics.audit``
-        on each natural-space view; prior-dependent checks record as
-        ``skipped`` — the pooled prior lives in walk space)."""
+        on each natural-space view; prior-side power-scaling records as
+        ``skipped`` — the pooled prior lives in walk space, so run
+        ``diagnostics.prior_sensitivity`` on the full fit for it)."""
         from .diagnostics import audit
 
         return [audit(self.dataset_view(s), **kwargs)
                 for s in range(self.n_datasets)]
+
+    def prior_predictive(self, n_samples: int = 256, seed: int = 0,
+                         sampler=None) -> list:
+        """Per-dataset prior predictive draws — the before-fitting check.
+
+        Samples the FULL declared prior (hypers, z, non-pooled locals),
+        decodes each draw to natural per-dataset parameters, and
+        replicates every dataset under its own term: one
+        :class:`~lisp_mcmc_tpu.predictive.PredictiveDraws` per dataset.
+        Requires a complete prior (``local_priors`` for every non-pooled
+        name), like the evidence verbs.
+        """
+        from .predictive import _replicate
+
+        if self.prior_spec is None:
+            raise ValueError(
+                "prior_predictive: the prior is incomplete (non-pooled "
+                "locals without local_priors have no measure to draw "
+                "from) — declare local_priors for every non-pooled name")
+        rng = np.random.default_rng(seed)
+        samples = self.prior_spec.sample(rng, n_samples, self.spec.keys)
+        nat = self._decode_np(np.asarray(samples, np.float64))  # (n, S, dl)
+        return [
+            _replicate(self.dataset_view(s),
+                       jnp.asarray(nat[:, s, :], self.dtype),
+                       seed + s, sampler, "prior_predictive")[0]
+            for s in range(self.n_datasets)
+        ]
 
     def expressions_per_dataset(self, expr: str) -> list[float]:
         """Evaluate a derived-quantity expression at each dataset's

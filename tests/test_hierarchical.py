@@ -372,3 +372,34 @@ def test_sharded_matches_unsharded():
                                   np.asarray(w2.state.position))
     np.testing.assert_array_equal(np.asarray(w1.state.logprob),
                                   np.asarray(w2.state.logprob))
+
+
+def test_view_guards_and_prior_predictive(conjugate_fit, tmp_path):
+    """Review-pass pins: views refuse refit-CV and prior-side power-
+    scaling (instead of silently analyzing the WRONG model), walker_save
+    redirects to hierarchical_save, single-block decode matches the full
+    decode, and prior_predictive returns per-dataset draws from the
+    complete declared prior."""
+    from lisp_mcmc_tpu import diagnostics
+
+    v = conjugate_fit.dataset_view(1)
+    with pytest.raises(ValueError, match="cannot be refit"):
+        diagnostics.kfold(v, 3)
+    with pytest.raises(ValueError, match="flat stand-in"):
+        diagnostics.prior_sensitivity(v)
+    rep = diagnostics.audit(v, max_samples=64)
+    assert "prior_sensitivity" in rep.skipped
+    assert "loo_pit" not in rep.skipped
+    with pytest.raises(ValueError, match="hierarchical_save"):
+        mfit.walker_save(conjugate_fit, str(tmp_path / "w.npz"))
+    pos, _ = conjugate_fit._history(None)
+    full = conjugate_fit._decode_np(np.asarray(pos))
+    np.testing.assert_array_equal(
+        full[..., 2, :],
+        conjugate_fit._decode_np_one(np.asarray(pos), 2))
+    draws = conjugate_fit.prior_predictive(n_samples=32, seed=0)
+    assert len(draws) == S and draws[0].y_rep.shape == (32, N_PTS)
+    assert np.all(np.isfinite(draws[2].y_rep))
+    # prior draws must be WIDER than the posterior's predictive spread
+    post = conjugate_fit.posterior_predictive_per_dataset(max_samples=32)
+    assert draws[0].y_rep.std() > 2 * post[0].y_rep.std()
