@@ -60,6 +60,7 @@ __all__ = [
     "all_corner_plots",
     "param_histogram",
     "plot_set_param",
+    "forest_plot",
     "sbc_rank_plot",
     "loo_pit_plot",
     "prior_sensitivity_plot",
@@ -360,6 +361,76 @@ def plot_set_param(walker_set, key: str, filename: str | None = None):
     ax.set_xlabel("fit index")
     ax.set_ylabel(key)
     ax.set_title(f"{key} across {len(values)} fits")
+    return _save(fig, filename)
+
+
+def forest_plot(fit, key: str, take: int | None = None, ci: float = 0.9,
+                filename: str | None = None):
+    """Per-dataset posterior intervals of one parameter (forest plot).
+
+    The scan-grid summary view: one row per dataset with the ``ci``
+    credible interval and median of ``key``.  Accepts a
+    :class:`~lisp_mcmc_tpu.BatchedFit` (independent marginals per block)
+    or a :class:`~lisp_mcmc_tpu.HierarchicalFit` (decoded natural
+    marginals); for a POOLED hierarchical parameter the population is
+    drawn behind the rows — the ``mu`` interval as a vertical band and
+    ``median(mu) +- median(tau)`` as dashed lines — making the
+    shrinkage visible at a glance.  No reference analogue (the closest
+    is ``walker-set-plot-param``, mcmc-fitting.lisp:1035, point
+    estimates only).
+    """
+    from .params import _norm_key
+
+    key = _norm_key(key)
+    if not 0.0 < ci < 1.0:
+        raise ValueError(f"forest_plot: ci must be in (0, 1), got {ci}")
+    lo_q, hi_q = (1.0 - ci) / 2.0, 1.0 - (1.0 - ci) / 2.0
+    rows, band = [], None
+    if hasattr(fit, "local_spec") and hasattr(fit, "pooled"):
+        pos, _ = fit._history(take)
+        pos = np.asarray(pos)
+        j = fit.local_spec.index(key)
+        for s in range(fit.n_datasets):
+            col = fit._decode_np_one(pos, s)[..., j].reshape(-1)
+            rows.append(np.quantile(col, [lo_q, 0.5, hi_q]))
+        if key in fit.pooled:
+            k = list(fit.pooled).index(key)
+            dp = len(fit.pooled)
+            mu = pos[..., k].reshape(-1)
+            tau = pos[..., dp + k].reshape(-1)
+            band = (np.quantile(mu, [lo_q, 0.5, hi_q]),
+                    float(np.median(tau)))
+    elif hasattr(fit, "dataset_view"):
+        i = fit.spec.index(key)
+        for s in range(fit.n_datasets):
+            col, _ = fit.dataset_view(s).steps(take)
+            rows.append(np.quantile(col[:, i], [lo_q, 0.5, hi_q]))
+    else:
+        raise ValueError(
+            "forest_plot: needs a BatchedFit or HierarchicalFit (a "
+            "single fit has one marginal — use param_histogram)")
+
+    rows = np.asarray(rows)                      # (S, 3) lo/med/hi
+    S = rows.shape[0]
+    fig, ax = plt.subplots(figsize=(7, 0.45 * S + 1.8))
+    y = np.arange(S)[::-1]
+    if band is not None:
+        (mu_lo, mu_med, mu_hi), tau_med = band
+        ax.axvspan(mu_lo, mu_hi, color="0.85", zorder=0,
+                   label=f"population mu ({int(ci * 100)}% CI)")
+        ax.axvline(mu_med, color="0.5", lw=1.0, zorder=1)
+        for edge in (mu_med - tau_med, mu_med + tau_med):
+            ax.axvline(edge, color="0.5", lw=0.8, ls="--", zorder=1)
+    ax.errorbar(rows[:, 1], y,
+                xerr=[rows[:, 1] - rows[:, 0], rows[:, 2] - rows[:, 1]],
+                fmt="ko", ms=4, lw=1.2, capsize=2)
+    ax.set_yticks(y)
+    ax.set_yticklabels([f"dataset {s}" for s in range(S)])
+    ax.set_xlabel(key)
+    ax.set_title(f"{key}: {int(ci * 100)}% intervals per dataset"
+                 + (" + population" if band is not None else ""))
+    if band is not None:
+        ax.legend(loc="best", fontsize=8)
     return _save(fig, filename)
 
 

@@ -403,3 +403,24 @@ def test_view_guards_and_prior_predictive(conjugate_fit, tmp_path):
     # prior draws must be WIDER than the posterior's predictive spread
     post = conjugate_fit.posterior_predictive_per_dataset(max_samples=32)
     assert draws[0].y_rep.std() > 2 * post[0].y_rep.std()
+
+
+def test_forest_plot(conjugate_fit, tmp_path):
+    """Forest plot: per-dataset intervals render for hierarchical
+    (population band on pooled params) and batched fits; misuse raises."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from lisp_mcmc_tpu import plotting
+
+    p1 = tmp_path / "forest.png"
+    plotting.forest_plot(conjugate_fit, "c", filename=str(p1))
+    assert p1.stat().st_size > 5000
+    with pytest.raises(ValueError, match="ci must be"):
+        plotting.forest_plot(conjugate_fit, "c", ci=0.0)
+    x = np.linspace(0, 1, 6)
+    w = mfit.walker_create(function=lambda x, p: p["a"] * x, data=(x, x),
+                           params={"a": 1.0}, data_error=0.5,
+                           n_walkers=8, seed=0)
+    with pytest.raises(ValueError, match="BatchedFit or HierarchicalFit"):
+        plotting.forest_plot(w, "a")
