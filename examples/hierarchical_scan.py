@@ -127,6 +127,13 @@ def main():
         assert abs(hier_med[s]["mu1"] - truths[s]["mu1"]) < 1.0
         assert abs(hier_med[s]["mu2"] - truths[s]["mu2"]) < 1.0
 
+    # The one-glance summary: per-pixel linewidth intervals over the
+    # population band (shrinkage made visible).
+    from lisp_mcmc_tpu import plotting
+
+    plotting.forest_plot(hier, "sigma", filename="hier_forest.png")
+    print("forest plot -> hier_forest.png")
+
     # ---- 3. the evidence layer rides for free --------------------------
     # d = 2*2 + 6*6 = 40; a cheap Laplace pass demonstrates the surface
     # (nested/smc work the same way via the auto-recovered PriorSpec).
