@@ -1196,13 +1196,14 @@ def _global_batched_refit(walker, name: str, holdouts, n_steps: int,
     if getattr(walker, "_custom_log_post", None) is not None or \
             getattr(walker, "_custom_batched", None) is not None:
         # Without this guard the rebuild below would unflatten WALK-space
-        # coordinates into the model (a HierarchicalFit's terms hold one
-        # representative dataset + the walk-space spec) and fail deep in
-        # tracing — or worse, fit the wrong posterior.
+        # coordinates into the model and fail deep in tracing — or
+        # worse, fit the wrong posterior.  (HierarchicalFit never
+        # reaches here: it ships _refit_cv, dispatched by
+        # _batched_refit.)
         raise ValueError(
             f"{name}: refit-CV rebuilds the posterior from the fit's "
-            "terms; custom-posterior fits (incl. HierarchicalFit) are "
-            "not reconstructible — use waic/loo (pointwise) instead")
+            "terms; custom-posterior fits are not reconstructible — "
+            "use waic/loo (pointwise) instead")
     terms = walker.terms
     for t in terms:
         _require_per_point(name, t.likelihood)
@@ -1211,8 +1212,15 @@ def _global_batched_refit(walker, name: str, holdouts, n_steps: int,
     K = len(holdouts)
     B = walkers_per_dataset
     spec = walker.spec
-    ns = [t.dataset.n for t in terms]
-    offsets = np.concatenate([[0], np.cumsum(ns)])
+    # Holdouts index the REAL-point (mask > 0) axis — the axis loo's
+    # pareto_k and every pointwise elpd array use (_pointwise_ll_matrix
+    # drops padded lanes and any interior masked point).  Mapping each
+    # term's segment back through its mask>0 padded positions keeps
+    # flagged points and held-out points aligned even for datasets that
+    # carry interior masked points (advisor finding, round 3).
+    real_pos = [np.where(np.asarray(t.dataset.mask, np.float64) > 0.0)[0]
+                for t in terms]
+    offsets = np.concatenate([[0], np.cumsum([p.size for p in real_pos])])
 
     blocks = []
     for ti, term in enumerate(terms):
@@ -1221,7 +1229,7 @@ def _global_batched_refit(walker, name: str, holdouts, n_steps: int,
         for keep in holdouts:
             seg = np.asarray(keep[offsets[ti]:offsets[ti + 1]], np.float64)
             mask = np.asarray(ds.mask, np.float64).copy()
-            mask[:ns[ti]] *= seg
+            mask[real_pos[ti]] *= seg
             per_block.append(Dataset(
                 x=ds.x, y=ds.y, sigma=ds.sigma,
                 mask=jnp.asarray(mask, np.asarray(ds.mask).dtype), n=ds.n))
@@ -1344,10 +1352,34 @@ def _batched_refit(walker, name: str, holdouts, n_steps: int,
     first held-out index its neighbor's sigma_x (review finding, r3
     session 3).  Masking keeps point positions fixed, so per-point
     closures stay aligned by construction.
+
+    Structured ensembles that know how to refit THEMSELVES (a
+    :class:`~lisp_mcmc_tpu.HierarchicalFit`'s joint non-centered
+    posterior with one point masked out of one dataset's stacked
+    block) ship a ``_refit_cv`` hook with this exact signature.
     """
+    hook = getattr(walker, "_refit_cv", None)
+    if hook is not None:
+        return hook(name, holdouts, n_steps, temperature,
+                    walkers_per_dataset, burn_fraction, max_samples, seed)
     return _global_batched_refit(
         walker, name, holdouts, n_steps, temperature,
         walkers_per_dataset, burn_fraction, max_samples, seed)
+
+
+def _refit_n_points(walker) -> int:
+    """Length of the real-point axis refit-CV holdouts index over.
+
+    This is the axis every pointwise elpd array uses: mask > 0 points,
+    term-major (dataset-major for hierarchical fits, which expose it
+    directly as ``_n_real_points`` — their ``terms`` hold only one
+    representative dataset).
+    """
+    n = getattr(walker, "_n_real_points", None)
+    if n is not None:
+        return int(n)
+    return int(sum(int(np.sum(np.asarray(t.dataset.mask, np.float64) > 0.0))
+                   for t in walker.terms))
 
 
 def reloo(walker, result: LOOResult | None = None,
@@ -1384,7 +1416,14 @@ def reloo(walker, result: LOOResult | None = None,
     likelihood).  Multi-term GLOBAL fits are supported: flagged points
     index the term-major concatenated axis (:func:`loo`'s), and each
     leave-out posterior keeps every term, with the held-out point
-    removed by mask (:func:`_global_batched_refit`).  The refits
+    removed by mask (:func:`_global_batched_refit`).
+    :class:`~lisp_mcmc_tpu.HierarchicalFit` is supported the same way:
+    flagged points index the dataset-major real-point axis, and each
+    leave-out block refits the FULL joint non-centered posterior
+    (hypers + every dataset) with that one point masked out of its
+    stacked block (``HierarchicalFit._refit_cv``) — the
+    pooled-vs-unpooled comparison this enables is the fit class's
+    reason to exist.  The refits
     anneal then draw from a cold mala phase (``burn_fraction`` applies
     to that phase), so the "exact" values never see warm rows.  No
     reference analogue: the reference has no LOO machinery at all; this
@@ -1401,7 +1440,7 @@ def reloo(walker, result: LOOResult | None = None,
             f"{max_refits}) — that many influential points means the "
             "model is misspecified; fix the likelihood instead of "
             "refitting around it")
-    n = sum(t.dataset.n for t in walker.terms)
+    n = _refit_n_points(walker)
     _, score_block = _batched_refit(
         walker, "reloo", [np.arange(n) != i for i in flagged],
         n_steps, temperature, walkers_per_dataset, burn_fraction,
@@ -1478,7 +1517,7 @@ def kfold(walker, k: int = 10, folds=None, n_steps: int = 8000,
     No reference-code analogue (the Lisp original has no cross-
     validation machinery at all).
     """
-    n = sum(t.dataset.n for t in walker.terms)
+    n = _refit_n_points(walker)
 
     if folds is not None:
         folds = np.asarray(folds, np.int64)
@@ -1604,8 +1643,17 @@ def evidence_weights(results, log_prior_odds=None) -> np.ndarray:
     """
     if len(results) < 2:
         raise ValueError("evidence_weights: need >= 2 models")
-    lz = np.asarray([float(getattr(r, "log_z", r)) for r in results],
-                    np.float64)
+    vals = []
+    for i, r in enumerate(results):
+        try:
+            vals.append(float(getattr(r, "log_z", r)))
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"evidence_weights: results[{i}] = {r!r} carries no log_z "
+                "and is not a float — pass evidence results (Evidence/"
+                "Laplace/Nested/SMC/VI/FlowVI) or raw log Z floats; "
+                "WAIC/LOO results belong in model_weights") from None
+    lz = np.asarray(vals, np.float64)
     if not np.all(np.isfinite(lz)):
         raise ValueError(f"evidence_weights: non-finite log_z in {lz}")
     if log_prior_odds is not None:

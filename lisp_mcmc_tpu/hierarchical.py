@@ -136,6 +136,25 @@ class _HierarchicalView:
         return self._fit.params_per_dataset("best")[self._s]
 
 
+class _SeededLWalker(Walker):
+    """Walker whose initial proposal L is supplied by the caller.
+
+    Walk-space coordinates like the non-centered z start near 0, so the
+    base diag-of-magnitudes policy (fit.py ``_initial_l_matrix``,
+    mcmc-fitting.lisp:899 lineage) would hand them meaningless fallback
+    scales; refit ensembles instead inherit the parent fit's ADAPTED
+    factor and re-adapt from there."""
+
+    def __init__(self, *args, l_seed=None, **kwargs):
+        self._l_seed_matrix = l_seed
+        super().__init__(*args, **kwargs)
+
+    def _initial_l_matrix(self, vec):
+        if getattr(self, "_l_seed_matrix", None) is None:
+            return super()._initial_l_matrix(vec)
+        return jnp.asarray(self._l_seed_matrix, self.dtype)
+
+
 class HierarchicalFit(Walker):
     """Partial pooling across S datasets as ONE walker ensemble.
 
@@ -605,6 +624,177 @@ class HierarchicalFit(Walker):
                        seed + s, sampler, "prior_predictive")[0]
             for s in range(self.n_datasets)
         ]
+
+    # ------------------------------------------------------------ refit-CV
+
+    def _grouped_joint_walker(self, refit_data, K: int, B: int, seed: int,
+                              pos0, config=None) -> "_SeededLWalker":
+        """K independent copies of this fit's JOINT posterior, each over
+        its own stacked (S, N) Dataset block, as adaptation groups of
+        ONE grouped ensemble.
+
+        ``refit_data = {"ds": <(K, S, N) Dataset stack>}``; block g's
+        posterior is the full non-centered joint model (hyperpriors,
+        z-priors, every dataset's likelihood) against block g's data.
+        Shared machinery of :meth:`_refit_cv` (blocks = leave-out
+        masks) and hierarchical SBC (blocks = simulated grids): the
+        same chip-filling trick ``BatchedFit`` uses, applied to whole
+        hierarchical posteriors.  ``pos0``: (K*B, d) walk-space initial
+        positions (refits resample the parent's live ensemble; SBC
+        draws fresh prior points to audit burn-in too).
+        """
+        import dataclasses
+
+        decode, lik, lsp = self._decode, self._likelihood, self.local_spec
+        fn = self.terms[0].fn
+        prior, spec = self.terms[0].prior, self.spec
+        d = spec.ndim
+
+        def _joint(theta, ds_block):
+            nat = decode(theta)                               # (S, dl)
+
+            def per_ds(th_s, ds_s):
+                return lik(fn, lsp.unflatten(th_s), ds_s)
+
+            lp = jnp.sum(jax.vmap(per_ds)(nat, ds_block))
+            return lp + prior(spec.unflatten(theta), None)
+
+        def log_post(theta, block_idx, rdata):
+            ds_k = jax.tree_util.tree_map(lambda a: a[block_idx],
+                                          rdata["ds"])
+            return _joint(theta, ds_k)
+
+        def batched_log_post(positions, rdata):
+            pos_k = positions.reshape(K, B, d)
+
+            def per_block_lp(theta_block, ds_block):
+                return jax.vmap(lambda t: _joint(t, ds_block))(theta_block)
+
+            lps = jax.vmap(per_block_lp)(pos_k, rdata["ds"])
+            return lps.reshape(positions.shape[0])
+
+        group_ids = np.repeat(np.arange(K, dtype=np.int32), B)
+        fit = _SeededLWalker(
+            terms=list(self.terms), spec=spec,
+            initial_vector=jnp.asarray(pos0, self.dtype),
+            n_walkers=K * B, seed=seed, walker_jitter=0.0,
+            dtype=self.dtype, config=config,
+            aux=jnp.asarray(group_ids), group_ids=group_ids, n_groups=K,
+            log_posterior=log_post, posterior_data=refit_data,
+            batched_log_posterior=batched_log_post,
+            l_seed=np.asarray(self.state.l_matrix)[0],
+        )
+        if fit.config.history_walkers and fit.config.history_walkers < K * B:
+            # Scoring/ranking needs every block retained (same guard as
+            # _global_batched_refit / sbc_check).
+            fit.config = dataclasses.replace(fit.config, history_walkers=0)
+        return fit
+
+    @property
+    def _n_real_points(self) -> int:
+        """Length of the dataset-major real-point axis (the axis every
+        joint pointwise verb uses: waic/loo/loo_pit/_pointwise_matrix)."""
+        data = self._posterior_data()["ds"]
+        return int(np.sum(np.asarray(data.mask) > 0.0))
+
+    def _refit_cv(self, name: str, holdouts, n_steps: int,
+                  temperature: float, walkers_per_dataset: int,
+                  burn_fraction: float, max_samples: int, seed: int):
+        """Leave-out refits of the JOINT hierarchical posterior, as
+        adaptation groups of ONE grouped Walker — the hook
+        ``diagnostics._batched_refit`` dispatches ``reloo``/``kfold``
+        through.
+
+        Each holdout (a boolean keep-mask over the dataset-major
+        real-point axis) rebuilds the stacked (S, N) Dataset with the
+        held-out points' MASK zeroed — per dataset, so every cached
+        walker-independent constant (inv_sigma, per-point and per-
+        dataset log-normalizations, log y!) is exact for the reduced
+        point set; reductions are mask-exact by construction (data.py).
+        The K leave-out posteriors — each the FULL non-centered joint
+        model: hyperpriors, z-priors, every dataset's likelihood — run
+        as K adaptation groups of one ensemble.  This is the
+        hierarchical twin of ``_global_batched_refit`` (the round-3
+        multi-term machinery); the pooled-vs-unpooled comparison it
+        enables is this fit class's reason to exist.
+
+        Warm-start economics: leave-ONE-out posteriors are tiny
+        perturbations of the fitted joint posterior, so each block's
+        walkers start at a resample of the PARENT's live ensemble and
+        the proposal L seeds from the parent's adapted factor — the
+        anneal then only has to repair the one-point dent, not rediscover
+        a (2P + S*d_local)-dim geometry from scratch.
+
+        Returns ``(fit, score_block)``: ``score_block(j) -> (n, N_real)``
+        pointwise log-likelihood of the ORIGINAL data (dataset-major
+        real points — loo's axis) under block j's posterior draws at the
+        decoded parameters.
+        """
+        from .diagnostics import _require_per_point
+        from .fit import history_block_columns
+
+        _require_per_point(name, self._likelihood)
+        data = self._posterior_data()["ds"]
+        mask_np = np.asarray(data.mask, np.float64)          # (S, N)
+        flat = mask_np.reshape(-1)
+        real_pos = np.where(flat > 0.0)[0]
+        K = len(holdouts)
+        B = walkers_per_dataset
+        d = self.spec.ndim
+
+        per_block = []
+        for keep in holdouts:
+            keep = np.asarray(keep)
+            if keep.shape != (real_pos.size,):
+                raise ValueError(
+                    f"{name}: holdout mask has shape {keep.shape}, "
+                    f"expected ({real_pos.size},) (dataset-major real-"
+                    "point axis)")
+            new_flat = flat.copy()
+            new_flat[real_pos] *= keep.astype(np.float64)
+            new_mask = new_flat.reshape(mask_np.shape)
+            # Rebuild per dataset so __post_init__ recomputes each
+            # dataset's cached constants (a direct (S, N) rebuild would
+            # collapse log_norm_const to ONE scalar across all S).
+            dsets = [Dataset(x=ds.x, y=ds.y, sigma=ds.sigma,
+                             mask=jnp.asarray(new_mask[s],
+                                              np.asarray(ds.mask).dtype),
+                             n=ds.n)
+                     for s, ds in enumerate(self._datasets)]
+            per_block.append(jax.tree_util.tree_map(
+                lambda *a: jnp.stack(a), *dsets))
+        stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a),
+                                         *per_block)          # (K, S, N)
+        refit_data = {"ds": stacked}
+
+        rng = np.random.default_rng(seed)
+        live = np.asarray(self.state.position)                # (W, d)
+        pos0 = live[rng.integers(0, live.shape[0], size=K * B)]
+        fit = self._grouped_joint_walker(refit_data, K, B, seed, pos0)
+        fit.adaptive_steps(n_steps, temperature=temperature, auto=None)
+        fit.reset()                                # drop warm anneal rows
+        fit.sampling_steps(max(2000, n_steps // 2), kernel="mala")
+        fit.burn_steps(int(len(fit) * burn_fraction))
+
+        _cache: dict = {}
+
+        def score_block(j):
+            if "pos" not in _cache:
+                pos, _ = fit._history(None)                   # (T, K*B, d)
+                _cache["pos"] = np.asarray(pos)
+                _cache["cols"] = history_block_columns(
+                    fit, _cache["pos"].shape[1])
+            pos = _cache["pos"]
+            block = pos[:, _cache["cols"][j], :].reshape(-1, d)
+            idx = np.unique(np.linspace(
+                0, block.shape[0] - 1,
+                min(max_samples, block.shape[0])).astype(int))
+            # Score the ORIGINAL data at the decoded params: exactly the
+            # joint pointwise hook, which evaluates against the
+            # UNREDUCED stacked Dataset.
+            return self._pointwise_ll(jnp.asarray(block[idx], self.dtype))
+
+        return fit, score_block
 
     def expressions_per_dataset(self, expr: str) -> list[float]:
         """Evaluate a derived-quantity expression at each dataset's

@@ -99,16 +99,20 @@ def _logsumexp(a):
     return float(m + np.log(np.sum(np.exp(a - m))))
 
 
-def _nested_budget(n_live, k_batch, n_repeat, d):
-    """Shared validation + defaults for the deletion/refill budget."""
+def _nested_budget(n_live, k_batch, n_repeat, d, caller="nested_sample"):
+    """Shared validation + defaults for the deletion/refill budget.
+
+    ``caller`` prefixes the errors (nested_per_dataset shares this
+    validation; a "nested_sample:" message would misdirect its users).
+    """
     if k_batch is None:
         k_batch = max(1, n_live // 4)
     if not 1 <= k_batch <= n_live // 2:
-        raise ValueError("nested_sample: need 1 <= k_batch <= n_live/2 "
+        raise ValueError(f"{caller}: need 1 <= k_batch <= n_live/2 "
                          "(refills draw donors from survivors)")
     if n_live - k_batch <= d + 1:
         raise ValueError(
-            f"nested_sample: {n_live - k_batch} surviving donors span "
+            f"{caller}: {n_live - k_batch} surviving donors span "
             f"at most a {n_live - k_batch - 1}-dim affine subspace of "
             f"the {d}-dim prior — raise n_live or lower k_batch")
     if n_repeat is None:
@@ -496,7 +500,8 @@ def nested_per_dataset(
     if missing:
         raise ValueError(f"nested_per_dataset: prior/bounds missing {missing}")
     d = len(keys)
-    k_batch, n_repeat = _nested_budget(n_live, k_batch, n_repeat, d)
+    k_batch, n_repeat = _nested_budget(n_live, k_batch, n_repeat, d,
+                                      caller="nested_per_dataset")
 
     dtype = fit.dtype
     data = fit._posterior_data()

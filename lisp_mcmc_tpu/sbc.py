@@ -26,7 +26,7 @@ from typing import Callable, Mapping
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["SBCResult", "sbc_check"]
+__all__ = ["SBCResult", "sbc_check", "sbc_check_hierarchical"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +96,16 @@ def _observation_model(simulate, log_likelihood, data_error, x):
     derived from ``log_likelihood`` — never guessed, because a
     simulator/likelihood mismatch is precisely the defect SBC exists to
     detect.
+
+    One documented stretch of that contract:
+    ``log_likelihood_normal_cutoff`` maps to the PLAIN Gaussian
+    simulator.  The cutoff reduction is the Gaussian density with its
+    per-point terms clamped at -5000 (mcmc-fitting.lisp:372-380
+    semantics) — not a normalized density of its own — and the clamp
+    only fires for residuals ~100 sigma out, which simulated-from-truth
+    data never produce.  Within SBC's reach the two likelihoods are the
+    same observation model; pass ``simulate=`` explicitly to study the
+    clamp itself.
     """
     from .likelihoods import (log_likelihood_normal,
                               log_likelihood_normal_cutoff,

@@ -322,8 +322,8 @@ def test_joint_pointwise_toolchain(conjugate_fit):
     """The WHOLE fit exposes pointwise likelihood through the decode
     hook: joint waic/loo/loo_pit/prior_sensitivity/audit run across all
     datasets' points (the pooled-vs-unpooled comparison axis), and
-    refit-CV refuses with a clear error instead of rebuilding a wrong
-    posterior from walk-space terms."""
+    refit-CV runs through the hierarchical _refit_cv hook (round 4) —
+    exact K-fold elpd on the JOINT posterior, consistent with loo's."""
     from lisp_mcmc_tpu import diagnostics
 
     w = diagnostics.waic(conjugate_fit, max_samples=256)
@@ -340,10 +340,14 @@ def test_joint_pointwise_toolchain(conjugate_fit):
     assert "c__tau" in ps.diagnosis and "c__z0" in ps.diagnosis
     rep = diagnostics.audit(conjugate_fit, max_samples=256)
     assert rep.skipped == {}
-    # reloo with zero flagged points no-ops before the refit guard; the
-    # guard itself is exercised by kfold (always refits).
-    with pytest.raises(ValueError, match="not reconstructible"):
-        diagnostics.kfold(conjugate_fit, 4)
+    # Refit-CV on the JOINT posterior (r3 refused this; r4 dispatches
+    # through HierarchicalFit._refit_cv — exact elpd, no importance
+    # sampling left to diagnose).  On this well-specified conjugate
+    # model the exact K-fold elpd must agree with PSIS-LOO's.
+    kf = diagnostics.kfold(conjugate_fit, 4, n_steps=600,
+                           walkers_per_dataset=16)
+    assert np.isfinite(kf.elpd)
+    assert kf.elpd == pytest.approx(lo.elpd, abs=3 * max(lo.se, 1.0))
 
 
 def test_sharded_matches_unsharded():
