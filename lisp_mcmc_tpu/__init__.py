@@ -73,7 +73,7 @@ from .likelihoods import (
 )
 from .predictive import (PredictiveDraws, Prediction, posterior_predictive,
                          ppc_pvalue, predict, prior_predictive)
-from .sbc import SBCResult, sbc_check
+from .sbc import SBCResult, sbc_check, sbc_check_hierarchical
 from .priors import (
     Gaussian,
     MVGaussian,
@@ -197,6 +197,7 @@ __all__ = [
     "prior_predictive",
     "SBCResult",
     "sbc_check",
+    "sbc_check_hierarchical",
     "read_file_data",
     "request_stop",
     "stop_requested",

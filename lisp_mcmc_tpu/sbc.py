@@ -289,3 +289,168 @@ def sbc_check(
     }
     return SBCResult(ranks=ranks, n_draws=n_draws, n_bins=n_bins,
                      keys=keys, p_values=p_values, true_params=truths)
+
+
+def sbc_check_hierarchical(
+    function: Callable,
+    x,
+    params: Mapping,
+    n_datasets: int,
+    data_error=None,
+    *,
+    hyper: Mapping,
+    pooled=None,
+    local_priors: Mapping | None = None,
+    n_sims: int = 40,
+    walkers_per_sim: int = 32,
+    n_steps: int = 4000,
+    temperature: float = 2.0,
+    burn_fraction: float = 0.5,
+    n_draws: int = 63,
+    n_bins: int | None = None,
+    seed: int = 0,
+    config=None,
+    dtype=None,
+    simulate: Callable | None = None,
+    log_likelihood: Callable | None = None,
+    sampling_steps: int = 0,
+    sampling_kernel: str = "mala",
+) -> SBCResult:
+    """SBC for the PARTIAL-POOLING pipeline: calibrate HierarchicalFit
+    end to end.
+
+    The procedure is exact SBC over the hierarchical model's WALK-space
+    prior — which, by the non-centered construction
+    (:class:`~lisp_mcmc_tpu.HierarchicalFit`: coordinates are hypers,
+    standardized offsets z, non-pooled locals), is a product of
+    independent 1-D distributions.  Per simulation:
+
+    1. draw a walk-space truth from the declared prior — ``mu_p, tau_p``
+       from ``hyper``, ``z[s, p] ~ N(0, 1)``, non-pooled locals from
+       ``local_priors`` (required for every non-pooled name: SBC needs
+       the COMPLETE prior measure);
+    2. decode to natural per-dataset parameters
+       ``theta[s] = mu + tau * z[s]`` and simulate ``n_datasets``
+       datasets on the shared grid ``x`` via the likelihood's generative
+       twin (same resolution rules as :func:`sbc_check` — Gaussian /
+       Poisson / factory ``_sbc_simulator`` / explicit ``simulate``,
+       never guessed);
+    3. refit the full joint posterior; rank every walk coordinate among
+       its ``n_draws`` posterior draws.
+
+    All ``n_sims`` hierarchical posteriors run as adaptation groups of
+    ONE grouped ensemble (``HierarchicalFit._grouped_joint_walker`` —
+    the same machinery reloo/kfold refits ride), so the whole study is
+    a single chunked program.  Walker starts are INDEPENDENT prior
+    draws (starting at the truth would mask burn-in defects).
+
+    Ranking in walk space checks everything that matters for partial
+    pooling: non-uniform ``{p}__tau`` ranks expose exactly the
+    funnel-region miscalibration where hierarchical samplers fail
+    (tau posteriors collapsing toward 0 read as ∩/sloped histograms),
+    and ``{p}__z{s}`` ranks catch per-dataset shrinkage bias that
+    natural-space theta ranks would smear across mu and tau.
+
+    ``hyper`` must name every pooled parameter explicitly (the
+    HierarchicalFit defaults are guess-derived — calibration *given*
+    the prior only means something for a declared prior).
+    ``sampling_steps > 0`` appends a cold gradient-kernel phase and
+    ranks from it only, like :func:`sbc_check` — the production recipe
+    here too (tau ridges are gradient-kernel territory; use
+    ``sampling_kernel="chees"`` for large grids).
+
+    Returns an :class:`SBCResult` whose keys are the walk-space names
+    (``{p}__mu``, ``{p}__tau``, ``{p}__z{s}``, ``{k}__{s}``) and whose
+    ``true_params`` are the walk-space truths; decode per-dataset
+    natural truths with ``HierarchicalFit.decode_params`` semantics
+    (``theta = mu + tau * z``) if needed.
+    """
+    import jax
+
+    from .batched import BatchedFit
+    from .data import Dataset
+    from .hierarchical import HierarchicalFit
+
+    S = int(n_datasets)
+    x = np.asarray(x, np.float64)
+    if n_bins is None:
+        n_bins = int(max(2, min(20, n_sims // 5)))
+
+    # Template fit on placeholder data: defines the walk space, decode,
+    # prior, padding, and likelihood resolution exactly as the user's
+    # production fit would.
+    placeholder = [(x, np.zeros_like(x)) for _ in range(S)]
+    template = HierarchicalFit(
+        function, placeholder, dict(params), data_error=data_error,
+        pooled=pooled, hyper=dict(hyper), local_priors=local_priors,
+        log_likelihood=log_likelihood, n_walkers=2, seed=seed,
+        dtype=dtype, config=config)
+    if template.prior_spec is None:
+        raise ValueError(
+            "sbc_check_hierarchical: the prior is incomplete — declare "
+            "local_priors for every non-pooled parameter (SBC draws "
+            "truths from the full declared prior)")
+    keys = template.spec.keys
+    rng = np.random.default_rng(seed)
+    truths = template.prior_spec.sample(rng, n_sims, keys)   # walk space
+    nat = template._decode_np(np.asarray(truths, np.float64))  # (n, S, dl)
+
+    draw_y = _observation_model(simulate, log_likelihood, data_error, x)
+    local_keys = template.local_spec.keys
+    n_max = len(x)
+    errors = BatchedFit._normalize_errors(
+        data_error, [(x, np.zeros_like(x))] * S)
+
+    blocks = []
+    for i in range(n_sims):
+        dsets = []
+        for s in range(S):
+            p_true = dict(zip(local_keys, nat[i, s]))
+            mu = np.asarray(function(
+                jnp.asarray(x), {k: jnp.asarray(v) for k, v in p_true.items()}))
+            y = draw_y(rng, mu, p_true)
+            dsets.append(Dataset.create(x, y, errors[s],
+                                        dtype=template.dtype,
+                                        min_len=n_max))
+        blocks.append(jax.tree_util.tree_map(
+            lambda *a: jnp.stack(a), *dsets))
+    stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *blocks)
+    refit_data = {"ds": stacked}                             # (n_sims, S, N)
+
+    B = walkers_per_sim
+    pos0 = template.prior_spec.sample(rng, n_sims * B, keys)
+    fit = template._grouped_joint_walker(
+        refit_data, n_sims, B, seed, np.asarray(pos0), config=config)
+
+    fit.adaptive_steps(n_steps, temperature=temperature, auto=None)
+    if sampling_steps > 0:
+        fit.reset()
+        fit.sampling_steps(sampling_steps, kernel=sampling_kernel)
+        fit.burn_steps(int(len(fit) * burn_fraction))
+    else:
+        fit.burn_steps(int(len(fit) * burn_fraction))
+
+    pos, _ = fit._history(None)                              # (T, K*B, d)
+    pos = np.asarray(pos)
+    t_rows = pos.shape[0]
+    if t_rows * B < n_draws:
+        raise ValueError(
+            f"sbc_check_hierarchical: only {t_rows * B} retained draws "
+            f"per simulation (need n_draws={n_draws}) — raise n_steps "
+            "or lower burn_fraction")
+
+    d = len(keys)
+    ranks = np.empty((n_sims, d), np.int64)
+    truths_np = np.asarray(truths, np.float64)
+    for i in range(n_sims):
+        block = pos[:, i * B:(i + 1) * B, :].reshape(-1, d)
+        idx = np.linspace(0, block.shape[0] - 1, n_draws).astype(int)
+        draws = block[idx]
+        ranks[i] = np.sum(draws < truths_np[i][None, :], axis=0)
+
+    p_values = {
+        k: _uniformity_pvalue(ranks[:, j], n_draws, n_bins)
+        for j, k in enumerate(keys)
+    }
+    return SBCResult(ranks=ranks, n_draws=n_draws, n_bins=n_bins,
+                     keys=keys, p_values=p_values, true_params=truths_np)
