@@ -167,6 +167,43 @@ def main():
             file=sys.stderr,
         )
 
+    # Kernel-family ESS/sec (VERDICT r3 #6): the gradient kernels are the
+    # ones that WIN on ESS/sec (DESIGN.md "Measured results"), so track
+    # them in the artifact loop instead of pasted history — a silent
+    # mala/chees regression must surface here.  Same recipe as the rwm
+    # phase: short sampling-phase (cold, T=1) chunks at the converged
+    # state, history reduced on device, only d scalars to host.
+    import dataclasses as _dc
+
+    def _kernel_ess(kernel: str, n_hist_chunks: int) -> float:
+        prev_cfg = walker.config
+        walker.config = _dc.replace(walker.config, kernel=kernel)
+        walker._runner_cache.clear()
+        try:
+            runner = walker._runner(with_history=True)
+            walker.state, _ = runner(walker.state, True, True, True, data)
+            jax.block_until_ready(walker.state.position)     # compile warmup
+            tk = time.perf_counter()
+            hist = []
+            for _ in range(n_hist_chunks):
+                walker.state, h = runner(walker.state, True, True, True, data)
+                hist.append(h["positions"])                  # stays on device
+            pos_k = jnp.concatenate(hist, axis=0)
+            jax.block_until_ready(pos_k)
+            k_elapsed = time.perf_counter() - tk
+            k_ess = min(ess_from_history(pos_k, walker.spec.keys).values())
+            if args.verbose:
+                print(f"# {kernel}: min-ESS={k_ess:.0f} over "
+                      f"{n_hist_chunks * chunk} steps in {k_elapsed:.2f}s "
+                      f"-> {k_ess / k_elapsed:.0f} ESS/sec", file=sys.stderr)
+            return k_ess / k_elapsed
+        finally:
+            walker.config = prev_cfg
+            walker._runner_cache.clear()
+
+    ess_per_sec_mala = _kernel_ess("mala", 4)
+    ess_per_sec_chees = _kernel_ess("chees", 2)
+
     # MFU vs the measured VPU ceiling (DESIGN.md "Roofline"): flops per
     # walker-step come from XLA's own cost model for the compiled chunk
     # (the scan body counts once), and the empirical f32 FMA issue-rate
@@ -190,6 +227,12 @@ def main():
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
         "ess_per_sec": round(ess_per_sec, 1),
         "min_ess": round(min_ess, 1),
+        # Kernel-family regression tracking (sampling phase, same fit):
+        # rwm is the headline ess_per_sec above; the gradient kernels are
+        # the production samplers and must not silently regress.
+        "ess_per_sec_rwm": round(ess_per_sec, 1),
+        "ess_per_sec_mala": round(ess_per_sec_mala, 1),
+        "ess_per_sec_chees": round(ess_per_sec_chees, 1),
         # mfu_pct is utilization of the MEASURED v5e VPU f32 FMA issue
         # ceiling (the denominator below; benchmarks/roofline.py), not of
         # the chip's headline matmul peak — this workload has no matmuls.
@@ -197,13 +240,18 @@ def main():
         "mfu_denominator_tflops": vpu_fma_ceiling / 1e12,
         "mfu_denominator": "measured v5e VPU f32 FMA issue ceiling (no-matmul workload)",
     }
-    # Cache the good run for the wedge fallback (see _LAST_GOOD_PATH).
-    try:
-        with open(_LAST_GOOD_PATH, "w") as f:
-            json.dump({**result, "measured_at": time.strftime(
-                "%Y-%m-%dT%H:%M:%S")}, f)
-    except OSError:
-        pass
+    # Cache the good run for the wedge fallback (see _LAST_GOOD_PATH) —
+    # but only at production scale: a tiny debug run (BENCH_WALKERS
+    # override) must never replace the last real measurement (measured
+    # mistake, round 4: a 512-walker CPU-side validation overwrote the
+    # 313M steps/sec record with 7.3M).
+    if args.walkers >= 65536:
+        try:
+            with open(_LAST_GOOD_PATH, "w") as f:
+                json.dump({**result, "measured_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%S")}, f)
+        except OSError:
+            pass
     print(json.dumps(result))
 
 

@@ -156,9 +156,34 @@ def shard_state(state: WalkerState, mesh: Mesh, axis_name: str = CHAIN_AXIS) -> 
 
     Requires ``W % n_devices == 0``; the caller picks W as a multiple of
     the device count (and ideally of 8*devices for VPU sublanes).
+
+    Works on multi-PROCESS meshes too (after
+    :func:`initialize_distributed`): ``device_put`` refuses shardings
+    with non-addressable devices, but every process constructs the
+    IDENTICAL full state (seeded, deterministic host-side init), which
+    is exactly the contract of
+    ``jax.make_array_from_process_local_data`` with an explicit
+    ``global_shape`` — "the data must be the same across all hosts".
     """
     W = state.position.shape[0]
     n = mesh.devices.size
     if W % n != 0:
         raise ValueError(f"n_walkers={W} must be divisible by mesh size {n}")
-    return jax.device_put(state, state_shardings(mesh, axis_name))
+    shardings = state_shardings(mesh, axis_name)
+    if jax.process_count() == 1:
+        return jax.device_put(state, shardings)
+
+    from jax import dtypes as _dtypes, random as _random
+
+    def _put(leaf, sh):
+        dt = getattr(leaf, "dtype", None)
+        if dt is not None and _dtypes.issubdtype(dt, _dtypes.prng_key):
+            # Typed PRNG keys have no numpy form: globalize the raw key
+            # data (PartitionSpec() is rank-agnostic) and re-wrap.
+            raw = np.asarray(_random.key_data(leaf))
+            garr = jax.make_array_from_process_local_data(sh, raw, raw.shape)
+            return _random.wrap_key_data(garr, impl=_random.key_impl(leaf))
+        arr = np.asarray(leaf)
+        return jax.make_array_from_process_local_data(sh, arr, arr.shape)
+
+    return jax.tree_util.tree_map(_put, state, shardings)
