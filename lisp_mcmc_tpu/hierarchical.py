@@ -200,9 +200,14 @@ class HierarchicalFit(Walker):
         walker_jitter: float = 0.02,
         dtype=None,
         config=None,
+        proposal: str = "auto",
     ):
         from .batched import BatchedFit
         from .fit import default_dtype
+
+        if proposal not in ("auto", "dense", "block"):
+            raise ValueError(
+                f"proposal must be 'auto', 'dense' or 'block', got {proposal!r}")
 
         dtype = dtype or default_dtype()
         S = len(datasets)
@@ -282,6 +287,38 @@ class HierarchicalFit(Walker):
         self.n_datasets = S
         self._n_hyper = 2 * dp
         self._pooled_cols = pooled_cols
+
+        # ----- proposal structure (VERDICT r3 #5) ------------------------
+        # The walk space is [2P hypers | S local blocks of dl] and the
+        # posterior's coupling is hyper<->local only — block-diagonal by
+        # construction.  "block" applies/refreshes L per block
+        # (kernel.py config.block_*): O(4P^2 + S*dl^2) proposal math per
+        # walker-step instead of O(d^2), per-block covariance
+        # sufficiency (counts > max block instead of counts > d — dense
+        # refresh is impossible at W < d, exactly the scan-grid
+        # regime), at the price of dropping z<->hyper proposal
+        # correlations.  "auto" switches to block at d >= 96 (measured
+        # crossover region, benchmarks/hierarchical_scaling.py — dense
+        # wins below, where the full covariance's coupling capture
+        # matters more than the d^2 term).
+        import dataclasses as _dc
+
+        d_walk = spec.ndim
+        base_cfg = config if config is not None else None
+        want_block = proposal == "block" or (proposal == "auto"
+                                             and d_walk >= 96)
+        if want_block:
+            from .kernel import FitConfig
+
+            base = base_cfg or FitConfig()
+            if base.kernel in ("rwm", "mala", "hmc", "chees"):
+                config = _dc.replace(base, block_hyper=2 * dp,
+                                     block_local=dl, block_count=S)
+            elif proposal == "block":
+                raise ValueError(
+                    f"proposal='block' needs an L-matrix kernel "
+                    f"(rwm/mala/hmc/chees), not {base.kernel!r} "
+                    "(stretch/demc/slice are L-free)")
 
         # Static decode matrices: P (dl, dp) selects pooled hyper columns;
         # closure constants are structural (fixed for the fit), datasets

@@ -24,6 +24,29 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ----------------------------------------------------------------- tiers
+# ``pytest -m quick`` runs the fast, high-coverage edit-loop tier
+# (target <= 3 min on this CPU config); the unmarked remainder is the
+# slow tier (long anneals, SBC studies, multi-process spawns) and the
+# FULL suite stays the round gate.  Modules are tiered here, in one
+# place, instead of per-file pytestmark lines: the set is derived from
+# measured module wall times (round-4 full-suite --durations run) and
+# is cheap to re-derive when a module's cost changes.  No test is
+# deleted or weakened by tiering — `pytest tests/` still runs all.
+QUICK_MODULES = {
+    "test_expressions_extended", "test_fit", "test_global_predictive",
+    "test_io_models", "test_linalg", "test_loo", "test_migration_surface",
+    "test_model_weights", "test_multicolumn_x", "test_optimize",
+    "test_pallas", "test_substrate",
+    "test_utils", "test_waic",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture
 def rng():
