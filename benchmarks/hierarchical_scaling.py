@@ -75,10 +75,32 @@ def make_fit(S, proposal):
 
 
 def timed_steps(fit):
-    fit.adaptive_steps(200, auto=None)          # compile out of timing
+    """Warm no-history chunk stepping (the bench.py protocol).
+
+    adaptive_steps-level timing is NOT a proposal-cost measurement on
+    the axon tunnel: thinned-history host transfers dominate it 20-50x
+    (measured r4: 41.6k steps/s with history vs 1.97M without at S=64)
+    and its noise swamped the dense-vs-block signal entirely.  The
+    driver-relevant number is the device-side chunk rate.
+    """
+    import jax
+
+    from lisp_mcmc_tpu.kernel import build_chunk_runner
+
+    run, _ = build_chunk_runner(fit._log_post_one, fit.ndim, fit.config,
+                                takes_data=True)
+    step = jax.jit(run)
+    data = fit._posterior_data()
+    state = fit.state
+    state, _ = step(state, True, True, False, data)   # compile + settle
+    jax.block_until_ready(state.position)
+    n_chunks = max(1, STEPS // fit.config.chunk_size)
     t0 = time.perf_counter()
-    fit.adaptive_steps(STEPS, auto=None)
-    return time.perf_counter() - t0
+    for _ in range(n_chunks):
+        state, _ = step(state, True, True, False, data)
+    jax.block_until_ready(state.position)
+    dt = time.perf_counter() - t0
+    return dt * STEPS / (n_chunks * fit.config.chunk_size)
 
 
 def quality_gate(S=16, budget=6000):

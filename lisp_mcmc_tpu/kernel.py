@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Callable
 
 import jax
@@ -666,8 +667,28 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
             parts.append(e_l.reshape(w_, n_b * b_l))
             return jnp.concatenate(parts, axis=-1)
 
-        mul_L = lambda l, v: _blocked_apply(l, v, False)
-        mul_Lt = lambda l, v: _blocked_apply(l, v, True)
+        # Application strategy by backend: the per-block einsums beat
+        # one dense matmul only where vector lanes are narrow relative
+        # to d (CPU: measured 33x at S=32, 2.7x at S=8).  On TPU the
+        # dense (W, d) @ (d, d) proposal rides the MXU and measured
+        # FASTER at every tested size (blocked/dense 0.83-1.04x up to
+        # d=772 at W=256, benchmarks/hierarchical_scaling.py r4) — so
+        # TPU keeps the dense apply (the zeros are free) and takes the
+        # blocked ESTIMATION (masked refresh, per-block sufficiency,
+        # no per-step moment outers), which is where the statistical
+        # win lives anyway.
+        # LISP_MCMC_BLOCK_APPLY=0/1 overrides the backend auto-choice
+        # (expert/benchmark knob; unset = auto).
+        _env = os.environ.get("LISP_MCMC_BLOCK_APPLY")
+        if _env in ("0", "1"):
+            _blocked_apply_on = _env == "1"
+        else:
+            _blocked_apply_on = jax.default_backend() not in ("tpu", "axon")
+        if not _blocked_apply_on:
+            mul_L, mul_Lt = mul_l, mul_lt
+        else:
+            mul_L = lambda l, v: _blocked_apply(l, v, False)
+            mul_Lt = lambda l, v: _blocked_apply(l, v, True)
     else:
         block_mask = None
         mul_L, mul_Lt = mul_l, mul_lt

@@ -224,3 +224,29 @@ def test_proposal_auto_thresholds(rng):
     assert f_big.config.block_count == S
     assert f_big.config.block_hyper == 4
     assert f_big.config.block_local == 2
+
+
+def test_blocked_sharded_matches_unsharded(rng):
+    """Blocked proposals under chain-axis DP: the per-block einsums
+    (including the diagonal-block extraction) must stay GSPMD-
+    partitionable and bitwise identical sharded vs unsharded."""
+    import jax as _jax
+
+    from lisp_mcmc_tpu.parallel import make_mesh
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ds = _datasets(rng)
+
+    def make():
+        return _fit(ds, "block", n_walkers=64)
+
+    w1 = make()
+    w1.adaptive_steps(400, auto=None)
+    w2 = make()
+    w2.shard(make_mesh())
+    w2.adaptive_steps(400, auto=None)
+    np.testing.assert_array_equal(np.asarray(w1.state.position),
+                                  np.asarray(w2.state.position))
+    np.testing.assert_array_equal(np.asarray(w1.state.l_matrix),
+                                  np.asarray(w2.state.l_matrix))
