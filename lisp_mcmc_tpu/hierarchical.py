@@ -682,6 +682,18 @@ class HierarchicalFit(Walker):
         """
         import dataclasses
 
+        from .kernel import FitConfig
+
+        if config is None and self.config.block_count > 0:
+            # A blocked parent keeps its proposal structure in the
+            # refit/SBC blocks too (same walk space, same coupling; the
+            # grouped layout composes — groups are per-walker, blocks
+            # per-coordinate).
+            config = dataclasses.replace(
+                FitConfig(), block_hyper=self.config.block_hyper,
+                block_local=self.config.block_local,
+                block_count=self.config.block_count)
+
         decode, lik, lsp = self._decode, self._likelihood, self.local_spec
         fn = self.terms[0].fn
         prior, spec = self.terms[0].prior, self.spec

@@ -250,3 +250,35 @@ def test_blocked_sharded_matches_unsharded(rng):
                                   np.asarray(w2.state.position))
     np.testing.assert_array_equal(np.asarray(w1.state.l_matrix),
                                   np.asarray(w2.state.l_matrix))
+
+
+def test_blocked_config_survives_checkpoint(rng, tmp_path):
+    """hierarchical_save/load round-trips the block_* config fields and
+    the block-diagonal L (dense storage, zero cross blocks)."""
+    from lisp_mcmc_tpu.checkpoint import hierarchical_load, hierarchical_save
+
+    ds = _datasets(rng)
+    fb = _fit(ds, "block", n_walkers=32)
+    fb.adaptive_steps(400, auto=None)
+    path = str(tmp_path / "blocked.npz")
+    hierarchical_save(fb, path)
+    loaded = hierarchical_load(path, function=const_model)
+    assert loaded.config.block_count == fb.config.block_count
+    assert loaded.config.block_hyper == fb.config.block_hyper
+    assert loaded.config.block_local == fb.config.block_local
+    np.testing.assert_array_equal(np.asarray(loaded.state.l_matrix),
+                                  np.asarray(fb.state.l_matrix))
+
+
+def test_blocked_parent_refits_blocked(rng):
+    """A blocked HierarchicalFit's refit-CV blocks inherit the proposal
+    structure (the grouped layout composes with per-coordinate blocks)."""
+    ds = _datasets(rng)
+    fb = _fit(ds, "block", n_walkers=32)
+    fb.adaptive_steps(400, auto=None)
+    n = fb._n_real_points
+    fit, score = fb._refit_cv("test", [np.arange(n) != 0], n_steps=200,
+                              temperature=2.0, walkers_per_dataset=8,
+                              burn_fraction=0.3, max_samples=8, seed=0)
+    assert fit.config.block_count == fb.config.block_count
+    assert np.isfinite(score(0)).all()

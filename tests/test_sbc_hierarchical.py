@@ -69,3 +69,18 @@ def test_hier_sbc_requires_complete_prior():
         mfit.sbc_check_hierarchical(
             line2, X, {"c": 0.0, "b": 1.0}, 3, data_error=0.5,
             hyper=HYPER, pooled=["c"], n_sims=10)
+
+
+def test_hier_sbc_poisson_pipeline():
+    """Non-Gaussian partial pooling calibrates end to end: the Poisson
+    reduction drives BOTH the joint fit (HierarchicalFit's
+    custom-likelihood path) and the count simulator — the same
+    never-guessed pairing sbc_check uses (measured worst-p 0.115 at
+    these settings)."""
+    hyper = {"c": (Gaussian(10.0, 2.0), LogNormal(np.log(0.5), 0.3))}
+    res = mfit.sbc_check_hierarchical(
+        const_model, X, {"c": 10.0}, 4, hyper=hyper,
+        log_likelihood=mfit.log_likelihood_poisson,
+        n_sims=40, walkers_per_sim=24, n_steps=3000,
+        sampling_steps=3000, sampling_kernel="mala", seed=0)
+    assert res.ok()
