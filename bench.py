@@ -173,6 +173,11 @@ def main():
     # mala/chees regression must surface here.  Same recipe as the rwm
     # phase: short sampling-phase (cold, T=1) chunks at the converged
     # state, history reduced on device, only d scalars to host.
+    # Interpretation note: on THIS d=6 ridge posterior chees adapts to
+    # t~20 leapfrog (~10 grads/step, acceptance ~0.14 at the stability
+    # cliff) so its ESS/sec reads low vs mala — expected, not a
+    # regression; chees wins at higher d (DESIGN.md kernel-family table:
+    # 3.0M ESS/s at d=48 where rwm/mala collapse).
     import dataclasses as _dc
 
     def _kernel_ess(kernel: str, n_hist_chunks: int) -> float:

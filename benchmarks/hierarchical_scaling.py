@@ -92,13 +92,18 @@ def timed_steps(fit):
     step = jax.jit(run)
     data = fit._posterior_data()
     state = fit.state
+    import jax.numpy as jnp
+
     state, _ = step(state, True, True, False, data)   # compile + settle
-    jax.block_until_ready(state.position)
+    float(jnp.sum(state.logprob))      # host fetch = the reliable barrier
     n_chunks = max(1, STEPS // fit.config.chunk_size)
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state, _ = step(state, True, True, False, data)
-    jax.block_until_ready(state.position)
+    # On the axon tunnel block_until_ready alone has produced 0.00 s
+    # readings (an async-dispatch artifact); fetching a scalar forces
+    # the full pipeline to drain.
+    float(jnp.sum(state.logprob))
     dt = time.perf_counter() - t0
     return dt * STEPS / (n_chunks * fit.config.chunk_size)
 
