@@ -603,18 +603,19 @@ def build_chunk_runner(log_posterior: Callable, ndim: int, config: FitConfig,
     # the rescue move keeps the dense mul_l for its own full-covariance
     # q — an independence sampler benefits from the cross-block
     # correlations, and its O(d^2) cost is per CHUNK, not per step.
-    blocked = config.block_count > 0
+    # Block fields are simply INERT for the L-free kernels (stretch/
+    # demc/slice have no L to structure): a blocked HierarchicalFit can
+    # sampling_steps(kernel="slice") without unsetting anything — the
+    # review r4 regression was raising here, which broke kernel
+    # switching on every auto-blocked large fit.
+    blocked = (config.block_count > 0
+               and config.kernel in ("rwm", "mala", "hmc", "chees"))
     if blocked:
         b_h, b_l, n_b = (config.block_hyper, config.block_local,
                          config.block_count)
         if b_h + n_b * b_l != ndim:
             raise ValueError(
                 f"block layout {b_h} + {n_b}*{b_l} != ndim={ndim}")
-        if config.kernel not in ("rwm", "mala", "hmc", "chees"):
-            raise ValueError(
-                "blocked proposals apply to the L-matrix kernels "
-                "(rwm/mala/hmc/chees); stretch/demc/slice are L-free "
-                "— unset block_count for them")
         if grouped and group_block is None:
             raise ValueError(
                 "blocked proposals need contiguous equal-size walker "

@@ -88,7 +88,8 @@ def _uniformity_pvalue(ranks_j: np.ndarray, n_draws: int, n_bins: int) -> float:
     return float(chi2.sf(stat, n_bins - 1))
 
 
-def _observation_model(simulate, log_likelihood, data_error, x):
+def _observation_model(simulate, log_likelihood, data_error, x,
+                       caller: str = "sbc_check"):
     """Resolve the generative twin of the fit's likelihood.
 
     Returns ``draw(rng, mu, p_true) -> y`` (host-side, one dataset per
@@ -117,7 +118,7 @@ def _observation_model(simulate, log_likelihood, data_error, x):
     def _sigma():
         if data_error is None:
             raise ValueError(
-                "sbc_check: this observation model needs data_error "
+                f"{caller}: this observation model needs data_error "
                 "(the per-point noise scale)")
         return np.broadcast_to(np.asarray(data_error, np.float64),
                                x.shape[:1]).astype(np.float64)
@@ -136,10 +137,48 @@ def _observation_model(simulate, log_likelihood, data_error, x):
         sigma = _sigma()
         return lambda rng, mu, p: sim(rng, mu, sigma, p)
     raise ValueError(
-        "sbc_check: no generative twin for likelihood "
+        f"{caller}: no generative twin for likelihood "
         f"{getattr(log_likelihood, '__name__', log_likelihood)!r} — pass "
         "simulate=(rng, mu) -> y matching it (SBC cannot guess the "
         "observation model; a mismatch is what it detects)")
+
+
+def _rank_study(fit, n_sims: int, B: int, truths, keys, n_draws: int,
+                n_bins: int, caller: str) -> SBCResult:
+    """Shared run-then-rank epilogue of :func:`sbc_check` and
+    :func:`sbc_check_hierarchical`.
+
+    Walker columns map via ``fit.history_block_columns`` (the group-
+    aware history invariant) — never raw contiguous slices: today the
+    builders zero ``history_walkers`` when retention would subsample,
+    but the mapping must not depend on that side condition.  The draw
+    index is a plain linspace, deliberately NOT unique-ified: ranks
+    live on the 0..n_draws integer support, so exactly ``n_draws``
+    draws are required (duplicated indices at short histories keep the
+    count right; the shortage guard below keeps them rare).
+    """
+    from .fit import history_block_columns
+
+    pos, _ = fit._history(None)                       # (T, W, d)
+    pos = np.asarray(pos)
+    cols = history_block_columns(fit, pos.shape[1])
+    t_rows = pos.shape[0]
+    if t_rows * B < n_draws:
+        raise ValueError(
+            f"{caller}: only {t_rows * B} retained draws per "
+            f"simulation (need n_draws={n_draws}) — raise n_steps or "
+            "lower burn_fraction")
+    truths = np.asarray(truths, np.float64)
+    d = len(keys)
+    ranks = np.empty((n_sims, d), np.int64)
+    for i in range(n_sims):
+        block = pos[:, cols[i], :].reshape(-1, d)
+        idx = np.linspace(0, block.shape[0] - 1, n_draws).astype(int)
+        ranks[i] = np.sum(block[idx] < truths[i][None, :], axis=0)
+    p_values = {k: _uniformity_pvalue(ranks[:, j], n_draws, n_bins)
+                for j, k in enumerate(keys)}
+    return SBCResult(ranks=ranks, n_draws=n_draws, n_bins=n_bins,
+                     keys=keys, p_values=p_values, true_params=truths)
 
 
 def sbc_check(
@@ -268,27 +307,8 @@ def sbc_check(
     else:
         fit.burn_steps(int(len(fit) * burn_fraction))
 
-    pos, _ = fit._history(None)                       # (T, S*B, d)
-    pos = np.asarray(pos)
-    t_rows = pos.shape[0]
-    if t_rows * B < n_draws:
-        raise ValueError(
-            f"sbc_check: only {t_rows * B} retained draws per dataset "
-            f"(need n_draws={n_draws}) — raise n_steps or lower burn_fraction")
-
-    ranks = np.empty((n_sims, len(keys)), np.int64)
-    for s in range(n_sims):
-        block = pos[:, s * B:(s + 1) * B, :].reshape(-1, len(keys))
-        idx = np.linspace(0, block.shape[0] - 1, n_draws).astype(int)
-        draws = block[idx]                            # (L, d)
-        ranks[s] = np.sum(draws < truths[s][None, :], axis=0)
-
-    p_values = {
-        k: _uniformity_pvalue(ranks[:, j], n_draws, n_bins)
-        for j, k in enumerate(keys)
-    }
-    return SBCResult(ranks=ranks, n_draws=n_draws, n_bins=n_bins,
-                     keys=keys, p_values=p_values, true_params=truths)
+    return _rank_study(fit, n_sims, B, truths, keys, n_draws, n_bins,
+                       "sbc_check")
 
 
 def sbc_check_hierarchical(
@@ -395,11 +415,22 @@ def sbc_check_hierarchical(
     truths = template.prior_spec.sample(rng, n_sims, keys)   # walk space
     nat = template._decode_np(np.asarray(truths, np.float64))  # (n, S, dl)
 
-    draw_y = _observation_model(simulate, log_likelihood, data_error, x)
     local_keys = template.local_spec.keys
     n_max = len(x)
-    errors = BatchedFit._normalize_errors(
-        data_error, [(x, np.zeros_like(x))] * S)
+    # Per-DATASET error lists are first-class for the fit (the template
+    # normalizes them), so the simulator must see the same per-dataset
+    # sigmas — one observation model per dataset, never the raw list
+    # (whose shape _observation_model would misread as per-point).
+    if data_error is None:
+        errors = [None] * S
+        draw_ys = [_observation_model(simulate, log_likelihood, None, x,
+                                      caller="sbc_check_hierarchical")] * S
+    else:
+        errors = BatchedFit._normalize_errors(
+            data_error, [(x, np.zeros_like(x))] * S)
+        draw_ys = [_observation_model(simulate, log_likelihood, errors[s],
+                                      x, caller="sbc_check_hierarchical")
+                   for s in range(S)]
 
     blocks = []
     for i in range(n_sims):
@@ -408,7 +439,7 @@ def sbc_check_hierarchical(
             p_true = dict(zip(local_keys, nat[i, s]))
             mu = np.asarray(function(
                 jnp.asarray(x), {k: jnp.asarray(v) for k, v in p_true.items()}))
-            y = draw_y(rng, mu, p_true)
+            y = draw_ys[s](rng, mu, p_true)
             dsets.append(Dataset.create(x, y, errors[s],
                                         dtype=template.dtype,
                                         min_len=n_max))
@@ -430,27 +461,5 @@ def sbc_check_hierarchical(
     else:
         fit.burn_steps(int(len(fit) * burn_fraction))
 
-    pos, _ = fit._history(None)                              # (T, K*B, d)
-    pos = np.asarray(pos)
-    t_rows = pos.shape[0]
-    if t_rows * B < n_draws:
-        raise ValueError(
-            f"sbc_check_hierarchical: only {t_rows * B} retained draws "
-            f"per simulation (need n_draws={n_draws}) — raise n_steps "
-            "or lower burn_fraction")
-
-    d = len(keys)
-    ranks = np.empty((n_sims, d), np.int64)
-    truths_np = np.asarray(truths, np.float64)
-    for i in range(n_sims):
-        block = pos[:, i * B:(i + 1) * B, :].reshape(-1, d)
-        idx = np.linspace(0, block.shape[0] - 1, n_draws).astype(int)
-        draws = block[idx]
-        ranks[i] = np.sum(draws < truths_np[i][None, :], axis=0)
-
-    p_values = {
-        k: _uniformity_pvalue(ranks[:, j], n_draws, n_bins)
-        for j, k in enumerate(keys)
-    }
-    return SBCResult(ranks=ranks, n_draws=n_draws, n_bins=n_bins,
-                     keys=keys, p_values=p_values, true_params=truths_np)
+    return _rank_study(fit, n_sims, B, truths, keys, n_draws, n_bins,
+                       "sbc_check_hierarchical")

@@ -196,6 +196,19 @@ def test_block_count_refuses_l_free_kernels(rng):
         _fit(ds, "block", config=cfg)
 
 
+def test_blocked_fit_can_switch_to_l_free_kernels(rng):
+    """Review r4 regression pin: an auto/block fit must still run the
+    L-free kernels (block fields are inert for them — there is no L to
+    structure), so sampling_steps(kernel='slice'/'demc'/'stretch')
+    works without unsetting anything."""
+    ds = _datasets(rng)
+    fb = _fit(ds, "block", n_walkers=32)
+    fb.adaptive_steps(200, auto=None)
+    for kern in ("slice", "demc", "stretch"):
+        fb.sampling_steps(200, kernel=kern)
+    assert np.isfinite(np.asarray(fb.state.logprob)).all()
+
+
 def test_bad_block_layout_refuses():
     cfg = FitConfig(block_hyper=3, block_local=2, block_count=4)
 
