@@ -31,6 +31,7 @@ import numpy as np
 import jax
 
 from .batched import BatchedFit
+from .hierarchical import HierarchicalFit
 from .fit import Walker, walker_create
 from .io import get_filename, read_file_data
 from .likelihoods import log_likelihood_normal
@@ -50,6 +51,7 @@ __all__ = [
     "fit_nv_file",
     "fit_nv_dir",
     "BatchedNVFit",
+    "HierarchicalNVFit",
     "fit_nv_spectra_batched",
     "walker_field_offset",
     "export_scan_grid",
@@ -261,6 +263,101 @@ class BatchedNVFit(BatchedFit):
     def field_offsets(self):
         """Per-spectrum field offset in Oe (``walker-field-offset``,
         nv-specific.lisp:68-69): (mu2 - mu1) / 2 / 2.8."""
+        return self.expressions_per_dataset(FIELD_OFFSET_EXPRESSION)
+
+
+class HierarchicalNVFit(HierarchicalFit):
+    """Scan-grid NV fit with partial pooling: the domain entry for the
+    middle ground the reference never had.
+
+    ``dir->nv-walkers`` (nv-specific.lisp:58-66) fits every spectrum
+    independently; on a real field map the resonance positions (mu1,
+    mu2) vary pixel to pixel but the linewidth and background are
+    properties of the SAME device — so this fit pools ``("sigma",
+    "bg0")`` through a population by default and keeps resonances (and
+    dip amplitudes) per pixel.  Sparse/noisy pixels borrow linewidth
+    strength from the rest of the grid instead of fending for
+    themselves.
+
+    Defaults derive from the NV physics boxes (``make_nv_prior``) and
+    the pooled y range: pooled hypers get ``mu ~ Uniform(box)``,
+    ``tau ~ LogNormal(log(span/8), 1)``; non-pooled locals get their
+    reference box as a Uniform — so the prior is COMPLETE and the whole
+    evidence/calibration layer (``nested_sample``, ``reloo``/``kfold``,
+    ``sbc_check_hierarchical``) rides with zero extra declarations.
+    One documented loss vs :func:`make_nv_prior`: the CROSS-parameter
+    constraints (mu2 - mu1 >= 6 MHz, the 0.9-1.1 scale-ratio band,
+    nv-specific.lisp:31-34) are not a product of 1-D distributions and
+    do not enter the pooled prior — the disjoint mu boxes still enforce
+    mu1 < mu2, and pooling itself regularizes the amplitudes.
+
+    ``proposal="auto"`` switches to block-diagonal proposals at walk
+    dim >= 96 (~15+ pixels with the default pooling) — the scan-grid
+    scaling path (DESIGN.md: 4.17x dense at 256 pixels).
+    """
+
+    def __init__(self, spectra, n_walkers: int = 256, seed: int = 0,
+                 model=double_lorentzian_bg, pooled=("sigma", "bg0"),
+                 hyper=None, local_priors=None, dtype=None, config=None,
+                 log_likelihood=None, proposal: str = "auto"):
+        from .priors import Gaussian, LogNormal, Uniform
+
+        if len(spectra) < 2:
+            raise ValueError("HierarchicalNVFit: need >= 2 spectra to "
+                             "pool (one spectrum has no population)")
+        x0 = np.asarray(spectra[0][0], dtype=np.float64)
+        for x, _ in spectra:
+            if len(x) != len(x0) or not np.allclose(x, x0):
+                raise ValueError(
+                    "HierarchicalNVFit requires a shared frequency grid "
+                    "(scan-grid exports/heatmaps assume one)")
+        y_all = np.concatenate([np.asarray(y, np.float64)
+                                for _, y in spectra])
+        contrast = max(float(y_all.max() - y_all.min()), 1e-300)
+        spread = 5.0 * contrast
+        # The reference physics boxes (make_nv_prior), y-scaled where
+        # the units demand it.
+        boxes = {
+            "scale1": (1e-3 * contrast, 1e3 * contrast),
+            "scale2": (1e-3 * contrast, 1e3 * contrast),
+            "mu1": (2850.0, 2870.0),
+            "mu2": (2870.0, 2890.0),
+            "sigma": (9.0, 20.0),
+            "bg0": (float(y_all.min()) - spread, float(y_all.max()) + spread),
+        }
+        pooled = [p for p in pooled]
+        hyper = dict(hyper or {})
+        for p in pooled:
+            if p not in hyper and p in boxes:
+                lo, hi = boxes[p]
+                span = hi - lo
+                hyper[p] = (Uniform(lo, hi),
+                            LogNormal(float(np.log(span / 8.0)), 1.0))
+        if local_priors is None:
+            local_priors = {k: Uniform(*boxes[k]) for k in boxes
+                            if k not in pooled}
+        guesses = [guess_nv_params(y) for _, y in spectra]
+        errors = [np.full(len(y), nv_data_std_dev(y)) for _, y in spectra]
+        super().__init__(
+            model, spectra, guesses, data_error=errors,
+            pooled=pooled, hyper=hyper, local_priors=local_priors,
+            log_likelihood=log_likelihood,
+            n_walkers=n_walkers, seed=seed, dtype=dtype, config=config,
+            proposal=proposal,
+        )
+
+    @property
+    def n_spectra(self) -> int:
+        return self.n_datasets
+
+    def best_params_per_spectrum(self):
+        return self.params_per_dataset("best")
+
+    def field_offsets(self):
+        """Per-pixel field offset in Oe (``walker-field-offset``,
+        nv-specific.lisp:68-69): (mu2 - mu1) / 2 / 2.8 at the decoded
+        per-pixel best params — feed :func:`export_scan_grid` or
+        ``plotting.heatmap`` for the field map."""
         return self.expressions_per_dataset(FIELD_OFFSET_EXPRESSION)
 
 

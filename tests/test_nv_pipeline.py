@@ -172,3 +172,52 @@ def test_batched_nv_fit_robust_likelihood(rng):
     gauss.adaptive_steps(8000, auto=None)
     assert total_err(robust) < total_err(gauss)
     assert total_err(robust) < 7.0
+
+
+def test_hierarchical_nv_fit_end_to_end():
+    """HierarchicalNVFit (round 4): the domain entry for partial
+    pooling — pooled (sigma, bg0) device properties, per-pixel
+    resonances, COMPLETE default prior (reference boxes as 1-D dists),
+    field offsets decoded per pixel."""
+    import jax.numpy as jnp
+
+    from lisp_mcmc_tpu import nv
+    from lisp_mcmc_tpu.models import double_lorentzian_bg
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(2840.0, 2900.0, 160)
+    truths, spectra = [], []
+    for i in range(4):
+        split = 8.0 + 3.0 * i
+        t = {"scale1": 9e-5, "scale2": 8.5e-5, "mu1": 2866.0 - split / 2,
+             "mu2": 2866.0 + split / 2 + 8, "sigma": 11.0, "bg0": 1e-4}
+        truths.append(t)
+        y = np.asarray(double_lorentzian_bg(x, t))
+        spectra.append((x, y + 3e-6 * rng.standard_normal(160)))
+
+    fit = nv.HierarchicalNVFit(spectra, n_walkers=96, seed=0)
+    assert fit.prior_spec is not None          # evidence layer rides free
+    assert fit.pooled == ("sigma", "bg0")
+    fit.adaptive_steps(4000, auto=None)
+    fit.reset()
+    fit.sampling_steps(3000, kernel="chees")
+    fit.burn_steps(len(fit) // 2)
+    per = fit.best_params_per_spectrum()
+    offs = fit.field_offsets()
+    for i, t in enumerate(truths):
+        assert per[i]["mu1"] == pytest.approx(t["mu1"], abs=0.3)
+        true_off = (t["mu2"] - t["mu1"]) / 2 / 2.8
+        assert offs[i] == pytest.approx(true_off, abs=0.15)
+    hp = fit.hyper_params("median")
+    assert hp["mu"]["sigma"] == pytest.approx(11.0, abs=2.0)
+
+
+def test_hierarchical_nv_fit_guards():
+    from lisp_mcmc_tpu import nv
+
+    x = np.linspace(2840.0, 2900.0, 32)
+    with pytest.raises(ValueError, match="2 spectra"):
+        nv.HierarchicalNVFit([(x, np.ones(32))])
+    x2 = np.linspace(2840.0, 2900.0, 16)
+    with pytest.raises(ValueError, match="shared frequency grid"):
+        nv.HierarchicalNVFit([(x, np.ones(32)), (x2, np.ones(16))])
