@@ -29,7 +29,59 @@ _LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".bench_last_good.json")
 
 
+def _emit_last_good(reason: str, exit_code: int):
+    """Print the last known-good measurement, clearly flagged stale.
+
+    An unflagged replay would be dishonest; a missing record is
+    uninformative — this is the honest middle (see the wedge fallback
+    below, which shares it).
+    """
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            last = json.load(f)
+        last["stale"] = True
+        last["stale_reason"] = reason
+        print(json.dumps(last))
+    except (OSError, ValueError):
+        pass
+    os._exit(exit_code)
+
+
 def main():
+    # Deadline-bounded measurement: the axon tunnel has a VARIABLE
+    # cold-start — the first nontrivial device execution measured 1.7 s
+    # to 298 s across processes on the same day (r4 phase instrumenting;
+    # everything after it runs in ~30 s warm).  The small-op probe
+    # below cannot see that mode (it passes in ~1 s while real work
+    # stalls), so the whole measurement runs in a CHILD process with a
+    # hard deadline; on timeout the parent emits the last known-good
+    # record flagged stale instead of letting the driver's reaper kill
+    # an artifact-less process.
+    if not os.environ.get("_BENCH_CHILD"):
+        import subprocess
+
+        deadline = float(os.environ.get("BENCH_TIMEOUT", 480))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)]
+                + sys.argv[1:],
+                env=dict(os.environ, _BENCH_CHILD="1"),
+                capture_output=True, timeout=deadline)
+        except subprocess.TimeoutExpired as e:
+            partial = (e.stderr or b"").decode(errors="replace")[-500:]
+            print(f"bench.py: measurement exceeded {deadline:.0f} s "
+                  "(degraded/cold axon tunnel) — emitting the last "
+                  f"known-good record as stale.\n{partial}",
+                  file=sys.stderr, flush=True)
+            _emit_last_good(
+                f"measurement exceeded {deadline:.0f}s (degraded tunnel); "
+                "value is the most recent successful run", 3)
+            return
+        sys.stderr.write(r.stderr.decode(errors="replace"))
+        sys.stdout.write(r.stdout.decode(errors="replace"))
+        sys.stdout.flush()
+        os._exit(r.returncode)
+
     parser = argparse.ArgumentParser()
     # 131072 walkers measured ~3% faster than 65536 (better fixed-cost
     # amortization); throughput is flat above that (VPU-bound).
@@ -67,21 +119,8 @@ def main():
               "the accelerator appears wedged (known axon remote-executor "
               "state; it recovers by itself eventually). Exiting "
               "instead of hanging.", file=sys.stderr)
-        # Emit the last KNOWN-GOOD measurement, clearly flagged as stale
-        # with its timestamp, so a transient infra wedge at a round
-        # boundary doesn't erase the round's real numbers.  An unflagged
-        # replay would be dishonest; a missing record is uninformative —
-        # this is the honest middle.
-        try:
-            with open(_LAST_GOOD_PATH) as f:
-                last = json.load(f)
-            last["stale"] = True
-            last["stale_reason"] = ("device wedged at bench time; value is "
-                                    "the most recent successful run")
-            print(json.dumps(last))
-        except (OSError, ValueError):
-            pass
-        os._exit(2)
+        _emit_last_good("device wedged at bench time; value is "
+                        "the most recent successful run", 2)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import lisp_mcmc_tpu as mfit
