@@ -21,7 +21,10 @@ non-centered prior is a product of independent 1-D distributions, so
 ``nested_sample`` consumes the fit without any extra declaration.
 
 Run: ``python examples/hierarchical_scan.py`` (~10 min CPU; the
-hierarchical posterior is d = 2*2 + 6*6 = 40).
+hierarchical posterior is d = 2*2 + 6*6 = 40).  For real NV scan
+grids, ``nv.HierarchicalNVFit(spectra)`` is the one-call version of
+fit #2 (physics boxes as the complete prior, per-pixel
+``field_offsets()``).
 """
 
 import os
