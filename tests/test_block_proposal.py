@@ -295,3 +295,23 @@ def test_blocked_parent_refits_blocked(rng):
                               burn_fraction=0.3, max_samples=8, seed=0)
     assert fit.config.block_count == fb.config.block_count
     assert np.isfinite(score(0)).all()
+
+
+def test_blocked_evidence_ladder_matches_dense(rng):
+    """The evidence layer composes with block mode: tempered rungs ARE
+    adaptation groups (contiguous blocks — the layout blocked proposals
+    support), so log_evidence runs on a blocked HierarchicalFit
+    unchanged and agrees with the dense twin within error bars; the
+    stepping-stone/TI internal cross-check holds on both."""
+    ds = _datasets(rng)
+    res = {}
+    for prop in ("block", "dense"):
+        f = _fit(ds, prop, n_walkers=64)
+        f.adaptive_steps(1500, auto=None)
+        ev = f.log_evidence(n_steps=3000, rungs=8, t_max=30.0)
+        assert abs(ev.log_z - ev.log_z_ti) < 3 * max(ev.error, 0.1)
+        assert f.swap_rates()["ok"]
+        res[prop] = ev
+    assert res["block"].log_z == pytest.approx(
+        res["dense"].log_z,
+        abs=3 * (res["block"].error + res["dense"].error) + 0.2)
