@@ -58,17 +58,44 @@ def main():
     # record flagged stale instead of letting the driver's reaper kill
     # an artifact-less process.
     if not os.environ.get("_BENCH_CHILD"):
+        import signal
         import subprocess
 
         deadline = float(os.environ.get("BENCH_TIMEOUT", 480))
+        child = subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__)]
+            + sys.argv[1:],
+            env=dict(os.environ, _BENCH_CHILD="1"),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+
+        # Tie the child's lifetime to the parent's where signals allow:
+        # an orphaned child would keep holding the TPU session and the
+        # next bench/dryrun against it hangs (project memory rule 7).
+        def _reap(signum, frame):
+            child.kill()
+            os._exit(128 + signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, _reap)
         try:
-            r = subprocess.run(
-                [sys.executable, "-u", os.path.abspath(__file__)]
-                + sys.argv[1:],
-                env=dict(os.environ, _BENCH_CHILD="1"),
-                capture_output=True, timeout=deadline)
+            out, err = child.communicate(timeout=deadline)
         except subprocess.TimeoutExpired as e:
-            partial = (e.stderr or b"").decode(errors="replace")[-500:]
+            child.kill()
+            out, err = child.communicate()
+            # The child may have FINISHED the measurement (fresh JSON
+            # printed, last-good written) and then hung in interpreter/
+            # runtime shutdown — the tunnel's documented hang mode.
+            # A completed measurement must win over the stale fallback.
+            fresh = [ln for ln in (out or b"").decode(
+                errors="replace").splitlines() if ln.startswith("{")]
+            if fresh:
+                sys.stderr.write((err or b"").decode(errors="replace"))
+                print(f"bench.py: child hung at exit after a COMPLETED "
+                      f"measurement ({deadline:.0f}s deadline); "
+                      "forwarding its fresh result", file=sys.stderr)
+                print(fresh[-1])
+                os._exit(0)
+            partial = (err or b"").decode(errors="replace")[-500:]
             print(f"bench.py: measurement exceeded {deadline:.0f} s "
                   "(degraded/cold axon tunnel) — emitting the last "
                   f"known-good record as stale.\n{partial}",
@@ -76,11 +103,10 @@ def main():
             _emit_last_good(
                 f"measurement exceeded {deadline:.0f}s (degraded tunnel); "
                 "value is the most recent successful run", 3)
-            return
-        sys.stderr.write(r.stderr.decode(errors="replace"))
-        sys.stdout.write(r.stdout.decode(errors="replace"))
+        sys.stderr.write(err.decode(errors="replace"))
+        sys.stdout.write(out.decode(errors="replace"))
         sys.stdout.flush()
-        os._exit(r.returncode)
+        os._exit(child.returncode)
 
     parser = argparse.ArgumentParser()
     # 131072 walkers measured ~3% faster than 65536 (better fixed-cost

@@ -105,6 +105,34 @@ log_prior_nv = make_bounds_prior(
 log_prior_nv.__name__ = "log_prior_nv"  # stable name for checkpoints
 
 
+def _nv_boxes(y) -> dict:
+    """The reference physics boxes (nv-specific.lisp:21-34), amplitude
+    entries rescaled to the spectrum's y units — the ONE definition
+    every NV prior path shares (make_nv_prior, HierarchicalNVFit)."""
+    y = np.asarray(y, dtype=np.float64)
+    contrast = max(float(y.max() - y.min()), 1e-300)
+    spread = 5.0 * contrast
+    return {
+        "scale1": (1e-3 * contrast, 1e3 * contrast),
+        "scale2": (1e-3 * contrast, 1e3 * contrast),
+        "mu1": (2850.0, 2870.0),
+        "mu2": (2870.0, 2890.0),
+        "sigma": (9.0, 20.0),
+        "bg0": (float(y.min()) - spread, float(y.max()) + spread),
+    }
+
+
+def _require_shared_grid(spectra, who: str):
+    x0 = np.asarray(spectra[0][0], dtype=np.float64)
+    for x, _ in spectra:
+        if len(x) != len(x0) or not np.allclose(x, x0):
+            raise ValueError(
+                f"{who} requires a shared frequency grid (its scan-grid "
+                "exports/heatmaps assume one); for ragged spectra use "
+                "fit_nv_file per file, or a plain BatchedFit (which "
+                "pads ragged batches)")
+
+
 def make_nv_prior(y=None):
     """NV prior with amplitude boxes scaled to the spectrum's units.
 
@@ -117,20 +145,7 @@ def make_nv_prior(y=None):
     """
     if y is None:
         return log_prior_nv
-    y = np.asarray(y, dtype=np.float64)
-    contrast = max(float(y.max() - y.min()), 1e-300)
-    spread = 5.0 * contrast
-    return make_bounds_prior(
-        {
-            "scale1": (1e-3 * contrast, 1e3 * contrast),
-            "scale2": (1e-3 * contrast, 1e3 * contrast),
-            "mu1": (2850, 2870),
-            "mu2": (2870, 2890),
-            "sigma": (9, 20),
-            "bg0": (float(y.min()) - spread, float(y.max()) + spread),
-        },
-        extra=_nv_constraints,
-    )
+    return make_bounds_prior(_nv_boxes(y), extra=_nv_constraints)
 
 
 def nv_data_std_dev(y) -> float:
@@ -223,15 +238,7 @@ class BatchedNVFit(BatchedFit):
                  log_likelihood=None):
         if len(spectra) == 0:
             raise ValueError("no spectra provided")
-        x0 = np.asarray(spectra[0][0], dtype=np.float64)
-        for x, _ in spectra:
-            if len(x) != len(x0) or not np.allclose(x, x0):
-                raise ValueError(
-                    "BatchedNVFit requires a shared frequency grid (its "
-                    "scan-grid exports/heatmaps assume one); for ragged "
-                    "spectra use fit_nv_file per file, or a plain "
-                    "BatchedFit (which pads ragged batches)"
-                )
+        _require_shared_grid(spectra, "BatchedNVFit")
         if prior is None:
             # Amplitude boxes scaled to the pooled y range of all spectra.
             prior = make_nv_prior(np.concatenate(
@@ -285,11 +292,17 @@ class HierarchicalNVFit(HierarchicalFit):
     reference box as a Uniform — so the prior is COMPLETE and the whole
     evidence/calibration layer (``nested_sample``, ``reloo``/``kfold``,
     ``sbc_check_hierarchical``) rides with zero extra declarations.
-    One documented loss vs :func:`make_nv_prior`: the CROSS-parameter
-    constraints (mu2 - mu1 >= 6 MHz, the 0.9-1.1 scale-ratio band,
-    nv-specific.lisp:31-34) are not a product of 1-D distributions and
-    do not enter the pooled prior — the disjoint mu boxes still enforce
-    mu1 < mu2, and pooling itself regularizes the amplitudes.
+    Override maps MERGE onto the box defaults per key (passing one
+    tightened prior never strips the others).  Two documented
+    differences vs :func:`make_nv_prior`'s hard boxes: (a) the
+    CROSS-parameter constraints (mu2 - mu1 >= 6 MHz, the 0.9-1.1
+    scale-ratio band, nv-specific.lisp:31-34) are not a product of 1-D
+    distributions and do not enter the pooled prior — the disjoint mu
+    boxes still enforce mu1 < mu2, and pooling itself regularizes the
+    amplitudes; (b) a POOLED parameter's box bounds its population MEAN
+    only — per-pixel values (mu + tau * z) are regularized toward the
+    population, not hard-clipped, which is exactly the partial-pooling
+    contract.
 
     ``proposal="auto"`` switches to block-diagonal proposals at walk
     dim >= 96 (~15+ pixels with the default pooling) — the scan-grid
@@ -300,32 +313,20 @@ class HierarchicalNVFit(HierarchicalFit):
                  model=double_lorentzian_bg, pooled=("sigma", "bg0"),
                  hyper=None, local_priors=None, dtype=None, config=None,
                  log_likelihood=None, proposal: str = "auto"):
-        from .priors import Gaussian, LogNormal, Uniform
+        from .priors import LogNormal, Uniform
 
         if len(spectra) < 2:
             raise ValueError("HierarchicalNVFit: need >= 2 spectra to "
                              "pool (one spectrum has no population)")
-        x0 = np.asarray(spectra[0][0], dtype=np.float64)
-        for x, _ in spectra:
-            if len(x) != len(x0) or not np.allclose(x, x0):
-                raise ValueError(
-                    "HierarchicalNVFit requires a shared frequency grid "
-                    "(scan-grid exports/heatmaps assume one)")
+        _require_shared_grid(spectra, "HierarchicalNVFit")
         y_all = np.concatenate([np.asarray(y, np.float64)
                                 for _, y in spectra])
-        contrast = max(float(y_all.max() - y_all.min()), 1e-300)
-        spread = 5.0 * contrast
-        # The reference physics boxes (make_nv_prior), y-scaled where
-        # the units demand it.
-        boxes = {
-            "scale1": (1e-3 * contrast, 1e3 * contrast),
-            "scale2": (1e-3 * contrast, 1e3 * contrast),
-            "mu1": (2850.0, 2870.0),
-            "mu2": (2870.0, 2890.0),
-            "sigma": (9.0, 20.0),
-            "bg0": (float(y_all.min()) - spread, float(y_all.max()) + spread),
-        }
-        pooled = [p for p in pooled]
+        boxes = _nv_boxes(y_all)
+        # pooled=None keeps the base class's pool-everything semantics.
+        pooled = list(boxes) if pooled is None else list(pooled)
+        # Both override maps MERGE onto the physics-box defaults (a
+        # wholesale replace would silently strip the remaining boxes
+        # and, with them, the complete-prior guarantee — review r4s2).
         hyper = dict(hyper or {})
         for p in pooled:
             if p not in hyper and p in boxes:
@@ -333,9 +334,10 @@ class HierarchicalNVFit(HierarchicalFit):
                 span = hi - lo
                 hyper[p] = (Uniform(lo, hi),
                             LogNormal(float(np.log(span / 8.0)), 1.0))
-        if local_priors is None:
-            local_priors = {k: Uniform(*boxes[k]) for k in boxes
-                            if k not in pooled}
+        local_priors = dict(local_priors or {})
+        for k in boxes:
+            if k not in pooled and k not in local_priors:
+                local_priors[k] = Uniform(*boxes[k])
         guesses = [guess_nv_params(y) for _, y in spectra]
         errors = [np.full(len(y), nv_data_std_dev(y)) for _, y in spectra]
         super().__init__(

@@ -221,3 +221,24 @@ def test_hierarchical_nv_fit_guards():
     x2 = np.linspace(2840.0, 2900.0, 16)
     with pytest.raises(ValueError, match="shared frequency grid"):
         nv.HierarchicalNVFit([(x, np.ones(32)), (x2, np.ones(16))])
+
+
+def test_hierarchical_nv_overrides_merge_not_replace():
+    """Review r4s2 pin: a partial local_priors/hyper override MERGES
+    onto the physics-box defaults per key — one tightened prior must
+    not strip the remaining boxes (which would silently kill the
+    complete-prior guarantee); pooled=None pools everything."""
+    from lisp_mcmc_tpu import nv
+    from lisp_mcmc_tpu.priors import Uniform
+
+    x = np.linspace(2840.0, 2900.0, 64)
+    rng = np.random.default_rng(0)
+    spectra = [(x, 1e-4 + 1e-6 * rng.standard_normal(64))
+               for _ in range(3)]
+    f = nv.HierarchicalNVFit(spectra, n_walkers=16,
+                             local_priors={"mu1": Uniform(2855, 2865)})
+    assert f.prior_spec is not None
+    f2 = nv.HierarchicalNVFit(spectra, n_walkers=16, pooled=None)
+    assert set(f2.pooled) == {"scale1", "scale2", "mu1", "mu2",
+                              "sigma", "bg0"}
+    assert f2.prior_spec is not None
