@@ -662,6 +662,99 @@ class HierarchicalFit(Walker):
             for s in range(self.n_datasets)
         ]
 
+    def predict_new(self, x, noise=None, take: int | None = None,
+                    max_samples: int = 256, seed: int = 0,
+                    population_mean: bool = False,
+                    fixed: Mapping | None = None):
+        """Posterior prediction for an UNSEEN dataset from the population.
+
+        The partial-pooling answer to "what will the NEXT spectrum look
+        like?" — the one question the fitted per-dataset views cannot
+        answer, because a new group has no data yet.  For each posterior
+        draw of the hypers, a new group's pooled parameters are decoded
+        exactly the way the fitted groups' are (theta = mu + tau * z,
+        the non-centered decode) but with a FRESH z ~ N(0, 1): the
+        marginal posterior predictive over new groups, which is wider
+        than any fitted dataset's own band because it carries both the
+        population spread tau and the posterior uncertainty in
+        (mu, tau).  In the conjugate normal-normal hierarchy this is
+        exactly theta_new | y ~ N(E[mu|y], Var(mu|y) + tau^2) — pinned
+        closed-form in tests/test_hierarchical.py.
+
+        Non-pooled local parameters have no population to draw from:
+        they sample their declared ``local_priors`` entry, or take a
+        caller-pinned value from ``fixed={name: value}``; a non-pooled
+        name with neither raises instead of guessing.
+
+        ``population_mean=True`` pins z = 0, giving a credible band for
+        the population-TYPICAL curve (the forest plot's population band,
+        evaluated on a grid) rather than the next-group prediction.
+
+        ``noise``: scalar or (N,) sigma adds Gaussian observation noise
+        so ``band()`` becomes a prediction interval for new OBSERVATIONS
+        (same contract as :func:`~lisp_mcmc_tpu.predictive.predict`).
+        Returns a :class:`~lisp_mcmc_tpu.predictive.Prediction`.
+        """
+        from .predictive import Prediction
+
+        pos, _ = self.steps(take)
+        if pos.shape[0] == 0:
+            raise ValueError(
+                "predict_new: no collected history (run adaptive_steps "
+                "with collect_history=True first)")
+        n_avail = pos.shape[0]
+        idx = np.unique(np.linspace(0, n_avail - 1,
+                                    min(max_samples, n_avail)).astype(int))
+        samples = np.asarray(pos, np.float64)[idx]
+        n = samples.shape[0]
+        dp = len(self.pooled)
+        mu = samples[:, :dp]
+        tau = samples[:, dp:2 * dp]
+        rng = np.random.default_rng(seed)
+        z = np.zeros((n, dp)) if population_mean \
+            else rng.standard_normal((n, dp))
+
+        dl = self.local_spec.ndim
+        loc = np.empty((n, dl))
+        loc[:, self._pooled_cols] = mu + tau * z
+        fixed = {(k[1:] if k.startswith(":") else k): float(v)
+                 for k, v in dict(fixed or {}).items()}
+        bad = [k for k in fixed
+               if k not in self.local_spec.keys or k in self.pooled]
+        if bad:
+            raise ValueError(
+                f"predict_new: fixed= entries {bad} are not non-pooled "
+                f"local parameters (non-pooled: "
+                f"{[k for k in self.local_spec.keys if k not in self.pooled]})")
+        for j, k in enumerate(self.local_spec.keys):
+            if k in self.pooled:
+                continue
+            if k in fixed:
+                loc[:, j] = fixed[k]
+            elif k in self._local_dists:
+                loc[:, j] = np.asarray(self._local_dists[k].sample(rng, n))
+            else:
+                raise ValueError(
+                    f"predict_new: non-pooled local {k!r} has no "
+                    f"population to draw from — declare "
+                    f"local_priors[{k!r}] or pin it via fixed=")
+
+        x_arr = jnp.asarray(np.asarray(x, np.float64), self.dtype)
+        fn = self.terms[0].fn
+        lspec = self.local_spec
+
+        def curve(vec, xg):
+            return fn(xg, lspec.unflatten(vec))
+
+        mu_curves = np.asarray(jax.jit(jax.vmap(curve, in_axes=(0, None)))(
+            jnp.asarray(loc, self.dtype), x_arr))
+        y_rep = None
+        if noise is not None:
+            sigma = np.broadcast_to(np.asarray(noise, np.float64),
+                                    mu_curves.shape[1:])
+            y_rep = mu_curves + sigma * rng.standard_normal(mu_curves.shape)
+        return Prediction(x=np.asarray(x), mu=mu_curves, y_rep=y_rep)
+
     # ------------------------------------------------------------ refit-CV
 
     def _grouped_joint_walker(self, refit_data, K: int, B: int, seed: int,

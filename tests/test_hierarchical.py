@@ -428,3 +428,57 @@ def test_forest_plot(conjugate_fit, tmp_path):
                            n_walkers=8, seed=0)
     with pytest.raises(ValueError, match="BatchedFit or HierarchicalFit"):
         plotting.forest_plot(w, "a")
+
+
+def test_predict_new_closed_form(conjugate_fit):
+    """Population predictive for an UNSEEN dataset: in the tau-pinned
+    conjugate hierarchy theta_new | y ~ N(E[mu|y], Var(mu|y) + TAU^2)
+    exactly — predict_new's draws must land on both moments, and the
+    population_mean=True band must collapse to the mu posterior alone."""
+    mean, cov = _exact_posterior()
+    x = np.linspace(0.0, 1.0, 5)
+    pred = conjugate_fit.predict_new(x, max_samples=4096, seed=1)
+    # const model: every grid column is the same theta_new draw
+    assert pred.mu.shape[1] == 5
+    np.testing.assert_allclose(
+        pred.mu, np.broadcast_to(pred.mu[:, :1], pred.mu.shape))
+    draws = pred.mu[:, 0]
+    assert draws.mean() == pytest.approx(mean[0], abs=0.15)
+    assert draws.var() == pytest.approx(cov[0, 0] + TAU**2, rel=0.35)
+    # population-typical curve: z pinned at 0 -> just the mu posterior
+    pm = conjugate_fit.predict_new(x, max_samples=4096, seed=1,
+                                   population_mean=True)
+    assert pm.mu[:, 0].mean() == pytest.approx(mean[0], abs=0.15)
+    assert pm.mu[:, 0].var() < 0.5 * draws.var()
+    # observation noise widens the band into a prediction interval
+    pn = conjugate_fit.predict_new(x, noise=SIGMA, max_samples=512, seed=2)
+    assert pn.y_rep is not None
+    assert pn.y_rep.var() > pn.mu.var()
+
+
+def test_predict_new_validation():
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 1, 5)
+    ds = [(x, 0.5 * x + rng.standard_normal(5)) for _ in range(3)]
+    line = lambda x, p: p["a"] * x + p["b"]   # noqa: E731
+    fit = mfit.HierarchicalFit(
+        line, ds, {"a": 1.0, "b": 0.0}, data_error=1.0, pooled=["a"],
+        hyper={"a": (Gaussian(0, 5), LogNormal(0.0, 1.0))},
+        n_walkers=8, seed=0)
+    # non-pooled local with neither a prior nor a pinned value refuses
+    # (even pre-history: steps() falls back to the live ensemble)
+    with pytest.raises(ValueError, match="no population to draw"):
+        fit.predict_new(x)
+    fit.adaptive_steps(200, auto=None)
+    pred = fit.predict_new(x, fixed={"b": 0.3}, max_samples=64)
+    assert pred.mu.shape[1] == 5 and np.all(np.isfinite(pred.mu))
+    with pytest.raises(ValueError, match="not non-pooled"):
+        fit.predict_new(x, fixed={"a": 1.0})
+    # a declared local prior supplies the new group's non-pooled draw
+    fit2 = mfit.HierarchicalFit(
+        line, ds, {"a": 1.0, "b": 0.0}, data_error=1.0, pooled=["a"],
+        hyper={"a": (Gaussian(0, 5), LogNormal(0.0, 1.0))},
+        local_priors={"b": Gaussian(0.0, 5.0)}, n_walkers=8, seed=0)
+    fit2.adaptive_steps(200, auto=None)
+    p2 = fit2.predict_new(x, max_samples=64)
+    assert p2.mu.shape[1] == 5 and np.all(np.isfinite(p2.mu))
