@@ -274,6 +274,69 @@ def main():
     ess_per_sec_mala = _kernel_ess("mala", 4)
     ess_per_sec_chees = _kernel_ess("chees", 2)
 
+    # chees where it WINS (PARITY.md "known headroom"): the flagship d=6
+    # ridge is structurally rwm's turf — chees pays ~10 gradient evals
+    # per step for a posterior rwm crosses in one, so its flagship row
+    # reads low by design.  The correlated d=24 Gaussian below is the
+    # high-dimension regime the kernel exists for (DESIGN.md
+    # kernel-family table: chees 3.0M ESS/s at d=48 where rwm collapses);
+    # this row moves that claim from pasted history into the artifact
+    # loop.  Small shapes (W=2048) keep the phase to a few seconds warm;
+    # the whole phase is fenced so a failure cannot cost the headline.
+    def _chees_highd(d=24, W=2048):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+        scales = np.geomspace(1.0, 300.0, d) ** 0.5
+        prec = jnp.asarray(np.linalg.inv((q * scales**2) @ q.T))
+        keys = [f"p{i}" for i in range(d)]
+
+        def loglik(fn, params, dataset, _keys=tuple(keys), _prec=prec):
+            v = jnp.stack([params[k] for k in _keys])
+            return -0.5 * v @ _prec @ v
+
+        w2 = mfit.walker_create(
+            function=lambda x, p: jnp.zeros_like(x),
+            data=([0.0, 1.0], [0.0, 0.0]),
+            params={k: 0.1 for k in keys}, log_likelihood=loglik,
+            n_walkers=W, seed=0, walker_jitter=1.0)
+        data2 = w2._posterior_data()
+        run2 = w2._runner(with_history=False)
+        for _ in range(20):                      # rwm covariance warm-in
+            w2.state, _ = run2(w2.state, True, True, True, data2)
+        w2.config = _dc.replace(w2.config, kernel="chees")
+        w2._runner_cache.clear()
+        runc = w2._runner(with_history=False)
+        for _ in range(10):                      # trajectory adaptation
+            w2.state, _ = runc(w2.state, True, True, True, data2)
+        hrun = w2._runner(with_history=True)
+        w2.state, _ = hrun(w2.state, True, True, True, data2)  # compile
+        jax.block_until_ready(w2.state.position)
+        tk = time.perf_counter()
+        hist = []
+        for _ in range(2):
+            w2.state, h = hrun(w2.state, True, True, True, data2)
+            hist.append(h["positions"])          # stays on device
+        pos2 = jnp.concatenate(hist, axis=0)
+        jax.block_until_ready(pos2)
+        dt = time.perf_counter() - tk
+        k_ess = min(ess_from_history(pos2, w2.spec.keys).values())
+        if args.verbose:
+            print(f"# chees d={d} W={W}: min-ESS={k_ess:.0f} in "
+                  f"{dt:.2f}s -> {k_ess / dt:.0f} ESS/sec",
+                  file=sys.stderr)
+        return k_ess / dt
+
+    ess_per_sec_chees_d24 = None
+    if not os.environ.get("BENCH_SKIP_HIGHD"):
+        try:
+            ess_per_sec_chees_d24 = round(_chees_highd(), 1)
+        except Exception as e:                   # fenced: never costs the headline
+            print(f"bench.py: chees high-d row failed ({e!r}) — "
+                  "emitting null for ess_per_sec_chees_d24",
+                  file=sys.stderr)
+
     # MFU vs the measured VPU ceiling (DESIGN.md "Roofline"): flops per
     # walker-step come from XLA's own cost model for the compiled chunk
     # (the scan body counts once), and the empirical f32 FMA issue-rate
@@ -303,6 +366,9 @@ def main():
         "ess_per_sec_rwm": round(ess_per_sec, 1),
         "ess_per_sec_mala": round(ess_per_sec_mala, 1),
         "ess_per_sec_chees": round(ess_per_sec_chees, 1),
+        # chees in its own regime (correlated d=24 Gaussian; see the
+        # phase comment above) — null if the fenced phase failed.
+        "ess_per_sec_chees_d24": ess_per_sec_chees_d24,
         # mfu_pct is utilization of the MEASURED v5e VPU f32 FMA issue
         # ceiling (the denominator below; benchmarks/roofline.py), not of
         # the chip's headline matmul peak — this workload has no matmuls.

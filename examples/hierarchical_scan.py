@@ -137,7 +137,27 @@ def main():
     plotting.forest_plot(hier, "sigma", filename="hier_forest.png")
     print("forest plot -> hier_forest.png")
 
-    # ---- 3. the evidence layer rides for free --------------------------
+    # ---- 3. what will the NEXT pixel look like? ------------------------
+    # A new pixel's resonances/contrasts are its own business (pin them
+    # at the design values via fixed=); its linewidth and background come
+    # from the fitted POPULATION: each posterior hyper draw decodes a
+    # fresh group theta = mu + tau*z, so the band carries the population
+    # spread AND the hyper uncertainty.  population_mean=True pins z=0
+    # (the population-typical curve) — necessarily tighter.
+    grid = np.linspace(2840.0, 2950.0, 200)
+    pin = {"scale1": 8e-5, "scale2": 8e-5, "mu1": 2862.0, "mu2": 2878.0}
+    nxt = hier.predict_new(grid, fixed=pin, max_samples=256, seed=5)
+    typ = hier.predict_new(grid, fixed=pin, population_mean=True,
+                           max_samples=256, seed=5)
+    lo, hi = nxt.band()
+    tlo, thi = typ.band()
+    print("next-pixel curve band (max half-width): %.2e  "
+          "population-typical: %.2e" % (np.max(hi - lo) / 2,
+                                        np.max(thi - tlo) / 2))
+    assert np.all(np.isfinite(lo)) and np.all(np.isfinite(hi))
+    assert np.max(hi - lo) >= 0.98 * np.max(thi - tlo)
+
+    # ---- 4. the evidence layer rides for free --------------------------
     # d = 2*2 + 6*6 = 40; a cheap Laplace pass demonstrates the surface
     # (nested/smc work the same way via the auto-recovered PriorSpec).
     hier.optimize(300)
