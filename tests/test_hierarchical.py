@@ -482,3 +482,51 @@ def test_predict_new_validation():
     fit2.adaptive_steps(200, auto=None)
     p2 = fit2.predict_new(x, max_samples=64)
     assert p2.mu.shape[1] == 5 and np.all(np.isfinite(p2.mu))
+
+
+def _exact_logo():
+    """Closed-form log p(y_s | y_{-s}) in the tau-pinned hierarchy:
+    mu | y_rest is conjugate through the sufficient ybar_t (each rest
+    dataset informs mu with variance TAU^2 + SIGMA^2/N), and a new
+    group's data is then jointly Gaussian:
+    y_s | y_rest ~ N(E[mu|rest]*1, SIGMA^2 I + (Var(mu|rest)+TAU^2) J)."""
+    from scipy.stats import multivariate_normal
+
+    v_t = TAU**2 + SIGMA**2 / N_PTS
+    dss = _datasets()
+    out = []
+    for s in range(S):
+        rest = [t for t in range(S) if t != s]
+        prec = 1.0 / S0**2 + len(rest) / v_t
+        mean = (M0 / S0**2 + sum(YBAR[t] for t in rest) / v_t) / prec
+        v_theta = 1.0 / prec + TAU**2
+        cov = SIGMA**2 * np.eye(N_PTS) + v_theta * np.ones((N_PTS, N_PTS))
+        out.append(multivariate_normal(
+            mean * np.ones(N_PTS), cov).logpdf(dss[s][1]))
+    return np.asarray(out)
+
+
+def test_logo_closed_form(conjugate_fit):
+    """Leave-one-group-out CV must land on the exact new-group
+    predictive density of the conjugate hierarchy, per dataset."""
+    res = conjugate_fit.logo(n_steps=4000, walkers_per_dataset=64,
+                             max_samples=128, n_z=64, seed=0)
+    exact = _exact_logo()
+    assert res.elpd_per_dataset.shape == (S,)
+    np.testing.assert_allclose(res.elpd_per_dataset, exact, atol=0.6)
+    assert res.elpd == pytest.approx(float(exact.sum()), abs=1.2)
+    assert res.se > 0.0
+    assert "elpd" in repr(res)
+
+
+def test_logo_requires_complete_prior():
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 1, 5)
+    ds = [(x, 0.5 * x + rng.standard_normal(5)) for _ in range(3)]
+    fit = mfit.HierarchicalFit(
+        lambda x, p: p["a"] * x + p["b"], ds, {"a": 1.0, "b": 0.0},
+        data_error=1.0, pooled=["a"],
+        hyper={"a": (Gaussian(0, 5), LogNormal(0.0, 1.0))},
+        n_walkers=8, seed=0)
+    with pytest.raises(ValueError, match="local_priors"):
+        fit.logo(n_steps=200)
