@@ -530,3 +530,28 @@ def test_logo_requires_complete_prior():
         n_walkers=8, seed=0)
     with pytest.raises(ValueError, match="local_priors"):
         fit.logo(n_steps=200)
+
+
+def test_logo_flags_alien_group():
+    """Negative control: a dataset NOT from the population must score a
+    far lower logo elpd than the members (the dataset-level outlier
+    detector predict_new/logo exist to provide)."""
+    rng = np.random.default_rng(3)
+    x = np.linspace(0.0, 1.0, 10)
+    sig = 0.05
+    slopes = [0.95, 1.05, 1.0, 0.9, 2.6]       # last one is alien
+    ds = [(x, m * x + 0.4 + sig * rng.standard_normal(10)) for m in slopes]
+    fit = mfit.HierarchicalFit(
+        lambda x, p: p["a"] * x + p["b"], ds, {"a": 1.0, "b": 0.4},
+        data_error=sig, pooled=["a"],
+        hyper={"a": (Gaussian(1.0, 1.0), LogNormal(np.log(0.15), 0.7))},
+        local_priors={"b": Gaussian(0.4, 0.5)}, n_walkers=64, seed=0)
+    fit.adaptive_steps(5000, auto=None)
+    fit.burn_steps(3000)
+    res = fit.logo(n_steps=3000, walkers_per_dataset=48, max_samples=96,
+                   n_z=24, seed=0)
+    members = res.elpd_per_dataset[:4]
+    alien = res.elpd_per_dataset[4]
+    assert np.all(np.isfinite(res.elpd_per_dataset))
+    # the alien group sits many nats below every population member
+    assert alien < members.min() - 10.0, res.elpd_per_dataset
