@@ -712,9 +712,14 @@ class HierarchicalFit(Walker):
         the population-TYPICAL curve (the forest plot's population band,
         evaluated on a grid) rather than the next-group prediction.
 
-        ``noise``: scalar or (N,) sigma adds Gaussian observation noise
+        ``noise``: scalar or (N,) sigma adds GAUSSIAN observation noise
         so ``band()`` becomes a prediction interval for new OBSERVATIONS
         (same contract as :func:`~lisp_mcmc_tpu.predictive.predict`).
+        Note the assumption: for fits built with a robust likelihood
+        factory (student-t / noise-scale), a Gaussian noise band is too
+        tight in the tails — use the factory's predictive sampler via
+        :func:`~lisp_mcmc_tpu.predictive.posterior_predictive` on a
+        fitted dataset, or pass the heavier-tailed draws yourself.
         Returns a :class:`~lisp_mcmc_tpu.predictive.Prediction`.
         """
         from .predictive import Prediction
@@ -1041,9 +1046,17 @@ class HierarchicalFit(Walker):
             ll = self._pointwise_ll(jnp.asarray(draws, self.dtype))
             joint = ll[:, ds_of_real == s].sum(axis=1)    # log p(y_s|th)
             m = joint.max()
+            if not np.isfinite(m):
+                # Every mixed-predictive draw underflowed (an extreme
+                # alien group): the log-mean-exp is -inf, not NaN —
+                # keep the "population cannot describe this group"
+                # signal instead of silently corrupting elpd/se
+                # (advisor finding, round 4).
+                elpd[s] = -np.inf
+                continue
             elpd[s] = m + np.log(np.mean(np.exp(joint - m)))
-        return LOGOResult(elpd=float(elpd.sum()),
-                          se=float(np.sqrt(S * np.var(elpd))),
+        se = float(np.sqrt(S * np.var(elpd, ddof=1))) if S > 1 else 0.0
+        return LOGOResult(elpd=float(elpd.sum()), se=se,
                           elpd_per_dataset=elpd)
 
     def expressions_per_dataset(self, expr: str) -> list[float]:

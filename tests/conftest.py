@@ -41,10 +41,31 @@ QUICK_MODULES = {
     "test_utils", "test_waic",
 }
 
+# Fast representatives of the newest tiers (VERDICT r4 #4: the edit loop
+# must catch a regression in hierarchical decode/refit, blocked
+# proposals, sharding, and chees without waiting on the 35-min suite).
+# Per-test because their modules also hold multi-minute anneals; each
+# entry measured <= ~16 s on this CPU config (round-5 timing run).
+QUICK_TESTS = {
+    ("test_hierarchical", "test_decode_exact"),
+    ("test_hierarchical", "test_validation"),
+    ("test_hier_refit", "test_hier_masked_holdout_matches_sliced"),
+    ("test_hier_refit", "test_hier_view_still_refuses_refit"),
+    ("test_hier_refit", "test_holdout_axis_is_real_point_axis"),
+    ("test_block_proposal", "test_blocked_prerefresh_bitwise_identical"),
+    ("test_block_proposal", "test_blocked_l_stays_blockdiagonal_after_refresh"),
+    ("test_block_proposal", "test_bad_block_layout_refuses"),
+    ("test_parallel", "test_sharded_chunk_matches_single_device"),
+    ("test_chees", "test_chees_samples_known_gaussian"),
+    ("test_chees", "test_chees_config_validation"),
+}
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.module.__name__ in QUICK_MODULES:
+        mod = item.module.__name__
+        base = getattr(item, "originalname", None) or item.name
+        if mod in QUICK_MODULES or (mod, base) in QUICK_TESTS:
             item.add_marker(pytest.mark.quick)
 
 
