@@ -29,6 +29,34 @@ _LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".bench_last_good.json")
 
 
+def _apply_d24_field_gate(result: dict, chees_d24_error,
+                          last_good_path: str = None) -> dict:
+    """Per-field last-good + explicit error for the fenced d24 row
+    (VERDICT r4 #6a): on failure the emitted JSON carries the previous
+    successful value flagged ``_stale`` plus ``_error`` naming the
+    reason — never a bare null that reads as "tracked".  Returns the
+    record to PERSIST: the failed field is replaced by the previous
+    last-good value (or null) so a failure can never overwrite the
+    field's last success.  Pinned in tests/test_bench_gates.py.
+    """
+    path = last_good_path or _LAST_GOOD_PATH
+    record = dict(result)
+    if chees_d24_error is None:
+        return record
+    result["ess_per_sec_chees_d24_error"] = chees_d24_error
+    prev = None
+    try:
+        with open(path) as f:
+            prev = json.load(f).get("ess_per_sec_chees_d24")
+    except (OSError, ValueError):
+        pass
+    if prev is not None:
+        result["ess_per_sec_chees_d24"] = prev
+        result["ess_per_sec_chees_d24_stale"] = True
+    record["ess_per_sec_chees_d24"] = prev
+    return record
+
+
 def _emit_last_good(reason: str, exit_code: int):
     """Print the last known-good measurement, clearly flagged stale.
 
@@ -329,12 +357,16 @@ def main():
         return k_ess / dt
 
     ess_per_sec_chees_d24 = None
-    if not os.environ.get("BENCH_SKIP_HIGHD"):
+    chees_d24_error = None
+    if os.environ.get("BENCH_SKIP_HIGHD"):
+        chees_d24_error = "skipped via BENCH_SKIP_HIGHD"
+    else:
         try:
             ess_per_sec_chees_d24 = round(_chees_highd(), 1)
         except Exception as e:                   # fenced: never costs the headline
+            chees_d24_error = f"{type(e).__name__}: {e}"[:300]
             print(f"bench.py: chees high-d row failed ({e!r}) — "
-                  "emitting null for ess_per_sec_chees_d24",
+                  "emitting last-good + error for ess_per_sec_chees_d24",
                   file=sys.stderr)
 
     # MFU vs the measured VPU ceiling (DESIGN.md "Roofline"): flops per
@@ -367,7 +399,9 @@ def main():
         "ess_per_sec_mala": round(ess_per_sec_mala, 1),
         "ess_per_sec_chees": round(ess_per_sec_chees, 1),
         # chees in its own regime (correlated d=24 Gaussian; see the
-        # phase comment above) — null if the fenced phase failed.
+        # phase comment above) — per-field last-good + explicit error
+        # below if the fenced phase failed (VERDICT r4 #6: the row must
+        # never quietly read as "tracked, null").
         "ess_per_sec_chees_d24": ess_per_sec_chees_d24,
         # mfu_pct is utilization of the MEASURED v5e VPU f32 FMA issue
         # ceiling (the denominator below; benchmarks/roofline.py), not of
@@ -376,6 +410,8 @@ def main():
         "mfu_denominator_tflops": vpu_fma_ceiling / 1e12,
         "mfu_denominator": "measured v5e VPU f32 FMA issue ceiling (no-matmul workload)",
     }
+    record = _apply_d24_field_gate(result, chees_d24_error)
+
     # Cache the good run for the wedge fallback (see _LAST_GOOD_PATH) —
     # but only at production scale: a tiny debug run (BENCH_WALKERS
     # override) must never replace the last real measurement (measured
@@ -384,7 +420,7 @@ def main():
     if args.walkers >= 65536:
         try:
             with open(_LAST_GOOD_PATH, "w") as f:
-                json.dump({**result, "measured_at": time.strftime(
+                json.dump({**record, "measured_at": time.strftime(
                     "%Y-%m-%dT%H:%M:%S")}, f)
         except OSError:
             pass

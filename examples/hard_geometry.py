@@ -40,10 +40,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 # Honor an explicit JAX_PLATFORMS=cpu (the sitecustomize forces axon
 # otherwise; see examples/modern_workflow.py).
-import jax
+from _common import phase, setup_platform  # noqa: E402
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    jax.config.update("jax_platforms", "cpu")
+setup_platform()
+import jax  # noqa: E402
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp

@@ -34,10 +34,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-    import jax
+from _common import phase, setup_platform  # noqa: E402
 
-    jax.config.update("jax_platforms", "cpu")
+setup_platform()
 
 import numpy as np
 

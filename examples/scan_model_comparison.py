@@ -22,13 +22,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# Honor an explicit JAX_PLATFORMS=cpu: on this image a sitecustomize
-# forces the axon TPU platform and the env var alone loses — the config
-# update is what actually wins (see .claude/skills/verify/SKILL.md).
-if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-    import jax
+from _common import phase, setup_platform  # noqa: E402
 
-    jax.config.update("jax_platforms", "cpu")
+setup_platform()
 
 import numpy as np
 

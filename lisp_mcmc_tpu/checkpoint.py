@@ -544,6 +544,9 @@ def hierarchical_save(fit, path: str, take: int | None = None) -> None:
                   for p, (mu, tau) in fit._hyper.items()},
         "local_priors": {k: d.to_meta()
                          for k, d in fit._local_dists.items()},
+        "correlation": fit.correlation,
+        "corr_prior": (fit._corr_dist.to_meta()
+                       if fit._corr_dist is not None else None),
         # Any valid guess rebuilds the fit (state replaces it); the
         # decoded per-dataset best is always valid.
         "guesses": [{k: float(v) for k, v in g.items()}
@@ -600,6 +603,7 @@ def hierarchical_load(path: str, *, function=None, log_likelihood=None,
     # walk-space layout derives from it).
     guesses = [{k: g[k] for k in header["local_keys"]}
                for g in header["guesses"]]
+    corr_meta = header.get("corr_prior")
     fit = HierarchicalFit(
         fns[0], [(x[g, :ns[g]], y[g, :ns[g]]) for g in range(S)], guesses,
         data_error=[err[g, :ns[g]] for g in range(S)],
@@ -608,6 +612,8 @@ def hierarchical_load(path: str, *, function=None, log_likelihood=None,
         log_likelihood=lls[0],
         n_walkers=header["n_walkers"], dtype=dtype,
         config=FitConfig(**header["config"]),
+        correlation=header.get("correlation", "diag"),
+        corr_prior=_dist_from_meta(corr_meta) if corr_meta else None,
     )
     return _restore_state(fit, arrays, header, dtype)
 

@@ -256,6 +256,55 @@ def convergence_per_dataset(walker, take: int | None = None,
             for pos in _history_blocks(walker, take)]
 
 
+# Convergence gate for GROUPED REFIT programs (reloo/kfold/logo/SBC):
+# deliberately far looser than the publication-grade convergence()
+# defaults (1.01 / 100).  Bounded-budget refits retain SHORT chains,
+# and short chains bias rank-R-hat upward even at equilibrium — a
+# HEALTHY 2000-step mala refit block measures bulk rank-R-hat up to
+# ~1.22 with tail ESS in the THOUSANDS (measured on the
+# test_global_refit fixture, r5) — while true collapse reads R-hat
+# >> 1.7 (chains frozen apart / stuck modes) or tail ESS < ~20
+# (frozen chains count 1 each, ops/reductions.py).  The gate's job is
+# to catch FAILED-TO-MIX blocks whose "exact" elpd / ranks would
+# silently corrupt the result (the WAIC hot-straggler failure mode,
+# CLAUDE.md) — not to re-litigate convergence; tightening R-hat below
+# ~1.5 false-alarms every healthy bounded refit.
+REFIT_GATE_RHAT = 1.7
+REFIT_GATE_MIN_ESS = 20.0
+
+
+def grouped_refit_health(fit, name: str, rhat_tol: float = REFIT_GATE_RHAT,
+                         min_tail_ess: float = REFIT_GATE_MIN_ESS,
+                         warn: bool = True) -> np.ndarray:
+    """Per-block convergence gate for a grouped refit ensemble.
+
+    ``fit`` is the grouped Walker that ran K leave-out/simulation
+    posteriors as adaptation groups (``_batched_refit`` /
+    ``HierarchicalFit._refit_cv`` / ``sbc_check*``); returns a (K,)
+    boolean array — block j True when its retained history passes
+    rank-R-hat <= ``rhat_tol`` and tail ESS >= ``min_tail_ess`` on
+    every coordinate — and warns loudly on failures.  Callers MARK the
+    failing blocks' outputs rather than silently merging them (VERDICT
+    r4 #3; the machinery is :func:`convergence_per_dataset`, the same
+    per-block verdict the batched scan-grid workflow gates on).
+    """
+    import warnings
+
+    verdicts = convergence_per_dataset(fit, rhat_tol=rhat_tol,
+                                       min_tail_ess=min_tail_ess)
+    ok = np.asarray([v["ok"] for v in verdicts], dtype=bool)
+    if warn and not ok.all():
+        bad = np.where(~ok)[0]
+        warnings.warn(
+            f"{name}: {bad.size}/{ok.size} refit blocks failed the "
+            f"convergence gate (rank-R-hat <= {rhat_tol}, tail ESS >= "
+            f"{min_tail_ess}): blocks {bad.tolist()} — their values are "
+            "marked unreliable in the result; raise n_steps / "
+            "walkers_per_dataset or simplify the held-out geometry",
+            stacklevel=3)
+    return ok
+
+
 def metrics(walker, take: int | None = None, elapsed_seconds: float | None = None) -> dict[str, Any]:
     """Structured metrics snapshot for logging/observability.
 
@@ -525,6 +574,11 @@ class LOOResult:
     n_samples: int
     pointwise: np.ndarray   # per-point elpd_i, real points only
     pareto_k: np.ndarray    # per-point GPD shape diagnostic
+    # reloo only: indices of flagged points whose exact leave-out refit
+    # FAILED the convergence gate — their PSIS value and pareto_k were
+    # KEPT (an unmixed "exact" refit is worse than the flagged estimate
+    # it would replace).  Empty for plain loo() and healthy reloo runs.
+    refit_failed: tuple = ()
 
     @property
     def looic(self) -> float:
@@ -1207,8 +1261,11 @@ def _global_batched_refit(walker, name: str, holdouts, n_steps: int,
     terms = walker.terms
     for t in terms:
         _require_per_point(name, t.likelihood)
-        if np.asarray(t.dataset.x).ndim != 1:
-            raise ValueError(f"{name}: multi-column x is not supported")
+    # Multi-column x needs no special case: holdouts are removed by
+    # MASK (shape (N,) regardless of x being (N,) or (N, C)) and the
+    # rebuilt Datasets keep x verbatim — pinned at 1e-9 against a
+    # sliced-data refit in test_multicolumn_x.py (VERDICT r4 #5; the
+    # pre-r5 refusal here was a capability cliff inside one workflow).
     K = len(holdouts)
     B = walkers_per_dataset
     spec = walker.spec
@@ -1337,7 +1394,7 @@ def _batched_refit(walker, name: str, holdouts, n_steps: int,
     ``score_block(j)`` gives the (S, N) pointwise log-likelihood of the
     ORIGINAL data under block j's posterior draws.
 
-    Guards: 1-D abscissae and likelihoods with a recoverable per-point
+    Guards: likelihoods with a recoverable per-point
     form (any library reduction or a factory that ships ``_pointwise``
     — student-t / noise-scale / Poisson / x-error all qualify; the
     refits sample under the fit's OWN likelihood).
@@ -1410,8 +1467,9 @@ def reloo(walker, result: LOOResult | None = None,
     misspecification (fix the likelihood; see
     ``make_student_t_likelihood`` / :func:`loo_pit`).
 
-    Restrictions (see :func:`_batched_refit`): 1-D abscissae and
-    likelihoods with a per-point form (library reductions and the
+    Restrictions (see :func:`_batched_refit`):
+    likelihoods with a per-point form (multi-column x is fine — masks
+    do the holdout work) (library reductions and the
     robust factories all qualify; refits sample under the fit's own
     likelihood).  Multi-term GLOBAL fits are supported: flagged points
     index the term-major concatenated axis (:func:`loo`'s), and each
@@ -1441,13 +1499,21 @@ def reloo(walker, result: LOOResult | None = None,
             "model is misspecified; fix the likelihood instead of "
             "refitting around it")
     n = _refit_n_points(walker)
-    _, score_block = _batched_refit(
+    refit, score_block = _batched_refit(
         walker, "reloo", [np.arange(n) != i for i in flagged],
         n_steps, temperature, walkers_per_dataset, burn_fraction,
         max_samples, seed)
+    block_ok = grouped_refit_health(refit, "reloo")
     new_pointwise = result.pointwise.copy()
     new_k = result.pareto_k.copy()
+    refit_failed = []
     for j, i in enumerate(flagged):
+        if not block_ok[j]:
+            # Keep the PSIS value AND its pareto_k flag: replacing a
+            # flagged estimate with an unmixed block's "exact" one
+            # would be a silent downgrade (VERDICT r4 #3).
+            refit_failed.append(int(i))
+            continue
         ll_i = score_block(j)[:, i]
         new_pointwise[i] = _logsumexp(ll_i) - np.log(ll_i.size)
         new_k[i] = 0.0
@@ -1458,6 +1524,7 @@ def reloo(walker, result: LOOResult | None = None,
         p_loo=float(result.lppd - new_pointwise.sum()),
         lppd=result.lppd, se=se, n_points=result.n_points,
         n_samples=result.n_samples, pointwise=new_pointwise, pareto_k=new_k,
+        refit_failed=tuple(refit_failed),
     )
 
 
@@ -1477,6 +1544,11 @@ class KFoldResult:
     k: int
     pointwise: np.ndarray
     folds: np.ndarray
+    # Per-fold convergence gate verdicts (grouped_refit_health): a
+    # False entry means that fold's refit failed to mix and its held-
+    # out points' elpd entries are unreliable (kept, loudly warned,
+    # marked here — never silently merged as healthy).
+    fold_ok: np.ndarray | None = None
 
     def __repr__(self):
         return (f"KFoldResult(elpd={self.elpd:.3f} +- {self.se:.3f}, "
@@ -1508,7 +1580,7 @@ def kfold(walker, k: int = 10, folds=None, n_steps: int = 8000,
     ids (length n, values 0..k-1) — use it for grouped/structured data
     (leave-one-segment-out over the term-major concatenated axis for
     global fits).  Same restrictions and refit recipe as :func:`reloo`
-    (see :func:`_batched_refit`): 1-D abscissae, likelihoods with a
+    (see :func:`_batched_refit`): likelihoods with a
     per-point form (the fit's own likelihood drives the refits),
     multi-term global fits via mask-based holdouts; anneal + cold mala
     phase.
@@ -1542,9 +1614,10 @@ def kfold(walker, k: int = 10, folds=None, n_steps: int = 8000,
         if not np.any(keep) or np.all(keep):
             raise ValueError(f"kfold: fold {j} is empty or everything")
         holdouts.append(keep)
-    _, score_block = _batched_refit(
+    refit, score_block = _batched_refit(
         walker, "kfold", holdouts, n_steps, temperature,
         walkers_per_dataset, burn_fraction, max_samples, seed)
+    fold_ok = grouped_refit_health(refit, "kfold")
     pointwise = np.empty(n)
     s_used = 0
     for j in range(k):
@@ -1557,7 +1630,7 @@ def kfold(walker, k: int = 10, folds=None, n_steps: int = 8000,
     se = float(np.sqrt(n * pointwise.var(ddof=1))) if n > 1 else 0.0
     return KFoldResult(elpd=float(pointwise.sum()), se=se, n_points=int(n),
                        n_samples=int(s_used), k=int(k),
-                       pointwise=pointwise, folds=folds)
+                       pointwise=pointwise, folds=folds, fold_ok=fold_ok)
 
 
 def model_weights(results, method: str = "stacking",

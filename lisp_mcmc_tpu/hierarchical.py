@@ -83,6 +83,10 @@ class LOGOResult:
     elpd: float
     se: float
     elpd_per_dataset: np.ndarray
+    # Per-group convergence gate (diagnostics.grouped_refit_health): a
+    # False entry means that group's leave-out refit failed to mix and
+    # its elpd entry is unreliable (kept, loudly warned, marked here).
+    refit_ok: np.ndarray | None = None
 
     def __repr__(self):
         return (f"LOGOResult(elpd={self.elpd:.2f}, se={self.se:.2f}, "
@@ -198,8 +202,20 @@ class HierarchicalFit(Walker):
     calibration layer applies (otherwise those locals are flat and
     evidence verbs see no resolvable prior).
 
+    ``correlation="full"`` upgrades the diagonal population to a
+    CORRELATED one: ``theta_s = mu + diag(tau) (I + C) z_s`` with ``C``
+    strictly lower triangular (P(P-1)/2 extra walk coordinates, one per
+    pooled pair, each under ``corr_prior`` — default ``Gaussian(0,
+    0.5)``, shrinking toward the diagonal model).  Real scan grids have
+    correlated per-spectrum parameters (the reference's own NV physics
+    couples locals: nv-specific.lisp:31-34) and a diagonal population
+    cannot shrink along the correlation.  ``tau_p`` becomes the
+    conditional (unit-slant) scale; :meth:`population_covariance`
+    reports the implied marginal covariance.
+
     Walk-space parameter names (``spec.keys``):
-    ``{p}__mu`` / ``{p}__tau`` hypers, ``{p}__z{s}`` standardized
+    ``{p}__mu`` / ``{p}__tau`` hypers, ``{p_i}__c_{p_j}`` population
+    slants (``correlation="full"``), ``{p}__z{s}`` standardized
     per-dataset offsets for pooled ``p``, ``{p}__{s}`` natural values
     for non-pooled ``p``.  Natural-space access:
     :meth:`params_per_dataset`, :meth:`hyper_params`,
@@ -223,6 +239,8 @@ class HierarchicalFit(Walker):
         dtype=None,
         config=None,
         proposal: str = "auto",
+        correlation: str = "diag",
+        corr_prior=None,
     ):
         from .batched import BatchedFit
         from .fit import default_dtype
@@ -230,6 +248,9 @@ class HierarchicalFit(Walker):
         if proposal not in ("auto", "dense", "block"):
             raise ValueError(
                 f"proposal must be 'auto', 'dense' or 'block', got {proposal!r}")
+        if correlation not in ("diag", "full"):
+            raise ValueError(f"correlation must be 'diag' or 'full', "
+                             f"got {correlation!r}")
 
         dtype = dtype or default_dtype()
         S = len(datasets)
@@ -297,9 +318,47 @@ class HierarchicalFit(Walker):
         self._local_dists = {k: _as_dist(v, f"local_priors[{k}]")
                              for k, v in local_priors.items()}
 
+        # ----- population correlation (VERDICT r4 #1) -------------------
+        # correlation="full" upgrades the diagonal population to
+        # theta_s = mu + L_pop @ z_s with L_pop = diag(tau) @ Ltilde,
+        # Ltilde unit-lower-triangular with free entries c_{ij}
+        # (dimensionless slants, one walk coordinate each).  The prior
+        # stays a product of independent 1-D dists — each c_{ij} gets
+        # ``corr_prior`` (default Gaussian(0, 0.5), shrinking toward the
+        # diagonal population like a weak LKJ) — so the whole PriorSpec
+        # evidence/SBC/calibration layer rides unchanged.  tau_p is the
+        # UNIT-SLANT scale (the conditional sd of theta_p given the
+        # earlier pooled coordinates); the implied marginal population
+        # covariance is :meth:`population_covariance`.  Physics
+        # motivation: the reference's own NV constraints couple local
+        # parameters across a device (0.9 < scale1/scale2 < 1.1,
+        # mu2 - mu1 >= 6 — nv-specific.lisp:31-34); a diagonal
+        # population cannot shrink along that correlation.
+        if correlation == "full" and dp < 2:
+            raise ValueError(
+                "correlation='full' needs >= 2 pooled parameters "
+                f"(got {dp}: {list(pooled)}) — there is no off-diagonal "
+                "to correlate")
+        nc = dp * (dp - 1) // 2 if correlation == "full" else 0
+        self.correlation = correlation
+        self.n_corr = nc
+        corr_pairs = [(i, j) for i in range(dp) for j in range(i)] if nc \
+            else []
+        self._corr_pairs = np.asarray(corr_pairs, dtype=int).reshape(nc, 2)
+        if nc:
+            self._corr_dist = (Gaussian(0.0, 0.5) if corr_prior is None
+                               else _as_dist(corr_prior, "corr_prior"))
+        elif corr_prior is not None:
+            raise ValueError("corr_prior= given but correlation='diag' "
+                             "(set correlation='full' to use it)")
+        else:
+            self._corr_dist = None
+
         # ----- walk-space layout ----------------------------------------
-        # [mu_0..mu_dp-1 | tau_0..tau_dp-1 | s-major local blocks (S, dl)]
+        # [mu (dp) | tau (dp) | c (nc, full-correlation only) |
+        #  s-major local blocks (S, dl)]
         keys = [f"{p}__mu" for p in pooled] + [f"{p}__tau" for p in pooled]
+        keys += [f"{pooled[i]}__c_{pooled[j]}" for i, j in corr_pairs]
         for s in range(S):
             keys += [f"{k}__z{s}" if k in pooled else f"{k}__{s}"
                      for k in local_keys]
@@ -307,7 +366,7 @@ class HierarchicalFit(Walker):
         self.local_spec = local_spec
         self.pooled = tuple(pooled)
         self.n_datasets = S
-        self._n_hyper = 2 * dp
+        self._n_hyper = 2 * dp + nc
         self._pooled_cols = pooled_cols
 
         # ----- proposal structure (VERDICT r3 #5) ------------------------
@@ -334,7 +393,7 @@ class HierarchicalFit(Walker):
 
             base = base_cfg or FitConfig()
             if base.kernel in ("rwm", "mala", "hmc", "chees"):
-                config = _dc.replace(base, block_hyper=2 * dp,
+                config = _dc.replace(base, block_hyper=2 * dp + nc,
                                      block_local=dl, block_count=S)
             elif proposal == "block":
                 raise ValueError(
@@ -352,13 +411,33 @@ class HierarchicalFit(Walker):
         P_j = jnp.asarray(P, dtype)
         mask_j = jnp.asarray(mask, dtype)
         self._P_np, self._mask_np = P, mask
+        # Scatter basis for the strictly-lower slant matrix: C = sum_k
+        # c_k E_k, so building the (..., dp, dp) matrix per walker is a
+        # single small einsum (nc <= dp(dp-1)/2, static).
+        E = np.zeros((max(nc, 1), dp, dp))
+        for k, (i, j) in enumerate(corr_pairs):
+            E[k, i, j] = 1.0
+        E_j = jnp.asarray(E, dtype)
+        self._E_np = E
+        nh = 2 * dp + nc
 
         def decode(theta):
             """(..., d) walk coordinates -> (..., S, dl) natural theta."""
             mu = theta[..., :dp]
             tau = theta[..., dp:2 * dp]
-            loc = theta[..., 2 * dp:]
+            loc = theta[..., nh:]
             loc = loc.reshape(loc.shape[:-1] + (S, dl))
+            if nc:
+                # Unit-slant mix: z_eff = (I + C) z in the pooled
+                # columns, then the diagonal decode applies unchanged
+                # (theta = mu + tau * z_eff).  nc == 0 skips this at
+                # trace time — the diagonal path stays bitwise what it
+                # was.
+                c = theta[..., 2 * dp:nh]
+                z = loc @ P_j                           # (..., S, dp)
+                C = jnp.einsum("...k,kpq->...pq", c, E_j)
+                cz = jnp.einsum("...pq,...sq->...sp", C, z)
+                loc = loc + cz @ P_j.T
             mu_cols = mu @ P_j.T                        # (..., dl)
             tau_cols = (1.0 - mask_j) + tau @ P_j.T
             return loc * tau_cols[..., None, :] + mu_cols[..., None, :]
@@ -397,6 +476,8 @@ class HierarchicalFit(Walker):
         # ----- prior: product of independent 1-D dists ------------------
         dists = {f"{p}__mu": self._hyper[p][0] for p in pooled}
         dists.update({f"{p}__tau": self._hyper[p][1] for p in pooled})
+        dists.update({f"{pooled[i]}__c_{pooled[j]}": self._corr_dist
+                      for i, j in corr_pairs})
         for s in range(S):
             for k in local_keys:
                 if k in pooled:
@@ -446,6 +527,16 @@ class HierarchicalFit(Walker):
             (n_walkers, dp))
         pos[:, dp:2 * dp] = tau0 * np.exp(
             jit * rng.standard_normal((n_walkers, dp)))
+        if nc:
+            # Slants start at the prior median (0 for the default
+            # Gaussian: the diagonal population) with jitter at the
+            # prior's central spread.
+            c0 = _dist_median(self._corr_dist)
+            c_scale = float(np.asarray(
+                self._corr_dist.icdf(jnp.asarray(0.84))
+                - self._corr_dist.icdf(jnp.asarray(0.16)))) / 2.0
+            pos[:, 2 * dp:nh] = c0 + jit * c_scale * rng.standard_normal(
+                (n_walkers, nc))
         loc = np.broadcast_to(guess_mat, (n_walkers, S, dl)).copy()
         loc[:, :, pooled_cols] = (
             z0 + 0.3 * rng.standard_normal((n_walkers, S, dp)))
@@ -459,14 +550,17 @@ class HierarchicalFit(Walker):
             loc[:, :, np_cols] += (
                 jit * np.abs(scales[np_cols])[None, None, :]
                 * rng.standard_normal((n_walkers, S, np_cols.size)))
-        pos[:, 2 * dp:] = loc.reshape(n_walkers, S * dl)
+        pos[:, nh:] = loc.reshape(n_walkers, S * dl)
 
         # Proposal seed scales in WALK space: z ~ 0.5, mu ~ tau0 (the
         # population spread is mu's natural step), tau ~ tau0/2,
+        # c slants ~ half their prior spread,
         # non-pooled locals ~ their magnitudes (base-class policy).
         l_scales = np.empty(spec.ndim)
         l_scales[:dp] = np.maximum(tau0, np.abs(mu0) * 1e-3 + 1e-300)
         l_scales[dp:2 * dp] = 0.5 * tau0
+        if nc:
+            l_scales[2 * dp:nh] = 0.5 * max(c_scale, 1e-3)
         lscale_loc = np.empty((S, dl))
         lscale_loc[:, pooled_cols] = 0.5
         if np_cols.size:
@@ -476,7 +570,7 @@ class HierarchicalFit(Walker):
             # non-pooled subset alone would hand an all-zero subset a
             # meaningless 1e-3.
             lscale_loc[:, np_cols] = np.abs(scales[np_cols])[None, :]
-        l_scales[2 * dp:] = lscale_loc.reshape(-1)
+        l_scales[nh:] = lscale_loc.reshape(-1)
         self._l_seed = l_scales
 
         ds0 = dsets[0]
@@ -504,13 +598,26 @@ class HierarchicalFit(Walker):
 
     # ------------------------------------------------------------ decode
 
+    def _slant_np(self, pos: np.ndarray) -> np.ndarray:
+        """(..., d) walk vectors -> (..., dp, dp) strictly-lower slant
+        matrix C (zeros when correlation='diag')."""
+        dp = len(self.pooled)
+        c = pos[..., 2 * dp:self._n_hyper]
+        return np.einsum("...k,kpq->...pq", c, self._E_np[:self.n_corr])
+
     def _decode_np(self, pos: np.ndarray) -> np.ndarray:
         """Host twin of the jitted decode: (..., d) -> (..., S, dl)."""
         dp = len(self.pooled)
         S, dl = self.n_datasets, self.local_spec.ndim
+        nh = self._n_hyper
         mu = pos[..., :dp]
         tau = pos[..., dp:2 * dp]
-        loc = pos[..., 2 * dp:].reshape(pos.shape[:-1] + (S, dl))
+        loc = pos[..., nh:].reshape(pos.shape[:-1] + (S, dl))
+        if self.n_corr:
+            z = loc @ self._P_np                       # (..., S, dp)
+            C = self._slant_np(pos)
+            cz = np.einsum("...pq,...sq->...sp", C, z)
+            loc = loc + cz @ self._P_np.T
         mu_cols = mu @ self._P_np.T
         tau_cols = (1.0 - self._mask_np) + tau @ self._P_np.T
         return loc * tau_cols[..., None, :] + mu_cols[..., None, :]
@@ -525,9 +632,15 @@ class HierarchicalFit(Walker):
         """
         dp = len(self.pooled)
         dl = self.local_spec.ndim
+        nh = self._n_hyper
         mu = pos[..., :dp]
         tau = pos[..., dp:2 * dp]
-        loc = pos[..., 2 * dp + s * dl:2 * dp + (s + 1) * dl]
+        loc = pos[..., nh + s * dl:nh + (s + 1) * dl]
+        if self.n_corr:
+            z = loc @ self._P_np                       # (..., dp)
+            C = self._slant_np(pos)
+            cz = np.einsum("...pq,...q->...p", C, z)
+            loc = loc + cz @ self._P_np.T
         mu_cols = mu @ self._P_np.T
         tau_cols = (1.0 - self._mask_np) + tau @ self._P_np.T
         return loc * tau_cols + mu_cols
@@ -561,7 +674,10 @@ class HierarchicalFit(Walker):
                 for s in range(self.n_datasets)]
 
     def hyper_params(self, kind: str = "best") -> dict:
-        """Population summary: ``{"mu": {name: v}, "tau": {name: v}}``."""
+        """Population summary: ``{"mu": {name: v}, "tau": {name: v}}``;
+        with ``correlation="full"`` also ``"c"`` (the raw unit-slant
+        entries, keyed ``"{p_i}|{p_j}"``) — the implied covariance
+        matrix is :meth:`population_covariance`."""
         dp = len(self.pooled)
         if kind == "best":
             vec = self._best_vector()
@@ -571,8 +687,43 @@ class HierarchicalFit(Walker):
                             axis=0)
         else:
             raise ValueError(f"kind must be 'best' or 'median', got {kind!r}")
-        return {"mu": dict(zip(self.pooled, vec[:dp].tolist())),
-                "tau": dict(zip(self.pooled, vec[dp:2 * dp].tolist()))}
+        out = {"mu": dict(zip(self.pooled, vec[:dp].tolist())),
+               "tau": dict(zip(self.pooled, vec[dp:2 * dp].tolist()))}
+        if self.n_corr:
+            out["c"] = {
+                f"{self.pooled[i]}|{self.pooled[j]}": float(vec[2 * dp + k])
+                for k, (i, j) in enumerate(self._corr_pairs)}
+        return out
+
+    def population_covariance(self, kind: str = "best") -> np.ndarray:
+        """Implied population covariance over the pooled parameters
+        (order :attr:`pooled`): ``Sigma = D (I+C) (I+C)^T D`` with
+        ``D = diag(tau)`` and ``C`` the strictly-lower slant matrix —
+        the marginal sd of pooled ``p`` is ``sqrt(Sigma[p, p])``, NOT
+        ``tau_p``, once slants are nonzero.  ``kind="draws"`` returns
+        the (n, P, P) posterior of Sigma over the collected history
+        (for credible intervals on a correlation)."""
+        dp = len(self.pooled)
+        if kind == "draws":
+            pos, _ = self._history(None)
+            vecs = np.asarray(pos, np.float64).reshape(-1, self.spec.ndim)
+        elif kind in ("best", "median"):
+            hp = self.hyper_params(kind)
+            vecs = np.concatenate([
+                np.asarray([hp["mu"][p] for p in self.pooled]),
+                np.asarray([hp["tau"][p] for p in self.pooled]),
+                np.asarray([hp.get("c", {}).get(
+                    f"{self.pooled[i]}|{self.pooled[j]}", 0.0)
+                    for i, j in self._corr_pairs]),
+                np.zeros(self.spec.ndim - self._n_hyper)])[None, :]
+        else:
+            raise ValueError(
+                f"kind must be 'best', 'median' or 'draws', got {kind!r}")
+        tau = vecs[:, dp:2 * dp]
+        Lt = np.eye(dp)[None, :, :] + self._slant_np(vecs)
+        L = tau[:, :, None] * Lt
+        sigma = np.einsum("npq,nrq->npr", L, L)
+        return sigma if kind == "draws" else sigma[0]
 
     def dataset_view(self, s: int) -> _HierarchicalView:
         """Natural-space single-dataset view (predictive toolchain
@@ -740,6 +891,12 @@ class HierarchicalFit(Walker):
         rng = np.random.default_rng(seed)
         z = np.zeros((n, dp)) if population_mean \
             else rng.standard_normal((n, dp))
+        if self.n_corr:
+            # A fresh group's pooled parameters are drawn CORRELATED:
+            # theta = mu + tau * ((I + C) z), the same unit-slant decode
+            # the fitted groups use (population_mean pins z = 0 either
+            # way).
+            z = z + np.einsum("npq,nq->np", self._slant_np(samples), z)
 
         dl = self.local_spec.ndim
         loc = np.empty((n, dl))
@@ -1018,6 +1175,9 @@ class HierarchicalFit(Walker):
         fit, _ = self._refit_cv("logo", holdouts, n_steps, temperature,
                                 walkers_per_dataset, burn_fraction,
                                 max_samples, seed)
+        from .diagnostics import grouped_refit_health
+
+        refit_ok = grouped_refit_health(fit, "logo")
 
         pos, _ = fit._history(None)                       # (T, S*B, d)
         pos = np.asarray(pos, np.float64)
@@ -1036,7 +1196,7 @@ class HierarchicalFit(Walker):
                 0, block.shape[0] - 1,
                 min(max_samples, block.shape[0])).astype(int))
             draws = np.repeat(block[idx], n_z, axis=0)    # (n*n_z, d)
-            lo = 2 * dp + s * dl
+            lo = self._n_hyper + s * dl
             draws[:, lo + pooled_cols] = rng.standard_normal(
                 (draws.shape[0], dp))
             for j in np_cols:
@@ -1057,7 +1217,7 @@ class HierarchicalFit(Walker):
             elpd[s] = m + np.log(np.mean(np.exp(joint - m)))
         se = float(np.sqrt(S * np.var(elpd, ddof=1))) if S > 1 else 0.0
         return LOGOResult(elpd=float(elpd.sum()), se=se,
-                          elpd_per_dataset=elpd)
+                          elpd_per_dataset=elpd, refit_ok=refit_ok)
 
     def expressions_per_dataset(self, expr: str) -> list[float]:
         """Evaluate a derived-quantity expression at each dataset's

@@ -312,7 +312,8 @@ class HierarchicalNVFit(HierarchicalFit):
     def __init__(self, spectra, n_walkers: int = 256, seed: int = 0,
                  model=double_lorentzian_bg, pooled=("sigma", "bg0"),
                  hyper=None, local_priors=None, dtype=None, config=None,
-                 log_likelihood=None, proposal: str = "auto"):
+                 log_likelihood=None, proposal: str = "auto",
+                 correlation: str = "diag", corr_prior=None):
         from .priors import LogNormal, Uniform
 
         if len(spectra) < 2:
@@ -345,7 +346,8 @@ class HierarchicalNVFit(HierarchicalFit):
             pooled=pooled, hyper=hyper, local_priors=local_priors,
             log_likelihood=log_likelihood,
             n_walkers=n_walkers, seed=seed, dtype=dtype, config=config,
-            proposal=proposal,
+            proposal=proposal, correlation=correlation,
+            corr_prior=corr_prior,
         )
 
     @property

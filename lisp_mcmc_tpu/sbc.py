@@ -47,6 +47,11 @@ class SBCResult:
     keys: tuple
     p_values: dict[str, float]
     true_params: np.ndarray   # (n_sims, d) the simulated truths
+    # Per-simulation convergence gate (diagnostics.grouped_refit_health):
+    # a False entry means that simulation's posterior failed to mix and
+    # its rank row is unreliable (kept, loudly warned, marked here —
+    # an unmixed sim reads as miscalibration it did not measure).
+    sim_ok: np.ndarray | None = None
 
     @property
     def n_sims(self) -> int:
@@ -177,8 +182,12 @@ def _rank_study(fit, n_sims: int, B: int, truths, keys, n_draws: int,
         ranks[i] = np.sum(block[idx] < truths[i][None, :], axis=0)
     p_values = {k: _uniformity_pvalue(ranks[:, j], n_draws, n_bins)
                 for j, k in enumerate(keys)}
+    from .diagnostics import grouped_refit_health
+
+    sim_ok = grouped_refit_health(fit, caller)
     return SBCResult(ranks=ranks, n_draws=n_draws, n_bins=n_bins,
-                     keys=keys, p_values=p_values, true_params=truths)
+                     keys=keys, p_values=p_values, true_params=truths,
+                     sim_ok=sim_ok)
 
 
 def sbc_check(
@@ -335,6 +344,8 @@ def sbc_check_hierarchical(
     log_likelihood: Callable | None = None,
     sampling_steps: int = 0,
     sampling_kernel: str = "mala",
+    correlation: str = "diag",
+    corr_prior=None,
 ) -> SBCResult:
     """SBC for the PARTIAL-POOLING pipeline: calibrate HierarchicalFit
     end to end.
@@ -404,7 +415,8 @@ def sbc_check_hierarchical(
         function, placeholder, dict(params), data_error=data_error,
         pooled=pooled, hyper=dict(hyper), local_priors=local_priors,
         log_likelihood=log_likelihood, n_walkers=2, seed=seed,
-        dtype=dtype, config=config)
+        dtype=dtype, config=config, correlation=correlation,
+        corr_prior=corr_prior)
     if template.prior_spec is None:
         raise ValueError(
             "sbc_check_hierarchical: the prior is incomplete — declare "

@@ -38,7 +38,7 @@ QUICK_MODULES = {
     "test_io_models", "test_linalg", "test_loo", "test_migration_surface",
     "test_model_weights", "test_multicolumn_x", "test_optimize",
     "test_pallas", "test_substrate",
-    "test_utils", "test_waic",
+    "test_utils", "test_waic", "test_bench_gates", "test_examples_smoke",
 }
 
 # Fast representatives of the newest tiers (VERDICT r4 #4: the edit loop
@@ -58,6 +58,10 @@ QUICK_TESTS = {
     ("test_parallel", "test_sharded_chunk_matches_single_device"),
     ("test_chees", "test_chees_samples_known_gaussian"),
     ("test_chees", "test_chees_config_validation"),
+    ("test_hier_correlation", "test_corr_decode_exact"),
+    ("test_hier_correlation", "test_corr_validation"),
+    ("test_refit_gate", "test_health_gate_flags_unmixed"),
+    ("test_refit_gate", "test_reloo_keeps_psis_for_failed_blocks"),
 }
 
 

@@ -1,0 +1,244 @@
+"""Correlated population prior (HierarchicalFit correlation="full").
+
+Anchors:
+  - decode algebra is exact: theta = mu + diag(tau) (I + C) z on the
+    pooled columns, identity elsewhere, against a hand-written twin;
+  - with mu/tau pinned by near-delta priors and the per-dataset
+    likelihood effectively observing theta_s (tiny noise), the
+    population slant c reduces to Bayesian linear regression of the
+    standardized b-offsets on the standardized a-offsets with KNOWN
+    unit noise — its posterior is closed-form Gaussian, and the walk
+    coordinate's posterior mean/sd must land on it (the L_pop anchor,
+    VERDICT r4 #1);
+  - predict_new draws CORRELATED fresh locals: the empirical corr of
+    (a, b) over new-group draws matches the planted population corr;
+  - the diagonal path is unchanged (correlation="diag" has no c keys),
+    and validation refuses meaningless configurations;
+  - block proposals compose (hyper block widens to 2P + P(P-1)/2);
+  - checkpoint round-trips the correlation structure.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import lisp_mcmc_tpu as mfit
+from lisp_mcmc_tpu.priors import Gaussian, LogNormal
+
+# --------------------------------------------------------------- setting
+# Model observes both pooled parameters: y = a + b * x.
+
+
+def line(x, p):
+    return p["a"] + p["b"] * x
+
+
+# Pinned population: mu, tau near-delta; slant c free under N(0, S_C).
+MU_A, MU_B = 1.0, -0.5
+TAU_A, TAU_B = 0.7, 0.3
+S_C = 0.5
+SIGMA = 0.01          # tiny observation noise: theta_s ~ observed
+N_PTS = 8
+# Planted per-dataset truths: a spread widely (standardized offsets W
+# out to +-2.5 make the slant identification DECISIVE: the exact
+# posterior puts |E[c]| ~ 3 posterior sds from zero), b tracking a with
+# slope 0.6 in standardized coordinates plus fixed residuals.
+W_PLANT = np.asarray([-2.5, -2.0, -1.5, -1.0, -0.5, 0.5, 1.0, 1.5, 2.0, 2.5])
+A_TRUE = MU_A + TAU_A * W_PLANT
+RESID = np.asarray([0.3, -0.3, 0.2, -0.2, 0.1, -0.1, 0.3, -0.3, 0.2, -0.2])
+C_TRUE = 0.6
+S = len(A_TRUE)
+
+
+def _planted():
+    w = (A_TRUE - MU_A) / TAU_A                 # standardized a-offsets
+    r = C_TRUE * w + RESID                      # standardized b-offsets
+    b_true = MU_B + TAU_B * r
+    return w, r, b_true
+
+
+def _datasets():
+    x = np.linspace(0.0, 1.0, N_PTS)
+    _, _, b_true = _planted()
+    return [(x, A_TRUE[s] + b_true[s] * x) for s in range(S)]
+
+
+def _exact_c_posterior():
+    """c | data with mu/tau pinned and theta_s observed: standardized
+    regression r_s ~ N(c * w_s, 1), prior c ~ N(0, S_C^2)."""
+    w, r, _ = _planted()
+    prec = 1.0 / S_C**2 + np.sum(w**2)
+    return float(np.sum(w * r) / prec), float(1.0 / math.sqrt(prec))
+
+
+def _corr_fit(n_steps=6000, **kwargs):
+    fit = mfit.HierarchicalFit(
+        line, _datasets(), {"a": 1.0, "b": -0.5}, data_error=SIGMA,
+        hyper={"a": (Gaussian(MU_A, 1e-3), LogNormal(math.log(TAU_A), 1e-3)),
+               "b": (Gaussian(MU_B, 1e-3), LogNormal(math.log(TAU_B), 1e-3))},
+        correlation="full", corr_prior=Gaussian(0.0, S_C),
+        n_walkers=96, seed=0, config=mfit.FitConfig(kernel="chees"),
+        **kwargs)
+    fit.adaptive_steps(n_steps, auto=None)
+    fit.burn_steps(int(len(fit) * 0.6))
+    return fit
+
+
+@pytest.fixture(scope="module")
+def slant_fit():
+    return _corr_fit()
+
+
+# ------------------------------------------------------------------ tests
+
+
+def test_corr_decode_exact():
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 1, 5)
+    ds = [(x, rng.standard_normal(5)) for _ in range(3)]
+    fit = mfit.HierarchicalFit(
+        lambda x, p: p["a"] * x + p["b"] + 0.0 * p["g"], ds,
+        {"a": 1.0, "b": 0.0, "g": 2.0}, data_error=1.0,
+        pooled=["a", "b"],
+        hyper={"a": (Gaussian(0, 5), LogNormal(0.0, 1.0)),
+               "b": (Gaussian(0, 5), LogNormal(0.0, 1.0))},
+        local_priors={"g": Gaussian(0, 5)},
+        correlation="full", n_walkers=8, seed=0)
+    # layout: a__mu, b__mu, a__tau, b__tau, b__c_a, then per dataset
+    # (a__z{s}, b__z{s}, g__{s})
+    assert fit.spec.keys[:5] == ("a__mu", "b__mu", "a__tau", "b__tau",
+                                 "b__c_a")
+    assert fit.n_corr == 1 and fit._n_hyper == 5
+    theta = rng.standard_normal(fit.spec.ndim)
+    nat = fit.decode_params(theta)
+    mu_a, mu_b, tau_a, tau_b, c = theta[:5]
+    for s in range(3):
+        za, zb, g = theta[5 + 3 * s: 5 + 3 * (s + 1)]
+        assert nat[s, 0] == pytest.approx(mu_a + tau_a * za, rel=1e-12)
+        assert nat[s, 1] == pytest.approx(mu_b + tau_b * (zb + c * za),
+                                          rel=1e-12)
+        assert nat[s, 2] == pytest.approx(g, rel=1e-12)
+        one = fit._decode_np_one(theta[None, :], s)[0]
+        assert np.allclose(one, nat[s], rtol=1e-12)
+    # jitted decode agrees with the host twin on a batch
+    import jax.numpy as jnp
+
+    block = rng.standard_normal((4, fit.spec.ndim))
+    block[:, 2:4] = np.abs(block[:, 2:4]) + 0.1
+    assert np.allclose(np.asarray(fit._decode(jnp.asarray(block))),
+                       fit._decode_np(block), atol=1e-12)
+    # population covariance: D (I+C)(I+C)^T D
+    hp_vec = np.zeros(fit.spec.ndim)
+    hp_vec[2], hp_vec[3], hp_vec[4] = 0.7, 0.3, 0.6
+    Lt = np.asarray([[1.0, 0.0], [0.6, 1.0]])
+    D = np.diag([0.7, 0.3])
+    want = D @ Lt @ Lt.T @ D
+    vecs = hp_vec[None, :]
+    tau = vecs[:, 2:4]
+    L = tau[:, :, None] * (np.eye(2)[None] + fit._slant_np(vecs))
+    assert np.allclose(np.einsum("npq,nrq->npr", L, L)[0], want)
+
+
+def test_corr_validation():
+    x = np.linspace(0, 1, 4)
+    ds2 = [(x, x), (x, 2 * x)]
+    l2 = lambda x, p: p["a"] * x + p["b"]     # noqa: E731
+    with pytest.raises(ValueError, match="diag.*or.*full"):
+        mfit.HierarchicalFit(l2, ds2, {"a": 1.0, "b": 0.0},
+                             correlation="lkj")
+    with pytest.raises(ValueError, match=">= 2 pooled"):
+        mfit.HierarchicalFit(l2, ds2, {"a": 1.0, "b": 0.0}, pooled=["a"],
+                             correlation="full")
+    with pytest.raises(ValueError, match="corr_prior"):
+        mfit.HierarchicalFit(l2, ds2, {"a": 1.0, "b": 0.0},
+                             corr_prior=Gaussian(0, 1))
+    # diag path: no c keys, layout unchanged
+    fit = mfit.HierarchicalFit(l2, ds2, {"a": 1.0, "b": 0.0})
+    assert fit.n_corr == 0 and fit._n_hyper == 4
+    assert not [k for k in fit.spec.keys if "__c_" in k]
+
+
+def _exact_rho():
+    """Population correlation implied by the exact c posterior:
+    corr(a, b) over new groups = E[c] / sqrt(1 + E[c^2])."""
+    c_mean, c_sd = _exact_c_posterior()
+    return c_mean / math.sqrt(1.0 + c_mean**2 + c_sd**2)
+
+
+def _assert_on_anchor(fit):
+    c_mean, c_sd = _exact_c_posterior()
+    pos, _ = fit.steps()
+    draws = pos[:, fit.spec.index("b__c_a")]
+    # MC tolerance: a third of the posterior sd on the mean, 25% on sd.
+    assert np.mean(draws) == pytest.approx(c_mean, abs=c_sd / 3)
+    assert np.std(draws) == pytest.approx(c_sd, rel=0.25)
+
+
+def test_slant_posterior_anchor(slant_fit):
+    """The walk coordinate b__c_a lands on the closed-form Gaussian
+    posterior of the population slant (the L_pop anchor)."""
+    c_mean, c_sd = _exact_c_posterior()
+    # power: the planted design identifies the slant decisively, so the
+    # anchor is not vacuous (a dead c coordinate would sit at N(0, S_C))
+    assert abs(c_mean) > 2.5 * c_sd
+    _assert_on_anchor(slant_fit)
+    hp = slant_fit.hyper_params("median")
+    assert "b|a" in hp["c"]
+    # implied population covariance matches the exact-posterior rho
+    sig = slant_fit.population_covariance("median")
+    rho = sig[1, 0] / math.sqrt(sig[0, 0] * sig[1, 1])
+    assert rho == pytest.approx(_exact_rho(), abs=0.12)
+
+
+def test_predict_new_correlated(slant_fit):
+    """Fresh groups draw CORRELATED (a, b): the empirical correlation
+    over predict_new draws matches the planted population corr (a
+    diagonal decode would give ~0)."""
+    pred = slant_fit.predict_new(np.asarray([0.0, 1.0]), max_samples=512,
+                                 seed=3)
+    a = pred.mu[:, 0]                       # y(0) = a
+    b = pred.mu[:, 1] - pred.mu[:, 0]       # y(1) - y(0) = b
+    rho = np.corrcoef(a, b)[0, 1]
+    assert rho == pytest.approx(_exact_rho(), abs=0.12)
+    # population_mean pins z = 0: draws collapse to (mu_a, mu_b)
+    pm = slant_fit.predict_new(np.asarray([0.0, 1.0]), max_samples=128,
+                               population_mean=True)
+    assert np.std(pm.mu[:, 0]) < 0.05
+    assert np.mean(pm.mu[:, 0]) == pytest.approx(MU_A, abs=0.05)
+
+
+def test_corr_block_proposal_composes():
+    """proposal='block' widens the hyper block to 2P + P(P-1)/2 and
+    the blocked fit lands on the SAME closed-form slant posterior as
+    the dense one (the composition claim, at full budget — chees needs
+    its warm-in either way)."""
+    fit = _corr_fit(proposal="block")
+    assert fit.config.block_hyper == 2 * 2 + 1
+    assert fit.config.block_count == S
+    assert float(fit.acceptance()) > 0.2
+    _assert_on_anchor(fit)
+
+
+def test_corr_checkpoint_roundtrip(slant_fit, tmp_path):
+    path = str(tmp_path / "corr.npz")
+    mfit.hierarchical_save(slant_fit, path)
+    loaded = mfit.hierarchical_load(path, function=line, quiet=True)
+    assert loaded.correlation == "full"
+    assert loaded.n_corr == 1
+    assert loaded.spec.keys == slant_fit.spec.keys
+    assert isinstance(loaded._corr_dist, Gaussian)
+    assert loaded._corr_dist.sigma == pytest.approx(S_C)
+    # decode agrees bitwise at the restored live positions
+    v = np.asarray(slant_fit.state.position)[:8].astype(np.float64)
+    assert np.allclose(loaded._decode_np(v), slant_fit._decode_np(v))
+
+
+def test_corr_evidence_layer_rides(slant_fit):
+    """The prior stays a complete PriorSpec product, so the evidence
+    verbs consume the correlated fit with zero new math (the design's
+    load-bearing claim): laplace runs and is finite."""
+    assert slant_fit.prior_spec is not None
+    assert "b__c_a" in slant_fit.prior_spec
+    lap = slant_fit.laplace_approx()
+    assert np.isfinite(lap.log_z)

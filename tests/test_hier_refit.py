@@ -97,11 +97,17 @@ def test_hier_reloo_kfold_end_to_end(rng):
     flagged = np.where(base.pareto_k > thresh)[0]
     assert 1 <= flagged.size <= 8
     assert 5 in flagged
-    r = reloo(h, base, k_threshold=thresh, n_steps=800, max_refits=8,
-              walkers_per_dataset=16)
+    # Budget note (r5): 16-walker/800-step refits of the joint
+    # hierarchical posterior measured tail ESS = 16 (frozen chains,
+    # R-hat 2.5) — the new convergence gate rightly refuses to merge
+    # those; this budget passes the gate and the values are truly
+    # exact.
+    r = reloo(h, base, k_threshold=thresh, n_steps=2500, max_refits=8,
+              walkers_per_dataset=64)
     assert np.isfinite(r.elpd)
+    assert r.refit_failed == ()                        # gate passed
     assert float(r.pareto_k[flagged].max()) == 0.0     # exact now
-    kf = kfold(h, k=4, n_steps=800, walkers_per_dataset=16)
+    kf = kfold(h, k=4, n_steps=2500, walkers_per_dataset=64)
     assert np.isfinite(kf.elpd)
     assert kf.elpd == pytest.approx(r.elpd, abs=15.0)
 
