@@ -165,6 +165,28 @@ def main():
           % (lap.log_z, hier.prior_spec is not None))
     assert hier.prior_spec is not None and np.isfinite(lap.log_z)
 
+    # ---- 5. should I pool at all? (one call) ---------------------------
+    # compare_pooling fits {complete pooling, partial, independent} on a
+    # small const-parameter slice of the question and scores them by
+    # PSIS-LOO on the same points + stacking weights.  On this grid the
+    # linewidths genuinely share a population, so complete pooling of
+    # EVERYTHING over-constrains while independence over-fits the noisy
+    # pixels — the verdict machinery makes that a one-liner instead of
+    # a hand-built study (planted-truth regimes for all three answers
+    # are pinned in tests/test_pooling.py).
+    with phase("compare_pooling verdict"):
+        xs = np.linspace(0.0, 1.0, 10)
+        rng2 = np.random.default_rng(9)
+        sub = [(xs, t["sigma"] + 0.8 * rng2.standard_normal(10))
+               for t in truths]
+        cmpres = mfit.compare_pooling(
+            lambda x, p: p["c"] + 0.0 * x, sub, {"c": 25.0},
+            data_error=0.8,
+            hyper={"c": (Gaussian(25.0, 10.0), LogNormal(np.log(2.0), 0.7))},
+            n_steps=3000, n_walkers=96, walkers_per_dataset=32,
+            max_samples=128)
+        print(cmpres)
+
 
 if __name__ == "__main__":
     main()

@@ -44,6 +44,7 @@ from .data import Dataset, clean_data, clean_data_error, create_walker_data
 from .evidence import (EvidenceResult, LaplaceResult, laplace_approx,
                        log_bayes_factor, log_evidence)
 from .hierarchical import HierarchicalFit
+from .pooling import PoolingComparison, compare_pooling
 from .nested import NestedResult, nested_per_dataset, nested_sample
 from .profile import ProfileResult, profile_likelihood
 from .variational import (VIResult, FlowVIResult, NeutraResult, advi,
@@ -126,6 +127,8 @@ __all__ = [
     "BatchedFit",
     "Dataset",
     "HierarchicalFit",
+    "PoolingComparison",
+    "compare_pooling",
     "FitConfig",
     "Walker",
     "WalkerSet",

@@ -106,6 +106,90 @@ def _dist_median(d) -> float:
     return float(np.asarray(d.icdf(jnp.asarray(0.5))))
 
 
+def _build_term_id_blocks(fns, datasets, data_error):
+    """First-class multi-term blocks (VERDICT r4 #8): apply the
+    documented term-id-column recipe (docs/API.md "Multi-term blocks")
+    inside the constructor.
+
+    ``fns`` is the per-term function list (the reference's global-fit
+    shape, test.lisp:52-78) and each dataset is a list of T ``(x, y)``
+    pairs.  Builds per dataset ONE multi-column x whose LAST column is
+    the term id, concatenates y (and per-term sigmas), and synthesizes
+    the branching model ``where(tid < t, ..., fns[t](x0, p))`` — the
+    exact graph the hand-written recipe produces, so the posterior is
+    bitwise the recipe's (pinned in test_hier_multiterm.py).  Every
+    term evaluates on every point (fine for closed-form models; give
+    expensive terms their own dataset rows instead).
+    """
+    T = len(fns)
+    S = len(datasets)
+    if T < 1:
+        raise ValueError("function=[]: need at least one term function")
+    new_sets = []
+    ndims = set()
+    for s, terms in enumerate(datasets):
+        if not isinstance(terms, (list, tuple)) or len(terms) != T or \
+                not all(isinstance(t, (list, tuple)) and len(t) == 2
+                        for t in terms):
+            raise ValueError(
+                f"function is a list of {T} terms, so each dataset must "
+                f"be a list of {T} (x, y) pairs — dataset {s} is "
+                f"{type(terms).__name__} of len "
+                f"{len(terms) if hasattr(terms, '__len__') else '?'}")
+        xs = [np.asarray(x, np.float64) for x, _ in terms]
+        ys = [np.asarray(y, np.float64) for _, y in terms]
+        ndims.update(x.ndim for x in xs)
+        if len(ndims) > 1:
+            raise ValueError("multi-term blocks: every term's x must "
+                             "have the same column count")
+        cols = []
+        for t, x in enumerate(xs):
+            x2 = x[:, None] if x.ndim == 1 else x
+            cols.append(np.concatenate(
+                [x2, np.full((x2.shape[0], 1), float(t))], axis=1))
+        new_sets.append((np.concatenate(cols, axis=0),
+                         np.concatenate(ys)))
+
+    one_col = ndims == {1}
+
+    def model(x, p):
+        tid = x[..., -1]
+        xin = x[..., 0] if one_col else x[..., :-1]
+        out = fns[0](xin, p)
+        for t in range(1, T):
+            out = jnp.where(tid < t - 0.5, out, fns[t](xin, p))
+        return out
+
+    model.__name__ = "hier_multiterm[" + ",".join(
+        getattr(f, "__name__", "f") for f in fns) + "]"
+
+    if data_error is None or np.isscalar(data_error):
+        new_err = data_error
+    else:
+        if len(data_error) != S:
+            raise ValueError(f"data_error: {len(data_error)} entries "
+                             f"for {S} datasets")
+        new_err = []
+        for s, e in enumerate(data_error):
+            ns = [np.asarray(x).shape[0] for x, _ in datasets[s]]
+            if isinstance(e, (list, tuple)) and len(e) == T:
+                new_err.append(np.concatenate(
+                    [np.broadcast_to(np.asarray(et, np.float64), (n,))
+                     for et, n in zip(e, ns)]))
+            else:
+                arr = np.asarray(e, np.float64)
+                if arr.ndim == 0:
+                    new_err.append(float(arr))
+                elif arr.shape == (sum(ns),):
+                    new_err.append(arr)
+                else:
+                    raise ValueError(
+                        f"data_error[{s}]: expected a scalar, a per-term "
+                        f"list of {T} entries, or a flat array of "
+                        f"{sum(ns)} sigmas, got shape {arr.shape}")
+    return model, new_sets, new_err
+
+
 class _HierarchicalView:
     """Single-dataset facade over a HierarchicalFit, in NATURAL space.
 
@@ -251,6 +335,15 @@ class HierarchicalFit(Walker):
         if correlation not in ("diag", "full"):
             raise ValueError(f"correlation must be 'diag' or 'full', "
                              f"got {correlation!r}")
+        if isinstance(function, (list, tuple)):
+            # First-class multi-term blocks: function=[f1, f2, ...] with
+            # data=[[(x1, y1), (x2, y2), ...], ...] applies the term-id
+            # -column recipe internally (docs/API.md "Multi-term
+            # blocks"); the synthesized model is exposed afterwards as
+            # ``self.terms[0].fn`` (checkpoints of it need an explicit
+            # function= on load, the unserializable-callable contract).
+            function, datasets, data_error = _build_term_id_blocks(
+                list(function), datasets, data_error)
 
         dtype = dtype or default_dtype()
         S = len(datasets)

@@ -103,3 +103,43 @@ def test_hier_sbc_with_non_pooled_locals():
         sampling_steps=3000, sampling_kernel="mala", seed=0)
     assert res.ok()
     assert "b__0" in res.p_values and "c__z0" in res.p_values
+
+
+def line_ab(x, p):
+    return p["a"] + p["b"] * x
+
+
+CORR_HYPER = {"a": (Gaussian(0.0, 1.0), LogNormal(np.log(0.5), 0.4)),
+              "b": (Gaussian(0.0, 1.0), LogNormal(np.log(0.5), 0.4))}
+CORR_KW = dict(data_error=0.5, hyper=CORR_HYPER, n_sims=40,
+               walkers_per_sim=24, n_steps=3000, sampling_steps=3000,
+               sampling_kernel="mala", seed=0,
+               correlation="full", corr_prior=Gaussian(0.0, 0.5))
+
+
+def test_hier_sbc_correlated_population_passes():
+    """correlation="full" (VERDICT r4 #1): the slant coordinate rides
+    the same walk-space SBC — its ranks (and every mu/tau/z) are
+    uniform when simulator == likelihood == declared prior.  This is
+    the calibration certificate that the correlated decode, its prior,
+    and the simulator agree end to end."""
+    res = mfit.sbc_check_hierarchical(line_ab, X, {"a": 0.0, "b": 0.0}, 3,
+                                      **CORR_KW)
+    assert "b__c_a" in res.keys
+    assert res.ranks.shape == (40, 4 + 1 + 2 * 3)
+    assert res.ok()
+    # the slant coordinate specifically is uniform
+    assert res.p_values["b__c_a"] > 0.01
+
+
+def test_hier_sbc_correlated_negative_control_fails():
+    """Power check for the correlated pipeline: Cauchy noise simulated
+    against the declared Gaussian likelihood must FAIL the audit (the
+    same pinned control as the diagonal tier)."""
+
+    def cauchy_sim(rng, mu):
+        return mu + 0.5 * rng.standard_t(1, size=mu.shape)
+
+    res = mfit.sbc_check_hierarchical(line_ab, X, {"a": 0.0, "b": 0.0}, 3,
+                                      simulate=cauchy_sim, **CORR_KW)
+    assert not res.ok()
