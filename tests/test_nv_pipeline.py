@@ -242,3 +242,24 @@ def test_hierarchical_nv_overrides_merge_not_replace():
     assert set(f2.pooled) == {"scale1", "scale2", "mu1", "mu2",
                               "sigma", "bg0"}
     assert f2.prior_spec is not None
+
+
+def test_hierarchical_nv_correlated_population_composes():
+    """correlation="full" on the NV entry (r5): linewidth and
+    background pool through a CORRELATED population — the physics
+    motivation for the feature (nv-specific.lisp:31-34 couples local
+    parameters across a device).  The prior stays complete, the slant
+    coordinate exists, and a short fit runs finite."""
+    from lisp_mcmc_tpu import nv
+
+    x = np.linspace(2840.0, 2900.0, 64)
+    rng = np.random.default_rng(1)
+    spectra = [(x, 1e-4 + 1e-6 * rng.standard_normal(64))
+               for _ in range(3)]
+    f = nv.HierarchicalNVFit(spectra, n_walkers=32, correlation="full")
+    assert f.n_corr == 1
+    assert "bg0__c_sigma" in f.spec.keys
+    assert f.prior_spec is not None and "bg0__c_sigma" in f.prior_spec
+    f.adaptive_steps(300, auto=None)
+    assert np.isfinite(f.most_likely_step()[0])
+    assert f.population_covariance("best").shape == (2, 2)
