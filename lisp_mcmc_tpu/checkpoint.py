@@ -547,6 +547,15 @@ def hierarchical_save(fit, path: str, take: int | None = None) -> None:
         "correlation": fit.correlation,
         "corr_prior": (fit._corr_dist.to_meta()
                        if fit._corr_dist is not None else None),
+        # First-class multi-term fits carry a SYNTHESIZED branching
+        # model; serialize the per-term function NAMES so load can
+        # rebuild the same where-chain via _term_branch_model (the
+        # names resolve like any function: registry or explicit
+        # function= list).
+        "term_functions": [getattr(f, "__name__", "f")
+                           for f in getattr(fit.terms[0].fn,
+                                            "_term_fns", ())] or None,
+        "term_one_col": getattr(fit.terms[0].fn, "_term_one_col", None),
         # Any valid guess rebuilds the fit (state replaces it); the
         # decoded per-dataset best is always valid.
         "guesses": [{k: float(v) for k, v in g.items()}
@@ -580,14 +589,25 @@ def hierarchical_load(path: str, *, function=None, log_likelihood=None,
         raise ValueError(f"checkpoint format {header['format_version']} "
                          "is newer than supported")
 
-    fns = _resolve([header["function"]], function, MODEL_REGISTRY,
-                   "function", quiet)
+    term_names = header.get("term_functions")
+    if term_names:
+        # Rebuild the synthesized multi-term branching model from the
+        # per-term names (function= may supply the list explicitly).
+        from .hierarchical import _term_branch_model
+
+        tfns = _resolve(term_names, function, MODEL_REGISTRY,
+                        "function", quiet)
+        fns = None if tfns is None else \
+            [_term_branch_model(list(tfns), bool(header["term_one_col"]))]
+    else:
+        fns = _resolve([header["function"]], function, MODEL_REGISTRY,
+                       "function", quiet)
     lls = _resolve([header["likelihood"]], log_likelihood,
                    LIKELIHOOD_REGISTRY, "log_likelihood", quiet)
     if fns is None or lls is None:
         if not quiet:
             print("*Recommendations*")
-            print(f"function: {header['function']}")
+            print(f"function: {header.get('term_functions') or header['function']}")
             print(f"log_likelihood: {header['likelihood']}")
         return None
 

@@ -106,6 +106,27 @@ def _dist_median(d) -> float:
     return float(np.asarray(d.icdf(jnp.asarray(0.5))))
 
 
+def _term_branch_model(fns, one_col: bool):
+    """The synthesized branching model of the term-id-column recipe
+    (shared by the constructor and ``hierarchical_load``, which rebuilds
+    it from the serialized term-function NAMES)."""
+    T = len(fns)
+
+    def model(x, p):
+        tid = x[..., -1]
+        xin = x[..., 0] if one_col else x[..., :-1]
+        out = fns[0](xin, p)
+        for t in range(1, T):
+            out = jnp.where(tid < t - 0.5, out, fns[t](xin, p))
+        return out
+
+    model.__name__ = "hier_multiterm[" + ",".join(
+        getattr(f, "__name__", "f") for f in fns) + "]"
+    model._term_fns = tuple(fns)
+    model._term_one_col = one_col
+    return model
+
+
 def _build_term_id_blocks(fns, datasets, data_error):
     """First-class multi-term blocks (VERDICT r4 #8): apply the
     documented term-id-column recipe (docs/API.md "Multi-term blocks")
@@ -151,17 +172,7 @@ def _build_term_id_blocks(fns, datasets, data_error):
                          np.concatenate(ys)))
 
     one_col = ndims == {1}
-
-    def model(x, p):
-        tid = x[..., -1]
-        xin = x[..., 0] if one_col else x[..., :-1]
-        out = fns[0](xin, p)
-        for t in range(1, T):
-            out = jnp.where(tid < t - 0.5, out, fns[t](xin, p))
-        return out
-
-    model.__name__ = "hier_multiterm[" + ",".join(
-        getattr(f, "__name__", "f") for f in fns) + "]"
+    model = _term_branch_model(fns, one_col)
 
     if data_error is None or np.isscalar(data_error):
         new_err = data_error

@@ -132,3 +132,33 @@ def test_first_class_term_lists_validation():
                         {"m": 1.0, "b": 0.0},
                         hyper={"m": (Gaussian(0, 1), LogNormal(0, 1)),
                                "b": (Gaussian(0, 1), LogNormal(0, 1))})
+
+
+def test_first_class_term_lists_checkpoint_roundtrip(rng, tmp_path):
+    """Checkpoints of first-class multi-term fits serialize the TERM
+    function names; load rebuilds the same where-chain (explicit
+    function= list, the unserializable-callable contract) and the
+    posterior matches bitwise."""
+    import lisp_mcmc_tpu as mfit
+
+    x1 = np.linspace(0.0, 10.0, 8)
+    x2 = np.linspace(0.0, 3.0, 6)
+    data = [[(x1, 2.0 * x1 + 1.0), (x2, 0.5 * 2.0 * x2 ** 2 + 1.0)]
+            for _ in range(2)]
+    h = HierarchicalFit(
+        [line_term, quad_term], data, {"m": 2.0, "b": 1.0},
+        data_error=[[0.2, 0.1]] * 2,
+        hyper={"m": (Gaussian(2.0, 1.0), LogNormal(np.log(0.2), 0.5)),
+               "b": (Gaussian(1.0, 1.0), LogNormal(np.log(0.2), 0.5))},
+        n_walkers=16, seed=0)
+    h.adaptive_steps(200, auto=None)
+    path = str(tmp_path / "mt.npz")
+    mfit.hierarchical_save(h, path)
+    loaded = mfit.hierarchical_load(path, function=[line_term, quad_term],
+                                    quiet=True)
+    assert loaded is not None
+    assert loaded.spec.keys == h.spec.keys
+    v = np.asarray(h.state.position)[0]
+    lp_a = h.diagnose_params(h.spec.unflatten(v))
+    lp_b = loaded.diagnose_params(loaded.spec.unflatten(v))
+    assert lp_a == lp_b
