@@ -42,18 +42,31 @@ def _apply_d24_field_gate(result: dict, chees_d24_error,
     path = last_good_path or _LAST_GOOD_PATH
     record = dict(result)
     if chees_d24_error is None:
+        # The field is freshly measured: stamp its own provenance so a
+        # later failing run cannot make an old value look current
+        # (review finding r5 — the shared measured_at is refreshed on
+        # every persist).
+        record["ess_per_sec_chees_d24_measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%S")
         return record
     result["ess_per_sec_chees_d24_error"] = chees_d24_error
-    prev = None
+    prev_value, prev_at = None, None
     try:
         with open(path) as f:
-            prev = json.load(f).get("ess_per_sec_chees_d24")
+            prev_rec = json.load(f)
+        prev_value = prev_rec.get("ess_per_sec_chees_d24")
+        prev_at = prev_rec.get("ess_per_sec_chees_d24_measured_at") \
+            or prev_rec.get("measured_at")
     except (OSError, ValueError):
         pass
-    if prev is not None:
-        result["ess_per_sec_chees_d24"] = prev
+    if prev_value is not None:
+        result["ess_per_sec_chees_d24"] = prev_value
         result["ess_per_sec_chees_d24_stale"] = True
-    record["ess_per_sec_chees_d24"] = prev
+        result["ess_per_sec_chees_d24_measured_at"] = prev_at
+    # The persisted record carries the field's TRUE age: the stale
+    # value rides with its original timestamp, not this run's.
+    record["ess_per_sec_chees_d24"] = prev_value
+    record["ess_per_sec_chees_d24_measured_at"] = prev_at
     return record
 
 

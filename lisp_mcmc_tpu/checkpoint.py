@@ -593,8 +593,20 @@ def hierarchical_load(path: str, *, function=None, log_likelihood=None,
     if term_names:
         # Rebuild the synthesized multi-term branching model from the
         # per-term names (function= may supply the list explicitly).
+        # A SINGLE callable must be refused here: _resolve would
+        # broadcast it to every term and re-wrap it in the branch model
+        # — a silently wrong posterior (and passing the fit's own
+        # synthesized model would strip the term-id column twice;
+        # review finding r5).
         from .hierarchical import _term_branch_model
 
+        if function is not None and not isinstance(function,
+                                                   (list, tuple)):
+            raise ValueError(
+                "hierarchical_load: this checkpoint holds a multi-term "
+                f"fit of {len(term_names)} terms ({term_names}); pass "
+                "function= as the LIST of per-term callables, not a "
+                "single function")
         tfns = _resolve(term_names, function, MODEL_REGISTRY,
                         "function", quiet)
         fns = None if tfns is None else \

@@ -1319,7 +1319,15 @@ class HierarchicalFit(Walker):
                 elpd[s] = -np.inf
                 continue
             elpd[s] = m + np.log(np.mean(np.exp(joint - m)))
-        se = float(np.sqrt(S * np.var(elpd, ddof=1))) if S > 1 else 0.0
+        # SE over the FINITE groups only: an all-underflow group sets
+        # its elpd to -inf (the intended signal) and np.var over an
+        # array containing -inf is NaN — which would corrupt the very
+        # headline the guard above protects (review finding r5).  The
+        # -inf still dominates elpd.sum(); per-group values stay
+        # readable in elpd_per_dataset.
+        fin = elpd[np.isfinite(elpd)]
+        se = float(np.sqrt(S * np.var(fin, ddof=1))) if fin.size > 1 \
+            else 0.0
         return LOGOResult(elpd=float(elpd.sum()), se=se,
                           elpd_per_dataset=elpd, refit_ok=refit_ok)
 

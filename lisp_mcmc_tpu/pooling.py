@@ -70,6 +70,16 @@ class PoolingComparison:
         return f"PoolingComparison(best={self.best!r} [{tag}]; {rows})"
 
 
+def _anneal_then_cold_sample(fit, n_steps: int, burn_fraction: float):
+    """The scoring recipe every refit program uses (anneal -> reset ->
+    cold mala phase -> burn): LOO must never see annealed rows, and all
+    three compared models must get the SAME budget (auto-stop off)."""
+    fit.adaptive_steps(n_steps, auto=None)
+    fit.reset()
+    fit.sampling_steps(max(2000, n_steps // 2), kernel="mala")
+    fit.burn_steps(int(len(fit) * burn_fraction))
+
+
 def _combined_loo(fit, max_samples: int):
     """Dataset-major concatenated LOOResult for a BatchedFit."""
     from .diagnostics import LOOResult
@@ -113,8 +123,13 @@ def compare_pooling(
     partial-pooling model exactly as :class:`HierarchicalFit` takes
     them (``hierarchical_kwargs`` merges last — e.g.
     ``{"correlation": "full"}``).  ``log_likelihood`` applies to all
-    three.  Each model anneals ``n_steps`` then burns
-    ``burn_fraction`` before scoring (the WAIC/LOO anneal invariant).
+    three.  Each model runs the refit-scoring recipe: anneal
+    ``n_steps`` (auto-stop off — all three get the SAME budget), then
+    ``reset()``, a COLD mala sampling phase of ``max(2000, n_steps //
+    2)`` steps, and ``burn_fraction`` of it — scoring LOO from annealed
+    rows would trip the WAIC/LOO anneal invariant (the adaptive
+    temperature schedule oscillates, so at some ``n_steps`` the
+    retained half still contains hot chunks; review finding r5).
 
     The three pointwise axes align by construction: the pooled global
     fit scores term-major (terms are the datasets, in order), the
@@ -141,8 +156,7 @@ def compare_pooling(
         function=[function] * S, data=list(datasets), params=dict(params),
         data_error=data_error, log_likelihood=lls,
         n_walkers=n_walkers, seed=seed)
-    w_pool.adaptive_steps(n_steps, auto=None)
-    w_pool.burn_steps(int(len(w_pool) * burn_fraction))
+    _anneal_then_cold_sample(w_pool, n_steps, burn_fraction)
     fits["pooled"] = w_pool
     results["pooled"] = loo(w_pool, max_samples=max_samples)
 
@@ -152,8 +166,7 @@ def compare_pooling(
         pooled=pooled, hyper=hyper, local_priors=local_priors,
         log_likelihood=log_likelihood, n_walkers=n_walkers,
         seed=seed, **dict(hierarchical_kwargs or {}))
-    h.adaptive_steps(n_steps, auto=None)
-    h.burn_steps(int(len(h) * burn_fraction))
+    _anneal_then_cold_sample(h, n_steps, burn_fraction)
     fits["partial"] = h
     results["partial"] = loo(h, max_samples=max_samples)
 
@@ -162,8 +175,7 @@ def compare_pooling(
         function, datasets, dict(params), data_error=data_error,
         log_likelihood=log_likelihood,
         walkers_per_dataset=walkers_per_dataset, seed=seed)
-    b.adaptive_steps(n_steps)
-    b.burn_steps(int(len(b) * burn_fraction))
+    _anneal_then_cold_sample(b, n_steps, burn_fraction)
     fits["independent"] = b
     results["independent"] = _combined_loo(b, max_samples)
 

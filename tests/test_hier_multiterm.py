@@ -162,3 +162,22 @@ def test_first_class_term_lists_checkpoint_roundtrip(rng, tmp_path):
     lp_a = h.diagnose_params(h.spec.unflatten(v))
     lp_b = loaded.diagnose_params(loaded.spec.unflatten(v))
     assert lp_a == lp_b
+
+
+def test_multiterm_checkpoint_refuses_single_function(rng, tmp_path):
+    """Loading a multi-term checkpoint with a single callable would
+    silently broadcast it to every term — refuse loudly instead."""
+    import lisp_mcmc_tpu as mfit
+
+    x1 = np.linspace(0.0, 10.0, 6)
+    data = [[(x1, 2.0 * x1 + 1.0), (x1, x1 ** 2 + 1.0)]] * 2
+    h = HierarchicalFit(
+        [line_term, quad_term], data, {"m": 2.0, "b": 1.0},
+        data_error=0.2,
+        hyper={"m": (Gaussian(2.0, 1.0), LogNormal(np.log(0.2), 0.5)),
+               "b": (Gaussian(1.0, 1.0), LogNormal(np.log(0.2), 0.5))},
+        n_walkers=8, seed=0)
+    path = str(tmp_path / "mt2.npz")
+    mfit.hierarchical_save(h, path)
+    with pytest.raises(ValueError, match="LIST of per-term"):
+        mfit.hierarchical_load(path, function=line_term, quiet=True)
