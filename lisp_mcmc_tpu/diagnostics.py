@@ -256,52 +256,69 @@ def convergence_per_dataset(walker, take: int | None = None,
             for pos in _history_blocks(walker, take)]
 
 
-# Convergence gate for GROUPED REFIT programs (reloo/kfold/logo/SBC):
-# deliberately far looser than the publication-grade convergence()
-# defaults (1.01 / 100).  Bounded-budget refits retain SHORT chains,
-# and short chains bias rank-R-hat upward even at equilibrium — a
-# HEALTHY 2000-step mala refit block measures bulk rank-R-hat up to
-# ~1.22 with tail ESS in the THOUSANDS (measured on the
-# test_global_refit fixture, r5) — while true collapse reads R-hat
-# >> 1.7 (chains frozen apart / stuck modes) or tail ESS < ~20
-# (frozen chains count 1 each, ops/reductions.py).  The gate's job is
-# to catch FAILED-TO-MIX blocks whose "exact" elpd / ranks would
+# Collapse gate for GROUPED REFIT programs (reloo/kfold/logo/SBC).
+# Deliberately NOT an R-hat gate: refit blocks warm-start AT the
+# parent posterior (the design: "the anneal only repairs the one-point
+# dent"), and rank-R-hat measures mixing from DISPERSED starts — a
+# healthy warm-started 2500-step/64-walker hierarchical refit measures
+# bulk rank-R-hat 1.7-2.6 on the slow hyper coordinates while its tail
+# ESS sits at 80-360 and its draws score correctly (measured r5,
+# test_hier_refit fixture; plain mala refits measure 1.10-1.22 the
+# same way).  What actually distinguishes collapse:
+#   - tail ESS < ~20: chains frozen with few walkers (each zero-
+#     variance chain counts 1, ops/reductions.py) or mixing truly dead;
+#   - move fraction ~ 0: chains frozen with MANY walkers — ESS then
+#     reads ~W (one posterior draw each, never adapted to the
+#     leave-out dent), so ESS alone would pass it.
+# The gate's job is to catch blocks whose "exact" elpd / ranks would
 # silently corrupt the result (the WAIC hot-straggler failure mode,
-# CLAUDE.md) — not to re-litigate convergence; tightening R-hat below
-# ~1.5 false-alarms every healthy bounded refit.
-REFIT_GATE_RHAT = 1.7
+# CLAUDE.md) — not to re-litigate convergence.
 REFIT_GATE_MIN_ESS = 20.0
+REFIT_GATE_MIN_MOVE = 0.05
 
 
-def grouped_refit_health(fit, name: str, rhat_tol: float = REFIT_GATE_RHAT,
+def grouped_refit_health(fit, name: str,
                          min_tail_ess: float = REFIT_GATE_MIN_ESS,
+                         min_move_frac: float = REFIT_GATE_MIN_MOVE,
                          warn: bool = True) -> np.ndarray:
-    """Per-block convergence gate for a grouped refit ensemble.
+    """Per-block COLLAPSE gate for a grouped refit ensemble.
 
     ``fit`` is the grouped Walker that ran K leave-out/simulation
     posteriors as adaptation groups (``_batched_refit`` /
     ``HierarchicalFit._refit_cv`` / ``sbc_check*``); returns a (K,)
-    boolean array — block j True when its retained history passes
-    rank-R-hat <= ``rhat_tol`` and tail ESS >= ``min_tail_ess`` on
-    every coordinate — and warns loudly on failures.  Callers MARK the
-    failing blocks' outputs rather than silently merging them (VERDICT
-    r4 #3; the machinery is :func:`convergence_per_dataset`, the same
-    per-block verdict the batched scan-grid workflow gates on).
+    boolean array — block j True when its retained history has tail
+    ESS >= ``min_tail_ess`` on every coordinate AND a walker-row move
+    fraction >= ``min_move_frac`` (frozen ensembles never repaired the
+    leave-out dent; see the threshold rationale above) — and warns
+    loudly on failures.  Callers MARK the failing blocks' outputs
+    rather than silently merging them (VERDICT r4 #3).
     """
     import warnings
 
-    verdicts = convergence_per_dataset(fit, rhat_tol=rhat_tol,
-                                       min_tail_ess=min_tail_ess)
-    ok = np.asarray([v["ok"] for v in verdicts], dtype=bool)
+    keys = fit.spec.keys
+    ok_list, why = [], []
+    for j, pos in enumerate(_history_blocks(fit, None)):
+        pos = np.asarray(pos)                          # (T, B, d)
+        v = _block_verdict(pos, keys, np.inf, min_tail_ess)
+        moved = 1.0
+        if pos.shape[0] > 1:
+            moved = float(np.mean(np.any(
+                np.diff(pos, axis=0) != 0.0, axis=-1)))
+        block_ok = bool(v["ok"]) and moved >= min_move_frac
+        ok_list.append(block_ok)
+        if not block_ok:
+            worst = min(v["tail_ess"].values()) if v["tail_ess"] else 0.0
+            why.append(f"block {j}: min tail ESS {worst:.0f}, "
+                       f"move fraction {moved:.3f}")
+    ok = np.asarray(ok_list, dtype=bool)
     if warn and not ok.all():
-        bad = np.where(~ok)[0]
         warnings.warn(
-            f"{name}: {bad.size}/{ok.size} refit blocks failed the "
-            f"convergence gate (rank-R-hat <= {rhat_tol}, tail ESS >= "
-            f"{min_tail_ess}): blocks {bad.tolist()} — their values are "
-            "marked unreliable in the result; raise n_steps / "
-            "walkers_per_dataset or simplify the held-out geometry",
-            stacklevel=3)
+            f"{name}: {int((~ok).sum())}/{ok.size} refit blocks failed "
+            f"the collapse gate (tail ESS >= {min_tail_ess} and move "
+            f"fraction >= {min_move_frac}): {'; '.join(why)} — their "
+            "values are marked unreliable in the result; raise "
+            "n_steps / walkers_per_dataset or simplify the held-out "
+            "geometry", stacklevel=3)
     return ok
 
 

@@ -52,10 +52,21 @@ def _grouped_batched(n_steps, walker_jitter=0.05):
 
 
 def test_health_gate_flags_unmixed():
-    """A nearly-unstepped wide ensemble cannot pass rank-R-hat: the
-    gate flags it and warns naming the blocks."""
-    fit = _grouped_batched(n_steps=8, walker_jitter=2.0)
-    with pytest.warns(UserWarning, match="convergence gate"):
+    """A FROZEN ensemble (proposal scale blown up -> acceptance ~0 ->
+    chains never move) is exactly the collapse the gate exists for:
+    its draws are one stale point per walker, never adapted — the gate
+    flags it and warns naming the blocks."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    fit = _grouped_batched(n_steps=50, walker_jitter=0.5)
+    fit.reset()
+    fit.state = dataclasses.replace(
+        fit.state, l_matrix=fit.state.l_matrix * 1e8)
+    fit.sampling_steps(60, kernel="rwm")
+    assert float(jnp.asarray(fit.acceptance())) < 0.01
+    with pytest.warns(UserWarning, match="collapse gate"):
         ok = grouped_refit_health(fit, "test-gate")
     assert not ok.all()
 
