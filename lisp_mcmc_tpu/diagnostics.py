@@ -295,19 +295,29 @@ def grouped_refit_health(fit, name: str,
     """
     import warnings
 
-    keys = fit.spec.keys
+    d = fit.spec.ndim
     ok_list, why = [], []
     for j, pos in enumerate(_history_blocks(fit, None)):
-        pos = np.asarray(pos)                          # (T, B, d)
-        v = _block_verdict(pos, keys, np.inf, min_tail_ess)
-        moved = 1.0
-        if pos.shape[0] > 1:
-            moved = float(np.mean(np.any(
-                np.diff(pos, axis=0) != 0.0, axis=-1)))
-        block_ok = bool(v["ok"]) and moved >= min_move_frac
+        # Device-side reductions (the CLAUDE.md transfer rule): only
+        # scalars cross the tunnel.  Tail ESS per coordinate is the
+        # only statistic the gate needs — R-hat is deliberately not
+        # computed (see the rationale above).
+        pos = jnp.asarray(pos)                         # (T, B, d)
+        if pos.shape[0] <= 1:
+            # A single retained row (incl. the _history no-rows
+            # fallback, fit.py) means the block SAMPLED NOTHING: every
+            # chain is trivially zero-variance (ESS reads ~W) and no
+            # movement is observable — fail it outright rather than
+            # pass the many-frozen-walker case the move check closes.
+            ok_list.append(False)
+            why.append(f"block {j}: <= 1 retained history row")
+            continue
+        worst = min(float(tail_ess(pos[:, :, i])) for i in range(d))
+        moved = float(jnp.mean(jnp.any(
+            jnp.diff(pos, axis=0) != 0.0, axis=-1)))
+        block_ok = worst >= min_tail_ess and moved >= min_move_frac
         ok_list.append(block_ok)
         if not block_ok:
-            worst = min(v["tail_ess"].values()) if v["tail_ess"] else 0.0
             why.append(f"block {j}: min tail ESS {worst:.0f}, "
                        f"move fraction {moved:.3f}")
     ok = np.asarray(ok_list, dtype=bool)

@@ -76,8 +76,10 @@ class LOGOResult:
     log predictive density for an entire NEW group drawn from the
     population; ``elpd_per_dataset``: the per-group terms (a very
     negative entry flags a dataset the population does not describe);
-    ``se``: standard error of ``elpd`` across groups (sqrt(S * var),
-    the loo/kfold convention).
+    ``se``: standard error of ``elpd`` across groups (sqrt(n * var)
+    over the FINITE per-group terms, ddof=1 — the loo/kfold
+    convention; an all-underflow group contributes -inf to ``elpd``
+    but not NaN to ``se``).
     """
 
     elpd: float
@@ -1326,8 +1328,8 @@ class HierarchicalFit(Walker):
         # -inf still dominates elpd.sum(); per-group values stay
         # readable in elpd_per_dataset.
         fin = elpd[np.isfinite(elpd)]
-        se = float(np.sqrt(S * np.var(fin, ddof=1))) if fin.size > 1 \
-            else 0.0
+        se = float(np.sqrt(fin.size * np.var(fin, ddof=1))) \
+            if fin.size > 1 else 0.0
         return LOGOResult(elpd=float(elpd.sum()), se=se,
                           elpd_per_dataset=elpd, refit_ok=refit_ok)
 

@@ -71,11 +71,17 @@ class PoolingComparison:
 
 
 def _anneal_then_cold_sample(fit, n_steps: int, burn_fraction: float):
-    """The scoring recipe every refit program uses (anneal -> reset ->
-    cold mala phase -> burn): LOO must never see annealed rows, and all
-    three compared models must get the SAME budget (auto-stop off)."""
+    """The WAIC/LOO scoring recipe on an annealed fit (CLAUDE.md:
+    "reset_to_most_likely + cold sampling phase first, or hot
+    stragglers inflate p_waic ~1e6x"): all three compared models get
+    the SAME budget (auto-stop off), restart at their best point — a
+    plain reset() would keep hot-excursion walkers alive into the
+    scored phase (review finding r5) — then a cold mala phase and a
+    burn.  BatchedFit's override resets each dataset block to ITS OWN
+    best (the per-dataset invariant); the hierarchical fit is one
+    joint posterior, so the global argmax is the right restart."""
     fit.adaptive_steps(n_steps, auto=None)
-    fit.reset()
+    fit.reset_to_most_likely()
     fit.sampling_steps(max(2000, n_steps // 2), kernel="mala")
     fit.burn_steps(int(len(fit) * burn_fraction))
 
@@ -123,13 +129,12 @@ def compare_pooling(
     partial-pooling model exactly as :class:`HierarchicalFit` takes
     them (``hierarchical_kwargs`` merges last — e.g.
     ``{"correlation": "full"}``).  ``log_likelihood`` applies to all
-    three.  Each model runs the refit-scoring recipe: anneal
+    three.  Each model runs the WAIC/LOO scoring recipe: anneal
     ``n_steps`` (auto-stop off — all three get the SAME budget), then
-    ``reset()``, a COLD mala sampling phase of ``max(2000, n_steps //
-    2)`` steps, and ``burn_fraction`` of it — scoring LOO from annealed
-    rows would trip the WAIC/LOO anneal invariant (the adaptive
-    temperature schedule oscillates, so at some ``n_steps`` the
-    retained half still contains hot chunks; review finding r5).
+    ``reset_to_most_likely()``, a COLD mala sampling phase of
+    ``max(2000, n_steps // 2)`` steps, and ``burn_fraction`` of it —
+    scoring LOO from annealed rows or hot-straggler walkers trips the
+    anneal invariant (CLAUDE.md; review finding r5).
 
     The three pointwise axes align by construction: the pooled global
     fit scores term-major (terms are the datasets, in order), the
