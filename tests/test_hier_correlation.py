@@ -189,6 +189,15 @@ def test_slant_posterior_anchor(slant_fit):
     sig = slant_fit.population_covariance("median")
     rho = sig[1, 0] / math.sqrt(sig[0, 0] * sig[1, 1])
     assert rho == pytest.approx(_exact_rho(), abs=0.12)
+    # the posterior-of-Sigma path: (n, 2, 2), PSD, centered near the
+    # point summary
+    draws = slant_fit.population_covariance("draws")
+    assert draws.ndim == 3 and draws.shape[1:] == (2, 2)
+    assert np.all(np.linalg.eigvalsh(draws) > -1e-12)
+    assert np.median(draws[:, 1, 0]) == pytest.approx(sig[1, 0],
+                                                      abs=0.05)
+    with pytest.raises(ValueError, match="best.*median.*draws"):
+        slant_fit.population_covariance("nope")
 
 
 def test_predict_new_correlated(slant_fit):
